@@ -1,0 +1,87 @@
+"""Versioned parquet datasets with retention and a "latest" pointer.
+
+Re-expresses the reference's Minio dataset layout
+(ServiceAlertBase.py:98-121 reads, 170-202 writes: timestamped object per
+write, ``prune=5`` old versions kept, plus a ``current/`` latest copy) as a
+directory convention any object store / HDFS path supports:
+
+    <root>/<dataset>/versions/<utc-timestamp>/   (parquet dir per write)
+    <root>/<dataset>/current  -> newest version  (re-written pointer dir)
+
+Retention is pure path management on the driver (tiny listings — never data
+jobs).  On a lakehouse deployment the same API would be backed by Delta time
+travel + VACUUM instead; the interface is deliberately storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dataset_root(root: str, dataset: str) -> Path:
+    return Path(root) / dataset
+
+
+def list_versions(root: str, dataset: str) -> list[str]:
+    vdir = _dataset_root(root, dataset) / "versions"
+    if not vdir.exists():
+        return []
+    return sorted(p.name for p in vdir.iterdir() if p.is_dir())
+
+
+def write_dataset(
+    df: DataFrame,
+    root: str,
+    dataset: str,
+    prune: int = 5,
+    latest_copy: bool = True,
+    partition_by: list[str] | None = None,
+    timestamp: datetime | None = None,
+) -> str:
+    """S6 — write a new version, prune old ones, refresh the latest copy.
+
+    ``partition_by`` enables hive-style partitioning for the big tables
+    (e.g. gold by publish_date month) so serving queries partition-prune.
+    """
+    ts = (timestamp or datetime.now(timezone.utc)).strftime("%Y%m%dT%H%M%S%f")
+    base = _dataset_root(root, dataset)
+    version_path = base / "versions" / ts
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(version_path))
+
+    versions = list_versions(root, dataset)
+    for stale in versions[:-prune] if prune else []:
+        shutil.rmtree(base / "versions" / stale, ignore_errors=True)
+
+    if latest_copy:
+        current = base / "current"
+        tmp = base / "current.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        shutil.copytree(version_path, tmp)
+        if current.exists():
+            shutil.rmtree(current)
+        tmp.rename(current)
+    return str(version_path)
+
+
+def read_dataset(
+    spark: SparkSession, root: str, dataset: str, version: str | None = None
+) -> DataFrame:
+    """S2 — read the latest (or a pinned) version of a dataset."""
+    base = _dataset_root(root, dataset)
+    if version is not None:
+        return spark.read.parquet(str(base / "versions" / version))
+    current = base / "current"
+    if current.exists():
+        return spark.read.parquet(str(current))
+    versions = list_versions(root, dataset)
+    if not versions:
+        raise FileNotFoundError(f"no versions of {dataset} under {root}")
+    return spark.read.parquet(str(base / "versions" / versions[-1]))
