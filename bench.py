@@ -1,0 +1,66 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (no driver-side collect of
+full results).  Times include plan + execution but share one warm session,
+mirroring how a resident engine would serve these.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from service_alerts_connector_spark.catalog import CORE_QUERIES
+from service_alerts_connector_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "j1_lookup_join",
+    "j2_incremental_anti",
+    "a3_lastwins_dedup",
+    "j8_cdc_diff",
+    "a5_guards",
+    "f9_checksum",
+    "w3_best_per_group",
+    "p10_topk",
+    "feed_current_urgent",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CORE_QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,757 @@
+"""Query catalog — every SURVEY §2 operator expressed twice:
+
+* as a Spark DataFrame plan over the driver's TPC-H-ish parquet tables
+  (``/root/testdata/sf*/``), built on the engine's operator library;
+* as an equivalent ANSI-SQL oracle string DuckDB can run on the same files.
+
+The driver runs both at sf0.01 and compares row-count + schema + value hash
+(CORRECTNESS_r{N}.json).  Determinism rules applied throughout:
+
+* timestamps surface as formatted strings (``yyyy-MM-dd HH:mm:ss``) so tz /
+  object-representation differences can't leak into hashes;
+* money aggregates are computed on DECIMAL(18,2) casts (exact, order-
+  independent) and surfaced as doubles;
+* every top-k / per-group pick carries a key tiebreak so the result is a
+  function of the data, not of partitioning.
+
+Table-role mapping follows FIXTURES.md §7: ``orders`` stands in for the
+alerts fact (o_orderkey↔Id, o_orderdate↔publish_date, o_orderstatus↔status),
+``customer→nation→region`` for lookup dimensions, ``events`` for the
+incremental/CDC stream, ``part`` for string/fuzzy ops, ``documents`` /
+``embeddings`` for the training-data operators.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.dedup import (
+    dedup_last_wins,
+    snapshot_diff,
+)
+from service_alerts_connector_spark.operators.joins import lookup_join
+from service_alerts_connector_spark.operators.topk import (
+    best_match_per_group,
+    top_k,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# (unit separator) — same canonical cell separator as functions/checksum.py.
+SEP = "\x1f"
+NULL_TOKEN = "∅"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
+    refuses by default (PARQUET_TYPE_ILLEGAL).  Read nanos as long and convert
+    to a microsecond TimestampType with exact integer arithmetic — DuckDB
+    truncates to micros the same way, so formatted values agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 — rename + fixed projection + drop-null gate
+# (reference ServiceAlertFixer.py:89-103, ServiceAlertConnector.py:78)
+# ---------------------------------------------------------------------------
+def q_p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.na.drop(subset=["c_mktsegment"])
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("acctbal"),
+        )
+    )
+
+
+SQL_P1 = """
+SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+FROM customer WHERE c_mktsegment IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 — time-window predicate with aggregate anchor
+# (reference ServiceAlertBroadcaster.py:79-90; anchor = max instead of the
+# reference's now() so the query is deterministic)
+# ---------------------------------------------------------------------------
+def q_p4_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("a")).collect()[0]["a"]
+    return (
+        orders.where(
+            F.col("o_orderdate") > F.lit(anchor) - F.expr("INTERVAL 7 DAYS")
+        )
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "order_ts"
+            ),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+
+SQL_P4 = """
+SELECT o_orderkey AS id,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+       o_orderstatus AS status
+FROM orders
+WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders) - INTERVAL 7 DAY
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3+P4+P5 — a full broadcaster feed: window × planned-flag × version
+# projection ("GET /v1.2/service-alerts/current/unplanned" analog;
+# reference ServiceAlertBroadcaster.py:78-98)
+# ---------------------------------------------------------------------------
+def q_feed_current_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("a")).collect()[0]["a"]
+    return (
+        orders.where(
+            F.col("o_orderdate") > F.lit(anchor) - F.expr("INTERVAL 30 DAYS")
+        )
+        .where(F.col("o_orderpriority") == "1-URGENT")  # P5 analog
+        .select(  # P3 version projection
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("totalprice"),
+        )
+    )
+
+
+SQL_FEED = """
+SELECT o_orderkey AS id, o_custkey AS custkey, o_orderstatus AS status,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS totalprice
+FROM orders
+WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
+  AND o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6/P9 — string-expression predicate engine + set-membership exclusion
+# (reference ServiceAlertEmailer.py:636-670, ServiceAlertAugmenter.py:64)
+# ---------------------------------------------------------------------------
+def q_p6_predicate_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.where(F.lower(F.col("p_name")).rlike("gr[ae]y|green"))
+        .where(~F.col("p_brand").isin("Brand#11", "Brand#22"))
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("brand"),
+        )
+    )
+
+
+SQL_P6 = """
+SELECT p_partkey AS id, p_name AS name, p_brand AS brand
+FROM part
+WHERE regexp_matches(lower(p_name), 'gr[ae]y|green')
+  AND p_brand NOT IN ('Brand#11', 'Brand#22')
+"""
+
+
+# ---------------------------------------------------------------------------
+# P10 — deterministic top-k (TakeOrderedAndProject)
+# (reference tail/head caps, ServiceAlertBase.py:155-156)
+# ---------------------------------------------------------------------------
+def q_p10_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return top_k(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 20
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("totalprice"),
+    )
+
+
+SQL_P10 = """
+SELECT o_orderkey AS id,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — left many-to-one lookup joins (broadcast dimension chain)
+# (reference ServiceAlertFixer.py:110-131)
+# ---------------------------------------------------------------------------
+def q_j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = lookup_join(
+        lookup_join(
+            cust,
+            nation,
+            on=cust["c_nationkey"] == nation["n_nationkey"],
+            validate_unique=["n_nationkey"],
+        ),
+        region,
+        on=F.col("n_regionkey") == region["r_regionkey"],
+        validate_unique=["r_regionkey"],
+    ).select("c_custkey", "c_name", "n_name", "r_name")
+    joined = lookup_join(
+        orders, dim, on=orders["o_custkey"] == dim["c_custkey"], how="left"
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("c_name").alias("customer"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+
+
+SQL_J1 = """
+SELECT o_orderkey AS id, c_name AS customer, n_name AS nation, r_name AS region
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2/ST2 — incremental checksum anti-join (the engine's core operator)
+# Cache := events sampled/perturbed deterministically; "new" = rows whose
+# (event_id, checksum) pair is absent — i.e. missing-from-cache ∪ changed.
+# (reference ServiceAlertBase.py:123-166)
+# ---------------------------------------------------------------------------
+def _event_checksum(value_col):
+    return F.md5(
+        F.concat_ws(
+            SEP,
+            F.coalesce(F.col("event_type"), F.lit(NULL_TOKEN)),
+            F.format_string("%.2f", value_col),
+            F.lit("salt1"),
+        )
+    )
+
+
+def q_j2_incremental_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    inp = events.withColumn("InputChecksum", _event_checksum(F.col("value")))
+    cache = (
+        events.where(F.col("event_id") % 3 != 0)  # event_id%3==0 → "new"
+        .withColumn(
+            "value2",
+            F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        )  # %5==0 → "changed"
+        .withColumn("InputChecksum", _event_checksum(F.col("value2")))
+    )
+    new = inp.join(
+        cache.select("event_id", "InputChecksum"),
+        ["event_id", "InputChecksum"],
+        "left_anti",
+    )
+    return new.select(
+        F.col("event_id").alias("id"), F.col("event_type").alias("etype")
+    )
+
+
+SQL_J2 = """
+WITH input AS (
+  SELECT event_id,
+         md5(concat_ws(chr(31), coalesce(event_type, '∅'),
+                       printf('%.2f', value), 'salt1')) AS cs,
+         event_type
+  FROM events
+), cache AS (
+  SELECT event_id,
+         md5(concat_ws(chr(31), coalesce(event_type, '∅'),
+                       printf('%.2f', CASE WHEN event_id % 5 = 0
+                                           THEN value + 1.0 ELSE value END),
+                       'salt1')) AS cs
+  FROM events WHERE event_id % 3 <> 0
+)
+SELECT i.event_id AS id, i.event_type AS etype
+FROM input i
+WHERE NOT EXISTS (
+  SELECT 1 FROM cache c WHERE c.event_id = i.event_id AND c.cs = i.cs
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J8/U3 — CDC snapshot difference on (Id, status)
+# (reference alerts-recon.py:37-47)
+# ---------------------------------------------------------------------------
+def q_j8_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    current = orders.select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("status")
+    )
+    previous = (
+        orders.where(F.col("o_orderkey") % 13 != 0)  # %13==0 → brand new
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),  # %11==0 → status changed
+        )
+    )
+    return snapshot_diff(current, previous, ["id", "status"])
+
+
+SQL_J8 = """
+WITH current AS (
+  SELECT o_orderkey AS id, o_orderstatus AS status FROM orders
+), previous AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT c.id, c.status FROM current c
+WHERE NOT EXISTS (
+  SELECT 1 FROM previous p WHERE p.id = c.id AND p.status = c.status
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A4 — group-by collect-list (sorted for determinism) + distinct
+# (reference ServiceAlertAugmenter.py:679-681 inferred_suburbs)
+# ---------------------------------------------------------------------------
+def q_a1_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") % 50 == 0)
+        .groupBy(F.col("l_orderkey").alias("id"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("l_suppkey").cast("string"))
+            ).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_A1 = """
+SELECT l_orderkey AS id,
+       list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))) AS suppliers,
+       count(*) AS n_items
+FROM lineitem WHERE l_orderkey % 50 = 0
+GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3/W4 — last-wins dedup by key via explicit recency
+# (reference ServiceAlertFixer.py:148-159)
+# ---------------------------------------------------------------------------
+def q_a3_lastwins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    latest = dedup_last_wins(
+        events, key="user_id", order_col="ts", tiebreak=["event_id"]
+    )
+    return latest.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("last_event"),
+        F.col("event_type").alias("etype"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+SQL_A3 = """
+SELECT user_id AS uid, event_id AS last_event, event_type AS etype,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2/A5/A7 — global and grouped guard aggregates (min/max/any/count)
+# (reference ServiceAlertBroadcaster.py:84, ServiceAlertAugmenter.py:553)
+# ---------------------------------------------------------------------------
+def q_a5_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("user_id").alias("uid"))
+        .agg(
+            F.expr("bool_or(event_type = 'error')").alias("has_error"),
+            F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+SQL_A5 = """
+SELECT user_id AS uid,
+       bool_or(event_type = 'error') AS has_error,
+       bool_and(value >= 0) AS all_nonneg,
+       count(*) AS n,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — best-match pick per group (top-1 by score)
+# (reference street fuzzy-match pick, ServiceAlertAugmenter.py:163-173)
+# ---------------------------------------------------------------------------
+def q_w3_best_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return best_match_per_group(
+        part,
+        ["p_brand"],
+        [F.asc("p_retailprice"), F.asc("p_partkey")],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("cheapest_part"),
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("price"),
+    )
+
+
+SQL_W3 = """
+SELECT p_brand AS brand, p_partkey AS cheapest_part,
+       CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice ASC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary — the flagship aggregation (decimal-exact)
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
+            AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# F9 — salted row checksum (canonical serialization)
+# (reference ServiceAlertBase.py:21-31)
+# ---------------------------------------------------------------------------
+def q_f9_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.md5(
+            F.concat_ws(
+                SEP,
+                F.coalesce(F.col("o_orderkey").cast("string"), F.lit(NULL_TOKEN)),
+                F.coalesce(F.col("o_orderstatus"), F.lit(NULL_TOKEN)),
+                F.format_string("%.2f", F.col("o_totalprice")),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                F.lit("AUGSALT"),
+            )
+        ).alias("checksum"),
+    )
+
+
+SQL_F9 = """
+SELECT o_orderkey AS id,
+       md5(concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), '∅'),
+           coalesce(o_orderstatus, '∅'),
+           printf('%.2f', o_totalprice),
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+           'AUGSALT')) AS checksum
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 — regex-gate + zero-pad (notification number cleaning)
+# (reference ServiceAlertFixer.py:17-18, 27-29)
+# ---------------------------------------------------------------------------
+def q_f1_zeropad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    raw = F.when(
+        F.col("c_custkey") % 3 != 0,
+        F.format_string("%010d", F.col("c_custkey")),
+    ).otherwise(F.lit("n/a"))
+    df = cust.withColumn("raw_ref", raw)
+    padded = F.when(
+        F.col("raw_ref").rlike("^[0-9]{10}$"),
+        F.format_string("%012d", F.col("raw_ref").cast("long")),
+    )
+    return df.select(
+        F.col("c_custkey").alias("id"),
+        F.col("raw_ref"),
+        padded.alias("notification_number"),
+    )
+
+
+SQL_F1 = """
+SELECT c_custkey AS id,
+       CASE WHEN c_custkey % 3 <> 0 THEN printf('%010d', c_custkey)
+            ELSE 'n/a' END AS raw_ref,
+       CASE WHEN regexp_matches(CASE WHEN c_custkey % 3 <> 0
+                                     THEN printf('%010d', c_custkey)
+                                     ELSE 'n/a' END, '^[0-9]{10}$')
+            THEN printf('%012d', c_custkey) END AS notification_number
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6 — dirty time-string repair (synthesized dirt, deterministic per row)
+# (reference ServiceAlertFixer.py:19, 43-52)
+# ---------------------------------------------------------------------------
+def q_f6_time_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.functions.cleaning import (
+        repair_time_string,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    dirty = (
+        F.when(F.col("event_type") == "error", F.lit("23:60"))
+        .when(F.col("event_type") == "signup", F.lit("Select..."))
+        .when(F.col("event_type") == "view", F.lit("garbage"))
+        .when(
+            F.col("event_type") == "click",
+            F.date_format("ts", "HH:mm"),
+        )
+        .otherwise(F.lit("9:30"))
+    )
+    df = events.withColumn("dirty_time", dirty)
+    return df.select(
+        F.col("event_id").alias("id"),
+        F.col("dirty_time"),
+        repair_time_string(F.col("dirty_time")).alias("clean_time"),
+    )
+
+
+SQL_F6 = """
+WITH d AS (
+  SELECT event_id,
+         CASE event_type
+           WHEN 'error' THEN '23:60'
+           WHEN 'signup' THEN 'Select...'
+           WHEN 'view' THEN 'garbage'
+           WHEN 'click' THEN strftime(ts, '%H:%M')
+           ELSE '9:30' END AS dirty_time
+  FROM events
+), r AS (
+  SELECT event_id, dirty_time,
+         regexp_replace(regexp_replace(trim(dirty_time), ':60$', ':59'),
+                        '^Select.*$', '00:00') AS repaired
+  FROM d
+)
+SELECT event_id AS id, dirty_time,
+       CASE WHEN regexp_matches(repaired, '^[0-9]{2}:[0-9]{2}$')
+            THEN repaired END AS clean_time
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 — date arithmetic: +1 day expiry, N-day window flag, duration
+# (reference ServiceAlertFixer.py:37-41, ServiceAlertBroadcaster.py:84-86)
+# ---------------------------------------------------------------------------
+def q_f4_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    expiry = F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+    return orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.date_format(expiry, "yyyy-MM-dd HH:mm:ss").alias("expiry"),
+        F.datediff(
+            F.to_date(F.lit("1998-12-01")), F.to_date("o_orderdate")
+        ).alias("age_days"),
+    )
+
+
+SQL_F4 = """
+SELECT o_orderkey AS id,
+       strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS expiry,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS age_days
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# F12/J7 — Levenshtein fuzzy theta-join (bounded candidate sets)
+# (reference street matching, ServiceAlertAugmenter.py:148-177)
+# ---------------------------------------------------------------------------
+def q_f12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    a = part.where(F.col("p_partkey") <= 50).select(
+        F.col("p_partkey").alias("a_id"), F.col("p_name").alias("a_name")
+    )
+    b = part.where(
+        (F.col("p_partkey") > 50) & (F.col("p_partkey") <= 150)
+    ).select(F.col("p_partkey").alias("b_id"), F.col("p_name").alias("b_name"))
+    return (
+        a.join(
+            F.broadcast(b),
+            F.levenshtein(F.col("a_name"), F.col("b_name")) <= 8,
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein(F.col("a_name"), F.col("b_name")).alias("dist"),
+        )
+    )
+
+
+SQL_F12 = """
+SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b
+  ON levenshtein(a.p_name, b.p_name) <= 8
+WHERE a.p_partkey <= 50 AND b.p_partkey > 50 AND b.p_partkey <= 150
+"""
+
+
+# ---------------------------------------------------------------------------
+# F15 — JSON extraction (row → JSON and back)
+# (reference ServiceAlertAugmenter.py:599-611)
+# ---------------------------------------------------------------------------
+def q_f15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id").alias("id"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_F15 = """
+SELECT event_id AS id, CAST(props->>'k' AS INTEGER) AS k FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1/A4 — union + distinct set semantics
+# (reference pd.concat patterns, ServiceAlertBase.py:183)
+# ---------------------------------------------------------------------------
+def q_u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    a = orders.select(F.col("o_orderstatus").alias("tag"))
+    b = events.select(F.col("event_type").alias("tag"))
+    return a.unionByName(b).distinct()
+
+
+SQL_U1 = """
+SELECT DISTINCT tag FROM (
+  SELECT o_orderstatus AS tag FROM orders
+  UNION ALL
+  SELECT event_type AS tag FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog assembly
+# ---------------------------------------------------------------------------
+CORE_QUERIES: dict[str, QueryFn] = {
+    "p1_projection": q_p1_projection,
+    "p4_time_window": q_p4_time_window,
+    "feed_current_urgent": q_feed_current_urgent,
+    "p6_predicate_engine": q_p6_predicate_engine,
+    "p10_topk": q_p10_topk,
+    "j1_lookup_join": q_j1_lookup_join,
+    "j2_incremental_anti": q_j2_incremental_anti,
+    "j8_cdc_diff": q_j8_cdc_diff,
+    "a1_collect_list": q_a1_collect_list,
+    "a3_lastwins_dedup": q_a3_lastwins_dedup,
+    "a5_guards": q_a5_guards,
+    "w3_best_per_group": q_w3_best_per_group,
+    "pricing_summary": q_pricing_summary,
+    "f9_checksum": q_f9_checksum,
+    "f1_zeropad": q_f1_zeropad,
+    "f6_time_repair": q_f6_time_repair,
+    "f4_date_arith": q_f4_date_arith,
+    "f12_fuzzy_join": q_f12_fuzzy_join,
+    "f15_json_extract": q_f15_json_extract,
+    "u1_union_distinct": q_u1_union_distinct,
+}
+
+CORE_ORACLES: dict[str, str] = {
+    "p1_projection": SQL_P1,
+    "p4_time_window": SQL_P4,
+    "feed_current_urgent": SQL_FEED,
+    "p6_predicate_engine": SQL_P6,
+    "p10_topk": SQL_P10,
+    "j1_lookup_join": SQL_J1,
+    "j2_incremental_anti": SQL_J2,
+    "j8_cdc_diff": SQL_J8,
+    "a1_collect_list": SQL_A1,
+    "a3_lastwins_dedup": SQL_A3,
+    "a5_guards": SQL_A5,
+    "w3_best_per_group": SQL_W3,
+    "pricing_summary": SQL_PRICING,
+    "f9_checksum": SQL_F9,
+    "f1_zeropad": SQL_F1,
+    "f6_time_repair": SQL_F6,
+    "f4_date_arith": SQL_F4,
+    "f12_fuzzy_join": SQL_F12,
+    "f15_json_extract": SQL_F15,
+    "u1_union_distinct": SQL_U1,
+}
