@@ -17,6 +17,10 @@ from service_alerts_connector_spark.catalog import (
     CORE_QUERIES,
     q_pricing_summary,
 )
+from service_alerts_connector_spark.catalog_text import (
+    TEXT_ORACLES,
+    TEXT_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(CORE_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    training-data pipeline operators (dedup/similarity/text analysis)."""
+    return {**CORE_QUERIES, **TEXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return dict(CORE_ORACLES)
+    return {**CORE_ORACLES, **TEXT_ORACLES}

@@ -13,8 +13,11 @@ import json
 import os
 import time
 
-from service_alerts_connector_spark.catalog import CORE_QUERIES
+from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
+from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
+
+CORE_QUERIES = {**_CORE, **_TEXT}
 
 HEADLINE = [
     "pricing_summary",
@@ -27,6 +30,11 @@ HEADLINE = [
     "w3_best_per_group",
     "p10_topk",
     "feed_current_urgent",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "ann_cosine_topk",
 ]
 
 

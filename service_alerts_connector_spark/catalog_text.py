@@ -1,0 +1,321 @@
+"""Query catalog — training-data pipeline operators (dedup, similarity
+search, text analysis) over the ``documents`` and ``embeddings`` tables,
+each with a DuckDB oracle.  See catalog.py for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.functions import text as TX
+from service_alerts_connector_spark.operators.similarity import (
+    bucketed_cosine_topk,
+    cosine_topk,
+)
+from service_alerts_connector_spark.operators.textdedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Shared DuckDB CTE: tokenization + 3-word shingles, mirroring
+# functions/text.py exactly (trim→lower→split on \s+; slice windows of 3).
+_SQL_SHINGLES = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(range(len(t) - 2),
+                                  i -> array_to_string(t[i+1:i+3], ' '))
+         END AS shingles
+  FROM toks
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.char_count(t).alias("n_chars_calc"),
+        TX.punct_count(t).alias("n_punct"),
+        TX.stopword_count(t).alias("n_stop"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id AS id,
+       CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+            ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+       coalesce(length(text), 0) AS n_chars_calc,
+       length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+       len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS n_stop
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+SQL_LANG_ID = r"""
+SELECT doc_id AS id, lang AS labeled_lang,
+       CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) >= 2 THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) >= 1 THEN 'maybe_en'
+            ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+SQL_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS DOUBLE) AS n_tokens,
+         CAST(coalesce(length(text), 0) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id AS id,
+       round((n_tokens * 5.0) / (n_chars + 1.0) - (n_punct / (n_chars + 1.0)), 6) AS quality
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        TX.doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = (
+    _SQL_SHINGLES
+    + """
+SELECT doc_id AS id,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+FROM sh
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+
+
+SQL_MINHASH_LSH = (
+    _SQL_SHINGLES
+    + """
+, ex AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), sig AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+         min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3,
+         min(md5('4:' || s)) AS mh4, min(md5('5:' || s)) AS mh5,
+         min(md5('6:' || s)) AS mh6, min(md5('7:' || s)) AS mh7
+  FROM ex GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1)) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', mh2, mh3)) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', mh4, mh5)) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', mh6, mh7)) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return jaccard_pairs(docs, shingle_k=3, threshold=0.2)
+
+
+SQL_JACCARD = (
+    _SQL_SHINGLES
+    + """
+, ex AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                                  WHERE doc_id < 200)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash32(docs).select(
+        F.col("doc_id").alias("id"), F.col("simhash")
+    )
+
+
+SQL_SIMHASH = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+    FROM documents
+  )
+), h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(8),
+              j -> (strpos('0123456789abcdef', substr(md5(t), CAST(j+1 AS INTEGER), 1)) - 1)
+                   * power(16, 7 - j))) AS BIGINT) AS h32
+  FROM tok
+), v AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN CAST(floor(h32 / power(2, bit)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS bal
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN bal > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), s AS (
+  SELECT vec_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qe, qe))), 6) AS cos
+  FROM embeddings, q
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return bucketed_cosine_topk(
+        emb, _query_vec(spark, sf_dir), k=5, n_planes=3
+    )
+
+
+SQL_ANN_BUCKETED = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe,
+         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS qbucket
+  FROM embeddings WHERE vec_id = 0
+), s AS (
+  SELECT vec_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qe, qe))), 6) AS cos
+  FROM embeddings, q
+  WHERE (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+         + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+         + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) = qbucket
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 5
+"""
+
+
+TEXT_QUERIES = {
+    "text_stats": q_text_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_bucketed": q_ann_bucketed,
+}
+
+TEXT_ORACLES = {
+    "text_stats": SQL_TEXT_STATS,
+    "text_lang_id": SQL_LANG_ID,
+    "text_quality": SQL_QUALITY,
+    "text_fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_jaccard": SQL_JACCARD,
+    "dedup_simhash": SQL_SIMHASH,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "ann_bucketed": SQL_ANN_BUCKETED,
+}

@@ -1,0 +1,98 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Language-ID heuristics, quality scoring, token counting, shingling, and
+document fingerprinting — all as Catalyst expressions (no Python UDFs), so
+they run JVM-side at scan speed over 100 TB of documents.  These extend the
+reference's string-function surface (SURVEY §2.7) with the operators a
+large-scale corpus pipeline needs (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny, deterministic stopword list for the language heuristic.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens; empty/null text → empty array."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/null)."""
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.coalesce(F.length(col), F.lit(0))
+
+
+def punct_count(col: Column) -> Column:
+    """Characters that are neither alphanumeric nor whitespace."""
+    return F.length(col) - F.length(
+        F.regexp_replace(col, r"[^A-Za-z0-9\s]", "")
+    )
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    pattern = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pattern))
+
+
+def lang_guess(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """N-gram/stopword language heuristic: ≥2 English stopword hits → 'en',
+    ≥1 → 'maybe_en', else 'other'.  (A real deployment would plug a model in
+    via mapInPandas; the heuristic keeps the operator JVM-side.)"""
+    hits = stopword_count(col, stopwords)
+    return (
+        F.when(hits >= 2, F.lit("en"))
+        .when(hits >= 1, F.lit("maybe_en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic quality score in [0, ~1]: rewards word density,
+    penalizes punctuation load.  Pure integer-derived double arithmetic —
+    bit-identical across engines."""
+    n_chars = char_count(col).cast("double")
+    n_tokens = token_count(col).cast("double")
+    n_punct = punct_count(col).cast("double")
+    return (n_tokens * 5.0) / (n_chars + 1.0) - (n_punct / (n_chars + 1.0))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of word k-gram shingles (space-joined), order preserved.
+    Texts shorter than k words yield a single whole-text shingle."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) < k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def doc_fingerprint(col: Column, k: int = 3) -> Column:
+    """Document fingerprint = lexicographic-min md5 over word k-shingles —
+    a 1-permutation MinHash; two documents sharing it are Jaccard-likely
+    duplicates.  Rolling-hash-style: each shingle hash is independent, the
+    min aggregates in one pass."""
+    return F.array_min(F.transform(word_shingles(col, k), F.md5))
+
+
+def token_hash32(col: Column) -> Column:
+    """Deterministic 32-bit token hash shared with SQL oracles: the first 8
+    hex chars of md5, parsed as an integer.  (Spark's ``hash()`` / DuckDB's
+    ``hash()`` differ; md5 is the portable common denominator.)"""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* ``cosine_topk``        — brute-force cosine against a query vector as a
+                           pure expression plan (zip_with/aggregate fold —
+                           JVM-side, codegen'd).  The correctness baseline.
+* ``bucketed_cosine_topk`` — sign-LSH bucketing (hyperplane signs): probe
+                           only the query's bucket.  The scale path: at 100 TB
+                           the table is written bucketed/partitioned by this
+                           key, so a query prunes to one bucket's files.
+* ``cosine_topk_mapinpandas`` — Arrow-batched NumPy matmul variant of the
+                           brute force (per-partition partial top-k, then
+                           global merge) — the pattern to swap in when the
+                           embedding dimension/corpus makes expression folds
+                           uncompetitive.
+
+Cosines are rounded to 6 dp before ranking, with the id as tiebreak, so
+results are deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "cos",
+) -> DataFrame:
+    """Attach round(cosine(vec, query), 6)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(
+        out_col, F.round(_dot(v, q) / (_norm(v) * _norm(q)), 6)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k (TakeOrderedAndProject — each partition keeps
+    k candidates; no global sort materialization)."""
+    return (
+        with_cosine(df, query_vec, vec_col)
+        .select(F.col(id_col), F.col("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec_col: Column, n_planes: int = 3) -> Column:
+    """Sign-LSH bucket id from the signs of the first ``n_planes`` axis
+    projections (deterministic, engine-portable).  A production variant
+    would use seeded random hyperplanes via a broadcast plane matrix; axis
+    planes keep the operator expression-only."""
+    bits = [
+        F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2 ** (n_planes - 1 - i)))
+        .otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def bucketed_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 3,
+) -> DataFrame:
+    """ANN: restrict the scan to the query's sign-LSH bucket, then exact
+    cosine top-k within it.  With the table partitioned by bucket this is a
+    partition-pruned scan of ~1/2^n_planes of the data."""
+    qbits = 0
+    for i in range(n_planes):
+        if float(query_vec[i]) > 0:
+            qbits += 2 ** (n_planes - 1 - i)
+    bucketed = df.withColumn(
+        "bucket", sign_bucket(F.col(vec_col).cast("array<double>"), n_planes)
+    ).where(F.col("bucket") == F.lit(qbits))
+    return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
+
+
+def cosine_topk_mapinpandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """NumPy-vectorized brute force: per-Arrow-batch matmul, per-partition
+    partial top-k, global top-k merge.  Same contract as ``cosine_topk``."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = np.round(dots / (norms * qn), 6)
+            cand = pd.DataFrame({id_col: pdf[id_col], "cos": cos})
+            best = cand if best is None else pd.concat([best, cand])
+            best = best.sort_values(
+                ["cos", id_col], ascending=[False, True]
+            ).head(k)
+        if best is not None:
+            yield best
+
+    schema = f"{id_col} long, cos double"
+    partials = df.select(id_col, vec_col).mapInPandas(part, schema)
+    return partials.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)

@@ -1,0 +1,256 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four tiers, each a pure DataFrame plan (no Python in the hot path):
+
+* exact        — md5 content hash, group, keep min-key representative.
+* MinHash+LSH  — k salted min-hashes per doc (one aggregation), banded into
+                 buckets, candidate pairs from a self-equi-join on
+                 (band, band_hash).  The scale path: cost is O(docs × k)
+                 plus a join keyed on buckets, never O(docs²).
+* SimHash      — 32-bit majority-vote signature over token hashes; near-dup
+                 pairs via hamming distance on bit_count(xor).
+* n-gram Jaccard — exact verification on candidate pairs (or, for small
+                 corpora, all pairs sharing a shingle).
+
+Design notes for 100 TB: signatures are fixed-width columns computed in one
+groupBy; LSH banding multiplies rows by #bands only; the candidate join keys
+on band buckets, so skew = genuinely-duplicated content — AQE skew-join
+handles the pathological all-identical case.  Exact Jaccard runs only on
+LSH-surviving pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.functions.text import (
+    token_hash32,
+    tokens,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    smallest id as representative and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return df with exact duplicates removed (min-id row kept)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _minhash_expr(shingle_col: Column, seed: int) -> Column:
+    # Salted md5; lexicographic min over hex strings is a valid min-hash
+    # (uniform over the hash space, identical in any engine with md5).
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), shingle_col)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) — one explode + one groupBy over distinct shingles."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias(
+            "shingle"
+        ),
+    )
+    aggs = [
+        _minhash_expr(F.col("shingle"), s).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash) → (id_a < id_b)
+    candidate pairs.  rows-per-band = num_hashes // bands."""
+    rows_per = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per + r}") for r in range(rows_per)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification tier)
+# ---------------------------------------------------------------------------
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs sharing ≥1 shingle with exact Jaccard ≥ threshold.
+
+    O(pairs-sharing-a-shingle); use only on small/candidate-restricted
+    inputs — the LSH tier exists so this never sees the full corpus.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document: majority vote per bit over the 32-bit
+    hashes of distinct tokens.  Entirely expression-based: explode tokens ×
+    bit positions, two aggregations."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", token_hash32(F.col("tok")))
+    votes = (
+        tok.select(
+            id_col,
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        )
+        .withColumn(
+            "vote",
+            F.when(
+                F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast(
+                    "bigint"
+                )
+                % 2
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("balance"))
+    )
+    return (
+        votes.withColumn(
+            "bit_val",
+            F.when(
+                F.col("balance") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by hamming distance over SimHash signatures.
+
+    All-pairs compare — appropriate after banding by signature prefix at
+    scale (bucket on the top 16 bits and compare within buckets); for
+    corpus-sized inputs used in tests, direct compare is fine.
+    """
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+    )

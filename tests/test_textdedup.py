@@ -1,0 +1,106 @@
+"""Semantic tests for dedup + similarity operators (planted duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.similarity import (
+    bucketed_cosine_topk,
+    cosine_topk,
+    cosine_topk_mapinpandas,
+)
+from service_alerts_connector_spark.operators.textdedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash32,
+    simhash_near_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank"
+NEAR = "the quick brown fox jumps over the lazy cat near the old river bank"
+OTHER = "completely different words about spark engines and parquet columnar files"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, NEAR),  # near duplicate of 1
+        (4, OTHER),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # 2 removed, representative 1 kept
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides in every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares most shingles
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # unrelated text
+
+
+def test_jaccard_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.3 < pairs[(1, 3)] < 1.0  # near dup: one word changed
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identity_and_proximity(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    assert sig[1] == sig[2]  # identical text, identical signature
+    assert all(0 <= v < 2**32 for v in sig.values())
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(simhash32(docs), max_hamming=10).collect()
+    }
+    assert near[(1, 2)] == 0
+    assert (1, 3) in near  # near dup within 10 bits
+
+
+def test_cosine_mapinpandas_matches_expression(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    expr_top = [(r["vec_id"], r["cos"]) for r in cosine_topk(emb, q, 10).collect()]
+    fast_top = [
+        (r["vec_id"], r["cos"])
+        for r in cosine_topk_mapinpandas(emb, q, 10).collect()
+    ]
+    assert expr_top == fast_top
+    assert expr_top[0][0] == 0 and expr_top[0][1] == 1.0  # self-match first
+
+
+def test_bucketed_ann_subset_of_bucket(spark):
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    out = bucketed_cosine_topk(emb, q, k=5, n_planes=3).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 5  # query vector is in its own bucket, top hit
