@@ -113,8 +113,9 @@ FROM s
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        F.col("doc_id").alias("id"),
-        TX.doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
+        F.col("doc_id").alias("id"), TX.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "id", TX.doc_fingerprint_of(F.col("_toks"), 3).alias("fingerprint")
     )
 
 

@@ -69,10 +69,18 @@ def quality_score(col: Column) -> Column:
     return (n_tokens * 5.0) / (n_chars + 1.0) - (n_punct / (n_chars + 1.0))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Array of word k-gram shingles (space-joined), order preserved.
-    Texts shorter than k words yield a single whole-text shingle."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, k: int = 3) -> Column:
+    """Array of word k-gram shingles (space-joined) from a *materialized*
+    token-array column; texts shorter than k words yield one whole-text
+    shingle.
+
+    Perf note: ``toks`` must be a plain column reference, not an inline
+    ``tokens(text)`` expression — expressions captured inside a higher-order
+    ``transform`` lambda are re-evaluated per element (and HOF lambdas run
+    interpreted, outside codegen), turning shingling O(tokens²)-with-resplit.
+    Materialize tokens in a preceding projection; Spark's CollapseProject
+    keeps non-cheap duplicated aliases in their own project, so the split
+    runs once per row."""
     return F.when(
         F.size(toks) < k, F.array(F.array_join(toks, " "))
     ).otherwise(
@@ -83,12 +91,22 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def doc_fingerprint(col: Column, k: int = 3) -> Column:
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Convenience form over raw text — fine for small inputs/tests; hot
+    paths should materialize ``tokens()`` first and use ``word_shingles_of``
+    (see perf note there)."""
+    return word_shingles_of(tokens(col), k)
+
+
+def doc_fingerprint_of(toks: Column, k: int = 3) -> Column:
     """Document fingerprint = lexicographic-min md5 over word k-shingles —
     a 1-permutation MinHash; two documents sharing it are Jaccard-likely
-    duplicates.  Rolling-hash-style: each shingle hash is independent, the
-    min aggregates in one pass."""
-    return F.array_min(F.transform(word_shingles(col, k), F.md5))
+    duplicates.  Takes a materialized token array (see word_shingles_of)."""
+    return F.array_min(F.transform(word_shingles_of(toks, k), F.md5))
+
+
+def doc_fingerprint(col: Column, k: int = 3) -> Column:
+    return doc_fingerprint_of(tokens(col), k)
 
 
 def token_hash32(col: Column) -> Column:

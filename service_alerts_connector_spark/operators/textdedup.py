@@ -27,8 +27,38 @@ from pyspark.sql import functions as F
 from service_alerts_connector_spark.functions.text import (
     token_hash32,
     tokens,
-    word_shingles,
+    word_shingles_of,
 )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file scan up to the cluster's parallelism before a
+    CPU-bound expansion (shingling/hashing).  A 100 TB corpus arrives in
+    thousands of partitions already; a single-file test corpus arrives in one
+    — without this, every md5 below runs on one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # metadata-only probe: a scan backed by fewer files than cores can't
+        # use the cluster without a rebalance (df.rdd would also tell us, but
+        # forces a full plan conversion on the driver — too expensive here)
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target
+    if n_files < target:
+        return df.repartition(target)
+    return df
+
+
+def _pairs_from_sorted_ids(ids_col: str = "ids"):
+    """All (a < b) pairs from a sorted id array — expression-only pair
+    generation inside a bucket, avoiding a recomputing self-join."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform({ids_col}, (x, i) -> "
+            f"transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
+            f"y -> struct(x AS id_a, y AS id_b))))"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -76,11 +106,15 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) — one explode + one groupBy over distinct shingles."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias(
-            "shingle"
-        ),
+    exploded = (
+        _spread(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles_of(F.col("_toks"), shingle_k))
+            ).alias("shingle"),
+        )
     )
     aggs = [
         _minhash_expr(F.col("shingle"), s).alias(f"mh{s}")
@@ -112,18 +146,15 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Pair generation per bucket from a sorted id array: one aggregation, no
+    # self-join (a self-join would re-run the whole signature computation on
+    # both sides and shuffle twice).
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(_pairs_from_sorted_ids("ids").alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -143,25 +174,26 @@ def jaccard_pairs(
     O(pairs-sharing-a-shingle); use only on small/candidate-restricted
     inputs — the LSH tier exists so this never sees the full corpus.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_k))
-        ).alias("shingle"),
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles_of(F.col("_toks"), shingle_k))
+            ).alias("shingle"),
+        )
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Intersection counts via per-shingle pair expansion (one aggregation,
+    # no recomputing self-join); docs sharing a shingle expand quadratically
+    # within that shingle only — the LSH tier keeps inputs candidate-sized.
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(_pairs_from_sorted_ids("ids").alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(
@@ -195,7 +227,7 @@ def simhash32(
     """32-bit SimHash per document: majority vote per bit over the 32-bit
     hashes of distinct tokens.  Entirely expression-based: explode tokens ×
     bit positions, two aggregations."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", token_hash32(F.col("tok")))
