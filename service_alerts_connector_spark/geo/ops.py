@@ -1,0 +1,207 @@
+"""Planar geometry predicates/measures on parsed WKT shapes.
+
+Implements the subset of shapely the reference's operators need (SURVEY
+F20, J5-J7, A6): area, intersects, intersection-area, buffer (bbox),
+point-in-polygon, validity repair (ring closing / de-duplication) — in pure
+Python.  Exterior rings only (holes are rare in municipal service layers and
+excluded from area by subtraction where present).
+
+Intersection *area* uses Sutherland–Hodgman clipping, which is exact when
+the clip polygon is convex; for concave clips it returns the clipped-hull
+approximation — documented, and adequate for the proportional-overlap
+threshold test (J5's ``>5%`` rule).  The Sedona path (ST_Intersection /
+ST_Area) replaces this wholesale at scale.
+"""
+
+from __future__ import annotations
+
+from service_alerts_connector_spark.geo.wkt import MultiPolygon, Polygon, Ring
+
+
+def ring_area(ring: Ring) -> float:
+    """Shoelace area (absolute)."""
+    n = len(ring)
+    if n < 3:
+        return 0.0
+    s = 0.0
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def polygon_area(poly: Polygon) -> float:
+    """Exterior minus holes."""
+    if not poly:
+        return 0.0
+    return ring_area(poly[0]) - sum(ring_area(r) for r in poly[1:])
+
+
+def multipolygon_area(mp: MultiPolygon) -> float:
+    return sum(polygon_area(p) for p in mp)
+
+
+def point_in_ring(pt: tuple[float, float], ring: Ring) -> bool:
+    """Ray-casting point-in-polygon (boundary counts as inside)."""
+    x, y = pt
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+        # boundary check (collinear + within segment bbox)
+        if (
+            min(x1, x2) - 1e-12 <= x <= max(x1, x2) + 1e-12
+            and min(y1, y2) - 1e-12 <= y <= max(y1, y2) + 1e-12
+            and abs((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)) < 1e-12
+        ):
+            return True
+    return inside
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(v) < 1e-15:
+            return 0
+        return 1 if v > 0 else -1
+
+    def on_seg(a, b, c):
+        return (
+            min(a[0], b[0]) - 1e-15 <= c[0] <= max(a[0], b[0]) + 1e-15
+            and min(a[1], b[1]) - 1e-15 <= c[1] <= max(a[1], b[1]) + 1e-15
+        )
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (
+        (o1 == 0 and on_seg(p1, p2, p3))
+        or (o2 == 0 and on_seg(p1, p2, p4))
+        or (o3 == 0 and on_seg(p3, p4, p1))
+        or (o4 == 0 and on_seg(p3, p4, p2))
+    )
+
+
+def bbox(ring: Ring) -> tuple[float, float, float, float]:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def bbox_polygon(
+    minx: float, miny: float, maxx: float, maxy: float
+) -> Polygon:
+    """F20 — bbox → polygon (geocoder point/bbox responses)."""
+    return [[(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]]
+
+
+def buffer_bbox(poly: Polygon, dist: float) -> Polygon:
+    """Cheap buffer: expanded bounding box (the reference buffers by tiny
+    ε ~1e-4° to fix degeneracies — bbox expansion serves the same purpose)."""
+    minx, miny, maxx, maxy = bbox(poly[0])
+    return bbox_polygon(minx - dist, miny - dist, maxx + dist, maxy + dist)
+
+
+def rings_intersect(a: Ring, b: Ring) -> bool:
+    """Polygon-intersects test: any edge crossing, or containment either way."""
+    aminx, aminy, amaxx, amaxy = bbox(a)
+    bminx, bminy, bmaxx, bmaxy = bbox(b)
+    if aminx > bmaxx or bminx > amaxx or aminy > bmaxy or bminy > amaxy:
+        return False
+    na, nb = len(a), len(b)
+    for i in range(na):
+        for j in range(nb):
+            if _segments_intersect(
+                a[i], a[(i + 1) % na], b[j], b[(j + 1) % nb]
+            ):
+                return True
+    return point_in_ring(a[0], b) or point_in_ring(b[0], a)
+
+
+def polygons_intersect(pa: Polygon, pb: Polygon) -> bool:
+    if not pa or not pb:
+        return False
+    return rings_intersect(pa[0], pb[0])
+
+
+def clip_to_convex(subject: Ring, clip: Ring) -> Ring:
+    """Sutherland–Hodgman: clip ``subject`` by convex ``clip`` ring."""
+    # ensure counter-clockwise clip orientation for a consistent inside test
+    s = 0.0
+    n = len(clip)
+    for i in range(n):
+        x1, y1 = clip[i]
+        x2, y2 = clip[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    cw = s < 0
+    out = [p for p in subject]
+    for i in range(n):
+        if not out:
+            return []
+        a, b = clip[i], clip[(i + 1) % n]
+        if cw:
+            a, b = b, a
+
+        def inside(p):
+            return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (
+                p[0] - a[0]
+            ) >= -1e-15
+
+        def intersect(p, q):
+            dx1, dy1 = q[0] - p[0], q[1] - p[1]
+            dx2, dy2 = b[0] - a[0], b[1] - a[1]
+            denom = dx1 * dy2 - dy1 * dx2
+            if abs(denom) < 1e-18:
+                return q
+            t = ((a[0] - p[0]) * dy2 - (a[1] - p[1]) * dx2) / denom
+            return (p[0] + t * dx1, p[1] + t * dy1)
+
+        nxt: Ring = []
+        m = len(out)
+        for j in range(m):
+            cur, prev = out[j], out[j - 1]
+            if inside(cur):
+                if not inside(prev):
+                    nxt.append(intersect(prev, cur))
+                nxt.append(cur)
+            elif inside(prev):
+                nxt.append(intersect(prev, cur))
+        out = nxt
+    return out
+
+
+def intersection_area(pa: Polygon, pb: Polygon) -> float:
+    """Area of pa ∩ pb via Sutherland–Hodgman (exact for convex pb; see
+    module docstring).  Tries both orders and takes the tighter estimate."""
+    if not polygons_intersect(pa, pb):
+        return 0.0
+    a1 = ring_area(clip_to_convex(pa[0], pb[0]))
+    a2 = ring_area(clip_to_convex(pb[0], pa[0]))
+    return min(a1, a2)
+
+
+def make_valid(ring: Ring) -> Ring:
+    """F20 make_valid-lite: close the ring and drop consecutive duplicates."""
+    if not ring:
+        return ring
+    out: Ring = [ring[0]]
+    for p in ring[1:]:
+        if p != out[-1]:
+            out.append(p)
+    if out[0] != out[-1]:
+        out.append(out[0])
+    return out
+
+
+def union_as_multipolygon(polys: list[Polygon]) -> MultiPolygon:
+    """A6 unary_union stand-in: collect into a MULTIPOLYGON (no dissolve —
+    downstream consumers treat the footprint as a region set; Sedona's
+    ST_Union_Aggr provides true dissolve at scale)."""
+    return [p for p in polys if p]

@@ -1,0 +1,190 @@
+"""The Emailer — config-as-data recipient fan-out (SURVEY P6/P7, ST6, X5).
+
+The reference hard-codes ~100 ``ServiceAlertEmailConfig`` Python objects with
+pandas ``query()`` strings and curried row predicates
+(ServiceAlertEmailer.py:49-86, 88-671).  The engine turns both into *data*:
+
+* P6 — free-form predicates stay strings, but in Spark SQL dialect, parsed
+  by ``F.expr`` (the one-time pandas→Spark translation the SURVEY §7(g)
+  flags: ``.str.contains(pat)`` → ``rlike``, ``@var`` → literal,
+  ``x.notna()`` → ``x IS NOT NULL``);
+* P7 — the ward/service-area curried predicates become parameterized
+  expression builders (``array_contains`` — no UDF).
+
+Sent-dedup (ST6): a delivery-log anti-join on the deterministic email key
+replaces the reference's object-listing probe — set-based, idempotent.
+Compose (X5) renders Jinja2 HTML per row on the driver (volumes are tens of
+rows/batch by construction); transport is injectable and stubbed in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.constants import ID_COL
+
+
+def ward_predicate(ward: str) -> Column:
+    """P7 — `_ward_curry_pot`: ward ∈ inferred_wards ∧ area_type ≠ Citywide
+    (reference ServiceAlertEmailer.py:69-86)."""
+    return F.array_contains(F.col("inferred_wards"), ward) & (
+        F.coalesce(F.col("area_type"), F.lit("")) != "Citywide"
+    )
+
+
+def service_area_predicate(service_area: str) -> Column:
+    """P7 — `_service_area_curry_pot` (reference ServiceAlertEmailer.py:52-55)."""
+    return F.col("service_area") == service_area
+
+
+@dataclass(frozen=True)
+class EmailConfig:
+    """One recipient stream = a predicate over gold + addressing/template."""
+
+    name: str
+    recipients: tuple[str, ...]
+    predicate_sql: str | None = None  # P6 — Spark SQL expression string
+    ward: str | None = None  # P7 sugar
+    service_area: str | None = None  # P7 sugar
+    planned: bool | None = None
+
+    def predicate(self) -> Column:
+        cond = F.lit(True)
+        if self.predicate_sql:
+            cond = cond & F.expr(self.predicate_sql)
+        if self.ward is not None:
+            cond = cond & ward_predicate(self.ward)
+        if self.service_area is not None:
+            cond = cond & service_area_predicate(self.service_area)
+        if self.planned is not None:
+            cond = cond & (F.col("planned") == F.lit(self.planned))
+        return cond
+
+
+# Representative config table (the production list is ~100 entries of the
+# same three shapes — data, not code).
+EXAMPLE_EMAIL_CONFIGS = [
+    EmailConfig(
+        name="grassy-park-watch",
+        recipients=("ward@example.org",),
+        predicate_sql=(
+            "lower(cast(inferred_suburbs as string)) rlike 'grassy\\\\W?park' "
+            "and area_type != 'Citywide'"
+        ),
+    ),
+    EmailConfig(
+        name="ward-57-unplanned",
+        recipients=("w57@example.org",),
+        ward="57",
+        planned=False,
+    ),
+    EmailConfig(
+        name="water-planned",
+        recipients=("water@example.org",),
+        service_area="Water & Sanitation",
+        planned=True,
+    ),
+]
+
+
+def email_key(config_name: str) -> Column:
+    """ST6 — deterministic delivery key: sha256(config ‖ Id ‖ status), the
+    engine analog of the reference's status-aware sent-email filenames
+    (ServiceAlertEmailer.py:793-814)."""
+    return F.sha2(
+        F.concat_ws(
+            "|", F.lit(config_name), F.col(ID_COL).cast("string"), F.col("status")
+        ),
+        256,
+    )
+
+
+def pending_emails(
+    gold: DataFrame,
+    configs: list[EmailConfig],
+    sent_log: DataFrame | None = None,
+) -> DataFrame:
+    """Fan out gold through every config predicate and anti-join the sent
+    log.  Output: one row per (config, alert) still to send, with the
+    delivery key.  The gold scan is cached and reused across configs."""
+    gold = gold.cache()
+    parts = []
+    for cfg in configs:
+        parts.append(
+            gold.where(cfg.predicate())
+            .withColumn("config_name", F.lit(cfg.name))
+            .withColumn("recipients", F.lit(list(cfg.recipients)).cast("array<string>"))
+            .withColumn("email_key", email_key(cfg.name))
+        )
+    fanned = parts[0]
+    for p in parts[1:]:
+        fanned = fanned.unionByName(p)
+    if sent_log is not None:
+        fanned = fanned.join(
+            sent_log.select("email_key"), "email_key", "left_anti"
+        )
+    return fanned
+
+
+def render_email_html(rec: dict) -> str:
+    """X5 — Jinja2 HTML render with the reference's field hygiene: null and
+    empty-array fields pruned, arrays joined with ', ', area fields dropped
+    for Citywide alerts (ServiceAlertEmailer.py:682-773)."""
+    import jinja2
+
+    fields: dict[str, str] = {}
+    citywide = rec.get("area_type") == "Citywide"
+    for k, v in rec.items():
+        if v is None or k.startswith("_") or k in ("recipients", "email_key"):
+            continue
+        if isinstance(v, (list, tuple)):
+            if not v or all(x is None for x in v):
+                continue
+            v = ", ".join(str(x) for x in v if x is not None)
+        if citywide and k in ("area", "area_type", "location"):
+            continue
+        fields[k] = str(v)
+    subject_prefix = (
+        "Updated Service Alert" if rec.get("_is_update") else "Service Alert"
+    )
+    template = jinja2.Template(
+        "<html><body><h1>{{ subject }}</h1>"
+        "<table>{% for k, v in fields.items() %}"
+        "<tr><td>{{ k }}</td><td>{{ v }}</td></tr>{% endfor %}</table>"
+        "</body></html>"
+    )
+    return template.render(
+        subject=f"{subject_prefix}: {rec.get('title', '')}", fields=fields
+    )
+
+
+Transport = Callable[[tuple[str, ...], str, str], None]  # (to, subject, html)
+
+
+def send_pending(
+    pending: DataFrame,
+    transport: Transport,
+) -> DataFrame:
+    """Render + send every pending email; returns the new sent-log rows
+    (email_key, config_name, Id).  Collect is intentional: by construction
+    (incremental cap upstream) this is ≤ tens of rows per batch — the
+    side-effecting edge, not a data-scale operator."""
+    rows = pending.collect()
+    sent = []
+    for r in rows:
+        rec = r.asDict()
+        html = render_email_html(rec)
+        transport(
+            tuple(rec["recipients"]),
+            f"Service Alert: {rec.get('title', '')}",
+            html,
+        )
+        sent.append((rec["email_key"], rec["config_name"], rec[ID_COL]))
+    spark = pending.sparkSession
+    return spark.createDataFrame(
+        sent or [], "email_key string, config_name string, Id long"
+    )

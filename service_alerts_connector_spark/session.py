@@ -33,6 +33,16 @@ def get_spark(
       * Arrow is enabled for every pandas interchange (enrichment operators,
         createDataFrame of staged pages).
     """
+    # Python workers must import this package (mapInPandas closures reference
+    # it); propagate the package root explicitly so sessions work no matter
+    # how the driver was launched (pytest, spark-submit, plain python).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     if master is None:
         master = f"local[{cpus}]"

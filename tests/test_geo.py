@@ -1,0 +1,57 @@
+"""Pure-Python geometry fallback tests (WKT codec + planar ops)."""
+
+from __future__ import annotations
+
+import pytest
+
+from service_alerts_connector_spark.geo import ops as G
+from service_alerts_connector_spark.geo import wkt as W
+
+SQUARE = [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]
+SHIFTED = [[(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]]
+FAR = [[(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0), (10.0, 10.0)]]
+
+
+def test_wkt_roundtrip_polygon():
+    wkt = W.polygon_to_wkt(SQUARE)
+    kind, shape = W.parse_wkt(wkt)
+    assert kind == "polygon" and shape == SQUARE
+
+
+def test_wkt_point_and_precision():
+    assert W.point_to_wkt(18.1234567, -33.9999999) == "POINT (18.123457 -34)"
+    kind, (x, y) = W.parse_wkt("POINT (18.5 -33.9)")
+    assert kind == "point" and (x, y) == (18.5, -33.9)
+
+
+def test_wkt_multipolygon_roundtrip():
+    mp = [SQUARE, FAR]
+    kind, shape = W.parse_wkt(W.multipolygon_to_wkt(mp))
+    assert kind == "multipolygon" and shape == mp
+
+
+def test_area_and_intersection():
+    assert G.polygon_area(SQUARE) == 4.0
+    assert G.polygons_intersect(SQUARE, SHIFTED)
+    assert not G.polygons_intersect(SQUARE, FAR)
+    assert G.intersection_area(SQUARE, SHIFTED) == pytest.approx(1.0)
+    assert G.intersection_area(SQUARE, FAR) == 0.0
+
+
+def test_containment_counts_as_intersect():
+    inner = [[(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0), (0.5, 0.5)]]
+    assert G.polygons_intersect(SQUARE, inner)
+    assert G.intersection_area(SQUARE, inner) == pytest.approx(0.25)
+
+
+def test_point_in_ring():
+    assert G.point_in_ring((1.0, 1.0), SQUARE[0])
+    assert not G.point_in_ring((5.0, 5.0), SQUARE[0])
+    assert G.point_in_ring((0.0, 1.0), SQUARE[0])  # boundary
+
+
+def test_make_valid_closes_ring():
+    open_ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0, 1.0)]
+    fixed = G.make_valid(open_ring)
+    assert fixed[0] == fixed[-1]
+    assert (1.0, 0.0) in fixed and fixed.count((1.0, 0.0)) == 1

@@ -1,0 +1,125 @@
+"""End-to-end plan tests: augmenter, emailer fan-out, recon CDC, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.plans.augmenter import augment
+from service_alerts_connector_spark.plans.emailer import (
+    EXAMPLE_EMAIL_CONFIGS,
+    pending_emails,
+    send_pending,
+)
+from service_alerts_connector_spark.plans.recon import recon
+from service_alerts_connector_spark.schemas import RAW_SCHEMA
+from service_alerts_connector_spark.plans.fixer import fix_alerts
+from service_alerts_connector_spark.sources.multimodal import (
+    exact_media_dedup,
+    media_features,
+)
+from tests.fixtures import RAW_ALERTS
+
+
+def _silver(spark):
+    return fix_alerts(spark.createDataFrame(RAW_ALERTS, RAW_SCHEMA))
+
+
+def test_augment_end_to_end(spark):
+    gold = augment(_silver(spark))
+    rows = {r["Id"]: r for r in gold.collect()}
+    assert len(rows) == 4
+    # every admitted row got a draft + toot + checksum
+    for r in rows.values():
+        assert r["tweet_text"]
+        assert r["toot_text"].startswith(r["tweet_text"])
+        assert "#CapeTown" in r["toot_text"]
+        assert r["InputChecksum"]
+
+
+def test_augment_incremental_skips_unchanged(spark):
+    silver = _silver(spark)
+    gold1 = augment(silver)
+    # second run against the same silver: nothing changed → drafts identical
+    gold2 = augment(silver, previous_gold=gold1)
+    t1 = {r["Id"]: r["tweet_text"] for r in gold1.collect()}
+    t2 = {r["Id"]: r["tweet_text"] for r in gold2.collect()}
+    assert t1 == t2
+    assert gold2.count() == gold1.count()
+
+
+def test_augment_with_gis(spark):
+    gis = spark.createDataFrame(
+        [("Official Planning Suburb", "SONEIKE II",
+          "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "area_type string, area string, WKT string",
+    )
+    suburbs = spark.createDataFrame(
+        [("SONEIKE", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "name string, WKT string",
+    )
+    gold = augment(_silver(spark), gis_areas=gis, suburb_layer=suburbs)
+    rows = {r["Id"]: r for r in gold.collect()}
+    assert rows[23121]["geospatial_footprint"] is not None  # J4 exact hit
+    assert rows[23121]["inferred_suburbs"] == ["SONEIKE"]  # J5 overlay
+    # Citywide alert excluded from spatial work but still present
+    assert 23123 in rows
+
+
+def test_emailer_fanout_and_sent_dedup(spark):
+    gold = spark.createDataFrame(
+        [
+            (1, "Water & Sanitation", "Leak", "Open", True, "Official Planning Suburb",
+             ["grassy park"], ["57"]),
+            (2, "Electricity", "Fault", "Open", False, "Official Planning Suburb",
+             ["woodstock"], ["57"]),
+            (3, "Water & Sanitation", "Burst", "Open", True, "Citywide",
+             None, None),
+        ],
+        "Id long, service_area string, title string, status string, planned boolean, "
+        "area_type string, inferred_suburbs array<string>, inferred_wards array<string>",
+    )
+    pending = pending_emails(gold, EXAMPLE_EMAIL_CONFIGS)
+    got = {(r["config_name"], r["Id"]) for r in pending.collect()}
+    assert ("grassy-park-watch", 1) in got  # P6 rlike hit
+    assert ("ward-57-unplanned", 2) in got  # P7 ward + planned=False
+    assert ("water-planned", 1) in got  # P7 service area + planned=True
+    assert ("water-planned", 3) in got
+    assert ("grassy-park-watch", 3) not in got  # Citywide excluded by P6
+
+    outbox = []
+    sent_log = send_pending(pending, lambda to, subj, html: outbox.append((to, subj)))
+    assert len(outbox) == pending.count()
+    # second pass with the sent log → nothing pending (ST6 idempotence)
+    assert pending_emails(gold, EXAMPLE_EMAIL_CONFIGS, sent_log).count() == 0
+
+
+def test_recon_cdc(spark, tmp_path):
+    gold = spark.createDataFrame(
+        [(1, "Open", "a"), (2, "Closed", "b"), (3, "Open", "c")],
+        "Id long, status string, title string",
+    )
+    prev = spark.createDataFrame(
+        [(1, "Open"), (2, "Open")], "Id long, status string"
+    )
+    notifications = []
+    result = recon(gold, prev, out_root=str(tmp_path), notifier=notifications.extend)
+    changed = {r["Id"] for r in result.changed.collect()}
+    assert changed == {2, 3}  # 2 status-changed, 3 brand-new
+    assert notifications == [3]  # only brand-new Ids notified
+    assert (tmp_path / "v1.2" / "3.Open.json").exists()
+    assert (tmp_path / "v1" / "2.Closed.json").exists()
+    assert result.new_snapshot.count() == 3
+
+
+def test_multimodal_features_and_dedup(spark):
+    rows = [(1, b"imagebytes-A"), (2, b"imagebytes-A"), (3, b"imagebytes-B")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = {r["media_id"]: r for r in media_features(media).collect()}
+    assert len(feats[1]["feature"]) == 16
+    assert feats[1]["content_sha256"] == feats[2]["content_sha256"]
+    assert feats[1]["content_sha256"] != feats[3]["content_sha256"]
+    # unit-norm fake features, deterministic
+    assert abs(sum(x * x for x in feats[1]["feature"]) - 1.0) < 1e-5
+    groups = {r["content_sha256"]: r for r in exact_media_dedup(media).collect()}
+    assert groups[feats[1]["content_sha256"]]["n_dups"] == 2
+    assert groups[feats[1]["content_sha256"]]["keep_id"] == 1

@@ -1,0 +1,90 @@
+"""Spatial operator tests (J4-J7 on the pure-Python geo fallback)."""
+
+from __future__ import annotations
+
+from service_alerts_connector_spark.operators.spatial import (
+    area_lookup_join,
+    exclude_area_types,
+    fuzzy_street_match,
+    overlay_inference,
+)
+
+# two adjacent 1°×1° suburbs and one far away
+SUBURBS = [
+    ("OBSERVATORY", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+    ("SALT RIVER", "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"),
+    ("FARAWAY", "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))"),
+]
+
+ALERTS = [
+    # footprint straddles both suburbs
+    (1, "Official Planning Suburb", "Observatory ",
+     "POLYGON ((0.4 0.2, 1.6 0.2, 1.6 0.8, 0.4 0.8, 0.4 0.2))"),
+    # tiny sliver: <5% of anything
+    (2, "Official Planning Suburb", "Salt River",
+     "POLYGON ((0.99 0.0, 1.01 0.0, 1.01 0.01, 0.99 0.01, 0.99 0.0))"),
+    (3, "Citywide", "CITYWIDE", None),
+]
+
+
+def _alerts(spark):
+    return spark.createDataFrame(
+        ALERTS, "Id long, area_type string, area string, geospatial_footprint string"
+    )
+
+
+def _layer(spark):
+    return spark.createDataFrame(SUBURBS, "name string, WKT string")
+
+
+def test_area_lookup_join_trims_and_lowers(spark):
+    dim = spark.createDataFrame(
+        [("Official Planning Suburb", "observatory  ", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "area_type string, area string, WKT string",
+    )
+    out = {r["Id"]: r["area_wkt"] for r in area_lookup_join(_alerts(spark), dim).collect()}
+    assert out[1] is not None  # "Observatory " matches "observatory  "
+    assert out[2] is None
+
+
+def test_overlay_inference_threshold(spark):
+    out = {
+        r["Id"]: r["inferred_suburbs"]
+        for r in overlay_inference(
+            _alerts(spark), _layer(spark), "inferred_suburbs"
+        ).collect()
+    }
+    # alert 1 covers >5% of each adjacent suburb
+    assert out[1] == ["OBSERVATORY", "SALT RIVER"]
+    # sliver covers <5% of both and both cover <5% of... the sliver is tiny
+    # relative to suburbs, but suburbs cover 100% of the sliver -> hit
+    assert out[2] is not None and len(out[2]) >= 1
+    assert out[3] is None  # no footprint
+
+
+def test_exclude_area_types(spark):
+    kept = sorted(r["Id"] for r in exclude_area_types(_alerts(spark)).collect())
+    assert kept == [1, 2]
+
+
+def test_fuzzy_street_match(spark):
+    alerts = spark.createDataFrame(
+        [
+            (1, "Main Roade", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            (2, "Nonexistent Avenue Something", None),
+        ],
+        "Id long, location string, area_wkt string",
+    )
+    streets = spark.createDataFrame(
+        [
+            ("Main Road", "LINESTRING (0.1 0.1, 0.9 0.9)"),
+            ("Main Road", "LINESTRING (0.2 0.1, 0.9 0.8)"),  # second segment
+            ("Main Road", "LINESTRING (40 40, 41 41)"),  # outside bound
+            ("Maine Rd", "LINESTRING (0.5 0.5, 0.6 0.6)"),
+        ],
+        "street_name string, WKT string",
+    )
+    out = {r["Id"]: r for r in fuzzy_street_match(alerts, streets).collect()}
+    assert out[1]["matched_street"] == "Main Road"  # distance 1 beats 4
+    assert len(out[1]["segment_wkts"]) == 2  # same-name in-bound segments union
+    assert 2 not in out  # beyond levenshtein bound
