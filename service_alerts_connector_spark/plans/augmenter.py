@@ -180,5 +180,13 @@ def augment(
             "inferred_wards", F.lit(None).cast("array<string>")
         )
 
-    # 6 — merge with the untouched cache (ST3/ST4)
+    # 6 — content-addressed map-image links (X4 cache keys; rendering is an
+    # edge side effect driven separately via images.missing_images)
+    from service_alerts_connector_spark.enrichment.images import (
+        with_image_links,
+    )
+
+    work = with_image_links(work.drop("image_filename"))
+
+    # 7 — merge with the untouched cache (ST3/ST4)
     return merge_processed(work, kept)

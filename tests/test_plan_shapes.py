@@ -1,0 +1,70 @@
+"""Physical-plan audits: the optimizations we claim must show up in
+``explain()`` output — broadcast joins stay broadcast, parquet scans get
+pushed filters and pruned schemas, top-k plans TakeOrderedAndProject.
+Guards against silent plan regressions at scale."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import (
+    q_j1_lookup_join,
+    q_p10_topk,
+    q_p1_projection,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not present"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lookup_join_is_broadcast(spark):
+    plan = _plan(q_j1_lookup_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dimensions must never sort-merge
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_orderkey") > 100)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)" in plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    plan = _plan(q_p1_projection(spark, SF_DIR))
+    # only the four needed columns in the read schema — no full-row scan
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_nationkey" not in read_schema
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(q_p10_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_fixer_chain_is_single_projection(spark):
+    """The whole F1-F8 cleaning chain must fold into one ProjectExec
+    (SURVEY §3.1: 'the entire stage is one job')."""
+    from service_alerts_connector_spark.plans.fixer import clean_alerts
+    from service_alerts_connector_spark.schemas import RAW_SCHEMA
+    from tests.fixtures import RAW_ALERTS
+
+    raw = spark.createDataFrame(RAW_ALERTS, RAW_SCHEMA)
+    plan = _plan(clean_alerts(raw))
+    assert plan.count("Project") == 1
+    assert "Exchange" not in plan  # zero shuffles in the scalar chain
