@@ -708,6 +708,157 @@ SELECT DISTINCT tag FROM (
 
 
 # ---------------------------------------------------------------------------
+# F8 — conditional coalesce with prefix-overlap test (location cleaning)
+# (reference ServiceAlertFixer.py:66-80) — exercised through the engine's
+# own cleaning function over synthesized location/description pairs.
+# ---------------------------------------------------------------------------
+def q_f8_location_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.functions.cleaning import (
+        coalesce_location,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    # deterministic dirt: every 3rd part gets a prefix-duplicate location,
+    # every 5th gets no location at all; p_brand is the controlled fallback
+    loc = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("p_partkey") % 3 == 0, F.substring(F.col("p_name"), 1, 8))
+        .otherwise(F.concat(F.lit("corner of "), F.col("p_name")))
+    )
+    df = part.withColumn("loc_raw", loc)
+    return df.select(
+        F.col("p_partkey").alias("id"),
+        coalesce_location(
+            F.col("loc_raw"), F.col("p_name"), F.col("p_brand")
+        ).alias("location"),
+    )
+
+
+SQL_F8 = """
+WITH d AS (
+  SELECT p_partkey, p_name, p_brand,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL
+              WHEN p_partkey % 3 = 0 THEN substr(p_name, 1, 8)
+              ELSE 'corner of ' || p_name END AS loc_raw
+  FROM part
+)
+SELECT p_partkey AS id,
+       CASE
+         WHEN loc_raw IS NOT NULL AND NOT (
+              p_name IS NOT NULL AND
+              substr(trim(loc_raw), 1, least(length(trim(loc_raw)), length(trim(p_name))))
+                = substr(trim(p_name), 1, least(length(trim(loc_raw)), length(trim(p_name)))))
+           THEN trim(loc_raw)
+         WHEN trim(p_brand) <> '' THEN trim(p_brand)
+       END AS location
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# F16/F10/F11 — string templating + content addressing (toot/filename exprs)
+# (reference ServiceAlertAugmenter.py:478-490, 626-631)
+# ---------------------------------------------------------------------------
+def q_f16_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.functions.checksum import (
+        content_address,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    tweet = F.concat(F.lit("Alert for "), F.col("n_name"))
+    return nation.select(
+        F.col("n_nationkey").alias("id"),
+        F.concat_ws(
+            "\n", tweet, F.concat_ws(" ", F.lit("#Region"), F.lit("#CapeTown"))
+        ).alias("toot"),
+        content_address(F.col("n_name"), max_len=16).alias("artifact_key"),
+    )
+
+
+SQL_F16 = """
+SELECT n_nationkey AS id,
+       'Alert for ' || n_name || chr(10) || '#Region #CapeTown' AS toot,
+       CASE WHEN length(to_base64(encode(n_name))) <= 16
+            THEN to_base64(encode(n_name))
+            ELSE sha256(n_name) END AS artifact_key
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 + P4 — "all" window with min-aggregate anchor (the 24-feed 'all' case)
+# (reference ServiceAlertBroadcaster.py:79-90)
+# ---------------------------------------------------------------------------
+def q_a2_all_window_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        (F.min("o_orderdate") - F.expr("INTERVAL 1 DAY")).alias("a")
+    ).collect()[0]["a"]
+    return (
+        orders.where(F.col("o_orderdate") > F.lit(anchor))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_A2 = """
+SELECT o_orderstatus AS status, count(*) AS n
+FROM orders
+WHERE o_orderdate > (SELECT min(o_orderdate) - INTERVAL 1 DAY FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# U2 — difference by key (cache rows minus moved rows)
+# (reference ServiceAlertAugmenter.py:569)
+# ---------------------------------------------------------------------------
+def q_u2_difference_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.operators.dedup import (
+        difference_by_key,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    moving = cust.where(F.col("c_custkey") % 7 == 0)
+    return difference_by_key(cust, moving, key="c_custkey").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+
+
+SQL_U2 = """
+SELECT c_custkey AS id, c_name AS name FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F17 — array ops: membership, join-to-string, all-null test
+# (reference ServiceAlertEmailer.py:72-74, 711-728)
+# ---------------------------------------------------------------------------
+def q_f17_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    arr = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags")
+    )
+    return arr.select(
+        "id",
+        F.array_contains(F.col("flags"), "R").alias("has_return"),
+        F.array_join(F.col("flags"), ", ").alias("flags_joined"),
+        F.forall(F.col("flags"), lambda x: x.isNull()).alias("all_null"),
+    ).where(F.col("id") % 20 == 0)
+
+
+SQL_F17 = """
+SELECT l_orderkey AS id,
+       list_contains(list_sort(list(DISTINCT l_returnflag)), 'R') AS has_return,
+       array_to_string(list_sort(list(DISTINCT l_returnflag)), ', ') AS flags_joined,
+       len(list_filter(list_sort(list(DISTINCT l_returnflag)), x -> x IS NOT NULL)) = 0 AS all_null
+FROM lineitem GROUP BY l_orderkey
+HAVING l_orderkey % 20 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog assembly
 # ---------------------------------------------------------------------------
 CORE_QUERIES: dict[str, QueryFn] = {
@@ -731,6 +882,11 @@ CORE_QUERIES: dict[str, QueryFn] = {
     "f12_fuzzy_join": q_f12_fuzzy_join,
     "f15_json_extract": q_f15_json_extract,
     "u1_union_distinct": q_u1_union_distinct,
+    "f8_location_coalesce": q_f8_location_coalesce,
+    "f16_templates": q_f16_templates,
+    "a2_all_window_anchor": q_a2_all_window_anchor,
+    "u2_difference_by_key": q_u2_difference_by_key,
+    "f17_array_ops": q_f17_array_ops,
 }
 
 CORE_ORACLES: dict[str, str] = {
@@ -754,4 +910,9 @@ CORE_ORACLES: dict[str, str] = {
     "f12_fuzzy_join": SQL_F12,
     "f15_json_extract": SQL_F15,
     "u1_union_distinct": SQL_U1,
+    "f8_location_coalesce": SQL_F8,
+    "f16_templates": SQL_F16,
+    "a2_all_window_anchor": SQL_A2,
+    "u2_difference_by_key": SQL_U2,
+    "f17_array_ops": SQL_F17,
 }

@@ -1,0 +1,135 @@
+"""Catalog entries for genuinely non-SQL-expressible operators.
+
+These run in the driver harness as rows-only checks (no ``oracle_sql``
+entry): enrichment stages with injectable stub clients (X1/X3), multimodal
+decode plumbing, and pure-Python spatial overlay — operators whose semantics
+live outside ANSI SQL (stateful external calls, binary decode, planar
+geometry).  All are deterministic via stub clients and synthesized inputs,
+so row counts and schemas are stable run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.enrichment.geocode import (
+    StubGeocoder,
+    geocode_tail,
+)
+from service_alerts_connector_spark.enrichment.llm import (
+    StubLLMClient,
+    draft_posts,
+)
+from service_alerts_connector_spark.operators.spatial import overlay_inference
+from service_alerts_connector_spark.sources.multimodal import media_features
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_x1_stub_drafts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — LLM post drafting over pseudo-alerts built from documents,
+    deterministic stub client, DRAFT_LIMIT cap + coalesced concurrency."""
+    alerts = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 40)
+        .select(
+            F.col("doc_id").alias("Id"),
+            F.col("text").alias("description"),
+            F.col("source").alias("service_area"),
+        )
+    )
+    return draft_posts(
+        alerts,
+        [StubLLMClient("draft")],
+        lambda rec: f"Draft a post for: {rec.get('description', '')[:200]}",
+        limit=10,
+    ).orderBy("Id")
+
+
+def q_x3_stub_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — rate-limited geocoder tail with the deterministic stub."""
+    queries = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 30)
+        .select(
+            F.col("doc_id").alias("Id"),
+            F.concat(F.lit("location "), F.col("doc_id").cast("string")).alias(
+                "location"
+            ),
+        )
+    )
+    return geocode_tail(
+        queries, StubGeocoder(), bounding_wkt_col=None
+    ).orderBy("Id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — binary media column (synthesized from text
+    bytes) through the Arrow-batched decode-stub feature extractor."""
+    media = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+    )
+    out = media_features(media)
+    return out.select(
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+        "content_sha256",
+    ).orderBy("media_id")
+
+
+def q_geo_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — proportional-overlap inference on synthesized footprints: each
+    doc gets a deterministic 0.5°×0.5° box on a grid; the layer is four
+    quadrant polygons.  Pure-Python planar geometry in Arrow batches."""
+    alerts = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").alias("Id"),
+            F.concat(
+                F.lit("POLYGON (("),
+                (F.col("doc_id") % 4).cast("string"), F.lit(" "),
+                ((F.col("doc_id") / 4).cast("int") % 4).cast("string"),
+                F.lit(", "),
+                (F.col("doc_id") % 4 + 1).cast("string"), F.lit(" "),
+                ((F.col("doc_id") / 4).cast("int") % 4).cast("string"),
+                F.lit(", "),
+                (F.col("doc_id") % 4 + 1).cast("string"), F.lit(" "),
+                ((F.col("doc_id") / 4).cast("int") % 4 + 1).cast("string"),
+                F.lit(", "),
+                (F.col("doc_id") % 4).cast("string"), F.lit(" "),
+                ((F.col("doc_id") / 4).cast("int") % 4 + 1).cast("string"),
+                F.lit("))"),
+            ).alias("geospatial_footprint"),
+        )
+    )
+    layer = spark.createDataFrame(
+        [
+            ("SW", "POLYGON ((0 0, 2.5 0, 2.5 2.5, 0 2.5, 0 0))"),
+            ("SE", "POLYGON ((2.5 0, 5 0, 5 2.5, 2.5 2.5, 2.5 0))"),
+            ("NW", "POLYGON ((0 2.5, 2.5 2.5, 2.5 5, 0 5, 0 2.5))"),
+            ("NE", "POLYGON ((2.5 2.5, 5 2.5, 5 5, 2.5 5, 2.5 2.5))"),
+        ],
+        "name string, WKT string",
+    )
+    return (
+        overlay_inference(alerts, layer, "inferred_zones")
+        .select("Id", "inferred_zones")
+        .orderBy("Id")
+    )
+
+
+EXTRA_QUERIES = {
+    "x1_stub_drafts": q_x1_stub_drafts,
+    "x3_stub_geocode": q_x3_stub_geocode,
+    "multimodal_features": q_multimodal_features,
+    "geo_overlay": q_geo_overlay,
+}
