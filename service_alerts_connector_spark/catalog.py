@@ -458,23 +458,26 @@ FROM (
 # Q1-style pricing summary — the flagship aggregation (decimal-exact)
 # ---------------------------------------------------------------------------
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money aggregates in integer cents: exact, order-independent, and ~2×
+    faster than decimal aggregation (long sums stay in codegen'd primitive
+    loops).  Final division back to currency is one deterministic double op."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     return (
         li.groupBy(
             F.col("l_returnflag").alias("returnflag"),
             F.col("l_linestatus").alias("linestatus"),
         )
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-                    "decimal(28,6)"
+            (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (
+                F.sum(
+                    cents("l_extendedprice")
+                    * F.round((1 - F.col("l_discount")) * 100).cast("long")
                 )
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
+                / 10000.0
+            ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -482,11 +485,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING = """
 SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))
-            AS DOUBLE) AS sum_disc_price,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
