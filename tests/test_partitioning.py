@@ -1,0 +1,39 @@
+"""Gold-table partitioning (SURVEY §7 step 9): hive-partition the serving
+table by month so feed predicates partition-prune at the source."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.sources.parquet_io import (
+    read_dataset,
+    write_dataset,
+)
+
+
+def test_partitioned_gold_prunes(spark, tmp_path):
+    rows = [
+        (i, datetime(2024, 1 + (i % 6), 1 + i % 27), f"alert {i}")
+        for i in range(200)
+    ]
+    gold = spark.createDataFrame(
+        rows, "Id long, publish_date timestamp, title string"
+    ).withColumn("publish_month", F.date_format("publish_date", "yyyy-MM"))
+
+    write_dataset(
+        gold, str(tmp_path), "gold", partition_by=["publish_month"]
+    )
+    reloaded = read_dataset(spark, str(tmp_path), "gold")
+    assert reloaded.count() == 200
+
+    pruned = reloaded.where(F.col("publish_month") == "2024-03")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "publish_month" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    # and only the matching month's files are read
+    assert pruned.count() == len([r for r in rows if r[1].month == 3])
+    files = pruned.inputFiles()
+    assert files and all("publish_month=2024-03" in f for f in files)
