@@ -33,7 +33,6 @@ def test_partitioned_gold_prunes(spark, tmp_path):
     # partition filter must reach the scan, not a post-scan Filter
     assert "PartitionFilters" in plan
     assert "publish_month" in plan.split("PartitionFilters:")[1].splitlines()[0]
-    # and only the matching month's files are read
+    # and only the matching month's rows come back (inputFiles() reports the
+    # pre-pruning relation listing, so the plan + count are the evidence)
     assert pruned.count() == len([r for r in rows if r[1].month == 3])
-    files = pruned.inputFiles()
-    assert files and all("publish_month=2024-03" in f for f in files)
