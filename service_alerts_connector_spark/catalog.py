@@ -861,6 +861,66 @@ HAVING l_orderkey % 20 = 0
 
 
 # ---------------------------------------------------------------------------
+# P6/P7-as-data — config-table join fan-out (the emailer scale path):
+# subscriber configs are ROWS joined against the fact table, so the plan is
+# one broadcast join regardless of config count (vs per-config union branches)
+# (reference SA_EMAIL_CONFIGS, ServiceAlertEmailer.py:88-671; SURVEY §3.3)
+# ---------------------------------------------------------------------------
+def q_config_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    configs = spark.createDataFrame(
+        [
+            ("urgent-watch", "1-URGENT", None),
+            ("high-watch", "2-HIGH", None),
+            ("open-anything", None, "O"),
+            ("finished-urgent", "1-URGENT", "F"),
+        ],
+        "config_name string, want_priority string, want_status string",
+    )
+    cond = (
+        configs["want_priority"].isNull()
+        | (orders["o_orderpriority"] == configs["want_priority"])
+    ) & (
+        configs["want_status"].isNull()
+        | (orders["o_orderstatus"] == configs["want_status"])
+    )
+    return (
+        orders.join(F.broadcast(configs), cond)
+        .where(F.col("o_orderkey") % 40 == 0)
+        .select(
+            F.col("config_name"),
+            F.col("o_orderkey").alias("id"),
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    F.col("config_name"),
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                ),
+                256,
+            ).alias("delivery_key"),
+        )
+    )
+
+
+SQL_CONFIG_FANOUT = """
+WITH configs(config_name, want_priority, want_status) AS (
+  VALUES ('urgent-watch', '1-URGENT', NULL),
+         ('high-watch', '2-HIGH', NULL),
+         ('open-anything', NULL, 'O'),
+         ('finished-urgent', '1-URGENT', 'F')
+)
+SELECT config_name, o_orderkey AS id,
+       sha256(config_name || '|' || CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus)
+         AS delivery_key
+FROM orders JOIN configs
+  ON (want_priority IS NULL OR o_orderpriority = want_priority)
+ AND (want_status IS NULL OR o_orderstatus = want_status)
+WHERE o_orderkey % 40 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog assembly
 # ---------------------------------------------------------------------------
 CORE_QUERIES: dict[str, QueryFn] = {
@@ -889,6 +949,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
     "a2_all_window_anchor": q_a2_all_window_anchor,
     "u2_difference_by_key": q_u2_difference_by_key,
     "f17_array_ops": q_f17_array_ops,
+    "config_join_fanout": q_config_join_fanout,
 }
 
 CORE_ORACLES: dict[str, str] = {
@@ -917,4 +978,5 @@ CORE_ORACLES: dict[str, str] = {
     "a2_all_window_anchor": SQL_A2,
     "u2_difference_by_key": SQL_U2,
     "f17_array_ops": SQL_F17,
+    "config_join_fanout": SQL_CONFIG_FANOUT,
 }

@@ -133,6 +133,140 @@ def geocode_tail(
     )
 
 
+def full_geocode_waterfall(
+    alerts: DataFrame,
+    suggestions: DataFrame,
+    suburb_dim: DataFrame | None,
+    street_dim: DataFrame | None,
+    geocoder: Geocoder,
+    id_col: str = "Id",
+    min_delay_s: float = 0.0,
+) -> DataFrame:
+    """X3 end-to-end: resolve each LLM-suggested location through the tiered
+    waterfall and union per-alert results into a MULTIPOLYGON footprint (A6).
+
+    * ``suggestions``: (Id, suggested_locations array<array<string>>) from
+      :func:`enrichment.llm.extract_locations` — exploded to one row per
+      suggestion string (the reference iterates suggestion groups,
+      Augmenter:719-756).
+    * tier 1: exact suburb-name polygon match (broadcast join, lower/trim);
+    * tier 2: fuzzy street match (Levenshtein ≤5 theta join, best score) —
+      only suggestions tier 1 missed;
+    * tier 3: external geocoder on the remainder (rate-limited tail);
+    * union: all resolved geometries per alert → MULTIPOLYGON WKT at 6 dp.
+
+    Each tier's input is the previous tier's misses, so external calls are
+    last-resort and bounded.
+    """
+    from service_alerts_connector_spark.geo import wkt as WK
+
+    sug = suggestions.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.col("suggested_locations"))).alias("suggestion"),
+    ).where(F.trim(F.col("suggestion")) != "").distinct()
+
+    resolved_parts: list[DataFrame] = []
+
+    if suburb_dim is not None:
+        dim = F.broadcast(
+            suburb_dim.select(
+                F.lower(F.trim(F.col("name"))).alias("_n"),
+                F.col("WKT").alias("_wkt"),
+            )
+        )
+        t1 = sug.join(
+            dim, F.lower(F.trim(F.col("suggestion"))) == F.col("_n"), "left"
+        )
+        resolved_parts.append(
+            t1.where(F.col("_wkt").isNotNull()).select(
+                id_col, F.col("_wkt").alias("wkt")
+            )
+        )
+        sug = t1.where(F.col("_wkt").isNull()).select(id_col, "suggestion")
+
+    if street_dim is not None:
+        from service_alerts_connector_spark.operators.spatial import (
+            fuzzy_street_match,
+        )
+
+        streets = fuzzy_street_match(
+            sug.withColumn("area_wkt", F.lit(None).cast("string")),
+            street_dim,
+            street_query_col="suggestion",
+        )
+        # one matched street (possibly several segments) per suggestion-row
+        resolved_parts.append(
+            streets.select(
+                id_col, F.explode("segment_wkts").alias("wkt")
+            )
+        )
+        sug = sug.join(
+            streets.select(id_col, "matched_street"),
+            id_col,
+            "left_anti",
+        )
+
+    tail = geocode_tail(
+        sug.withColumnRenamed("suggestion", "location"),
+        geocoder,
+        id_col=id_col,
+        bounding_wkt_col=None,
+        min_delay_s=min_delay_s,
+    )
+    resolved_parts.append(
+        tail.where(F.col("geocoded_wkt").isNotNull()).select(
+            id_col, F.col("geocoded_wkt").alias("wkt")
+        )
+    )
+
+    all_resolved = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        all_resolved = all_resolved.unionByName(p)
+    grouped = all_resolved.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("wkt")).alias("wkts")
+    )
+
+    def to_multipolygon(batches):
+        import pandas as pd  # noqa: F811
+
+        from service_alerts_connector_spark.geo import ops as G
+
+        for pdf in batches:
+            ids, out = [], []
+            for _, row in pdf.iterrows():
+                polys = []
+                for w in row["wkts"]:
+                    try:
+                        kind, shape = WK.parse_wkt(w)
+                    except ValueError:
+                        continue
+                    if kind == "polygon":
+                        polys.append(shape)
+                    elif kind == "multipolygon":
+                        polys.extend(shape)
+                    elif kind == "linestring":
+                        minx, miny, maxx, maxy = G.bbox(shape)
+                        polys.append(
+                            G.bbox_polygon(
+                                minx - 1e-4, miny - 1e-4, maxx + 1e-4, maxy + 1e-4
+                            )
+                        )
+                ids.append(row[id_col])
+                out.append(
+                    WK.multipolygon_to_wkt(G.union_as_multipolygon(polys))
+                    if polys
+                    else None
+                )
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "geospatial_footprint": out}
+            )
+
+    return grouped.mapInPandas(
+        to_multipolygon, f"{id_col} long, geospatial_footprint string"
+    )
+
+
 def apply_memo(
     unresolved: DataFrame,
     memo: DataFrame | None,

@@ -130,6 +130,53 @@ def pending_emails(
     return fanned
 
 
+def pending_emails_joined(
+    gold: DataFrame,
+    config_rows: DataFrame,
+    sent_log: DataFrame | None = None,
+) -> DataFrame:
+    """Scale path for the structured (P7-style) configs: configs as a
+    DataFrame joined against gold, instead of one union branch per config.
+
+    ``config_rows`` schema: (config_name string, recipients array<string>,
+    ward string, service_area string, planned boolean) — null fields are
+    wildcards.  The join condition evaluates each predicate family as data:
+    100 configs or 100 000 configs produce the *same* two-operator plan
+    (broadcast join + anti-join), where the union path grows linearly in
+    plan size.  Free-form SQL-string configs (P6) stay on `pending_emails`.
+    """
+    cfg = F.broadcast(config_rows)
+    cond = (
+        (cfg["ward"].isNull() | (
+            F.array_contains(F.coalesce(gold["inferred_wards"],
+                                        F.array().cast("array<string>")),
+                             cfg["ward"])
+            & (F.coalesce(gold["area_type"], F.lit("")) != "Citywide")
+        ))
+        & (cfg["service_area"].isNull()
+           | (gold["service_area"] == cfg["service_area"]))
+        & (cfg["planned"].isNull() | (gold["planned"] == cfg["planned"]))
+    )
+    fanned = gold.join(cfg, cond).withColumn(
+        "email_key", email_key_col(F.col("config_name"))
+    )
+    if sent_log is not None:
+        fanned = fanned.join(
+            sent_log.select("email_key"), "email_key", "left_anti"
+        )
+    return fanned
+
+
+def email_key_col(config_name_col: Column) -> Column:
+    """email_key with the config name as a column (join fan-out path)."""
+    return F.sha2(
+        F.concat_ws(
+            "|", config_name_col, F.col(ID_COL).cast("string"), F.col("status")
+        ),
+        256,
+    )
+
+
 def render_email_html(rec: dict) -> str:
     """X5 — Jinja2 HTML render with the reference's field hygiene: null and
     empty-array fields pruned, arrays joined with ', ', area fields dropped
