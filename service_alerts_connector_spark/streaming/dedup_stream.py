@@ -1,0 +1,38 @@
+"""Streaming-native dedup/upsert semantics (ST7 as a resident stream).
+
+The batch path handles late/updated alerts with a window upsert
+(operators/dedup.py).  A resident Structured Streaming deployment instead
+uses engine state:
+
+* ``dedup_by_checksum_stream`` — ``dropDuplicates`` on (Id, InputChecksum)
+  with a processing-time watermark bounding state (the reference's cache
+  compares against *all* history because its world is 10⁴ alerts; a 100 TB
+  stream must age state out — the watermark is that policy, made explicit);
+* the gold upsert itself stays in ``foreachBatch`` (parquet/Delta MERGE) —
+  engine-state output modes can't express keyed last-wins to files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.constants import CHECKSUM_COL, ID_COL
+
+
+def dedup_by_checksum_stream(
+    stream_df: DataFrame,
+    watermark_delay: str = "1 hour",
+    event_time_col: str = "_arrival_ts",
+) -> DataFrame:
+    """Drop re-deliveries of the same (Id, checksum) within the watermark
+    horizon.  Adds a processing-time arrival column if absent (file sources
+    carry no event time for this feed — arrival order IS the event order,
+    SURVEY §1.4: no event-time windows exist in the domain)."""
+    if event_time_col not in stream_df.columns:
+        stream_df = stream_df.withColumn(
+            event_time_col, F.current_timestamp()
+        )
+    return stream_df.withWatermark(
+        event_time_col, watermark_delay
+    ).dropDuplicates([ID_COL, CHECKSUM_COL])

@@ -1,0 +1,49 @@
+"""Streaming dropDuplicates state: re-deliveries of the same (Id, checksum)
+across micro-batches must be dropped exactly once (ST7 resident-stream
+variant)."""
+
+from __future__ import annotations
+
+import json
+
+from service_alerts_connector_spark.streaming.dedup_stream import (
+    dedup_by_checksum_stream,
+)
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    staged = tmp_path / "in"
+    staged.mkdir()
+    # page 1: rows A, B.  page 2: A re-delivered unchanged + A' changed.
+    with open(staged / "p1.jsonl", "w") as f:
+        f.write(json.dumps({"Id": 1, "InputChecksum": "aaa", "v": 1}) + "\n")
+        f.write(json.dumps({"Id": 2, "InputChecksum": "bbb", "v": 2}) + "\n")
+    with open(staged / "p2.jsonl", "w") as f:
+        f.write(json.dumps({"Id": 1, "InputChecksum": "aaa", "v": 1}) + "\n")
+        f.write(json.dumps({"Id": 1, "InputChecksum": "ccc", "v": 3}) + "\n")
+
+    stream = (
+        spark.readStream.schema("Id long, InputChecksum string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    deduped = dedup_by_checksum_stream(stream)
+
+    seen: list[tuple[int, str]] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["Id"], r["InputChecksum"]) for r in batch_df.collect()
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # exactly one of each distinct (Id, checksum); the unchanged re-delivery
+    # in batch 2 was suppressed by engine state
+    assert sorted(seen) == [(1, "aaa"), (1, "ccc"), (2, "bbb")]
