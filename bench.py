@@ -14,12 +14,14 @@ import os
 import time
 
 from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
+from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
-CORE_QUERIES = {**_CORE, **_TEXT}
+CORE_QUERIES = {**_CORE, **_TEXT, **_FIX}
 
 HEADLINE = [
+    "fixer_chain",
     "pricing_summary",
     "j1_lookup_join",
     "j2_incremental_anti",
