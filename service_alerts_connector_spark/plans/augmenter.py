@@ -75,6 +75,10 @@ class AugmenterConfig:
     llm_clients: list[LLMClient] = field(
         default_factory=lambda: [StubLLMClient("draft")]
     )
+    # X2 — location-extraction clients; when set (together with a street
+    # layer passed to augment), unresolved footprints go through the full
+    # suggestion waterfall instead of the plain geocode tail.
+    location_clients: list[LLMClient] | None = None
     geocoder: Geocoder = field(default_factory=StubGeocoder)
     salt: str = AUGMENTER_SALT
     data_size_limit: int = DATA_SIZE_LIMIT
@@ -99,6 +103,7 @@ def augment(
     gis_areas: DataFrame | None = None,
     suburb_layer: DataFrame | None = None,
     ward_layer: DataFrame | None = None,
+    street_layer: DataFrame | None = None,
     config: AugmenterConfig | None = None,
 ) -> DataFrame:
     """Run the full augmentation stage; returns the new gold DataFrame."""
@@ -149,12 +154,40 @@ def augment(
             ID_COL, F.col("area_wkt").alias("geospatial_footprint")
         )
         unresolved = located.where(F.col("area_wkt").isNull())
-        geocoded = geocode_tail(
-            unresolved,
-            cfg.geocoder,
-            bounding_wkt_col=None,
-            min_delay_s=cfg.geocoder_delay_s,
-        ).select(ID_COL, F.col("geocoded_wkt").alias("geospatial_footprint"))
+        if cfg.location_clients is not None:
+            # X2 + full waterfall: LLM suggests locations; each suggestion
+            # resolves through suburb → street → geocoder tiers; per-alert
+            # union into a MULTIPOLYGON (A6)
+            from service_alerts_connector_spark.enrichment.geocode import (
+                full_geocode_waterfall,
+            )
+            from service_alerts_connector_spark.enrichment.llm import (
+                extract_locations,
+            )
+
+            suggestions = extract_locations(
+                unresolved.select(ID_COL, "description", "area", "location"),
+                cfg.location_clients,
+                lambda rec: "Extract locations:\n"
+                + "\n".join(f"{k}: {v}" for k, v in sorted(rec.items())),
+            ).drop("llm_error")
+            geocoded = full_geocode_waterfall(
+                unresolved,
+                suggestions,
+                suburb_dim=suburb_layer,
+                street_dim=street_layer,
+                geocoder=cfg.geocoder,
+                min_delay_s=cfg.geocoder_delay_s,
+            )
+        else:
+            geocoded = geocode_tail(
+                unresolved,
+                cfg.geocoder,
+                bounding_wkt_col=None,
+                min_delay_s=cfg.geocoder_delay_s,
+            ).select(
+                ID_COL, F.col("geocoded_wkt").alias("geospatial_footprint")
+            )
         footprints = resolved.unionByName(geocoded)
         work = work.drop("geospatial_footprint").join(
             footprints, ID_COL, "left"

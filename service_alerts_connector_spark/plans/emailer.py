@@ -48,6 +48,7 @@ class EmailConfig:
     name: str
     recipients: tuple[str, ...]
     predicate_sql: str | None = None  # P6 — Spark SQL expression string
+    predicate_pandas: str | None = None  # P6 — legacy pandas query() dialect
     ward: str | None = None  # P7 sugar
     service_area: str | None = None  # P7 sugar
     planned: bool | None = None
@@ -56,6 +57,14 @@ class EmailConfig:
         cond = F.lit(True)
         if self.predicate_sql:
             cond = cond & F.expr(self.predicate_sql)
+        if self.predicate_pandas:
+            # legacy configs carry pandas query() strings verbatim
+            # (reference ServiceAlertEmailer.py:49-51); translate once
+            from service_alerts_connector_spark.functions.predicates import (
+                translate_pandas_query,
+            )
+
+            cond = cond & F.expr(translate_pandas_query(self.predicate_pandas))
         if self.ward is not None:
             cond = cond & ward_predicate(self.ward)
         if self.service_area is not None:

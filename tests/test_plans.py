@@ -65,6 +65,39 @@ def test_augment_with_gis(spark):
     assert 23123 in rows
 
 
+def test_augment_with_location_waterfall(spark):
+    from service_alerts_connector_spark.enrichment.llm import StubLLMClient
+    from service_alerts_connector_spark.plans.augmenter import AugmenterConfig
+
+    gis = spark.createDataFrame(
+        [("NO MATCH", "NOWHERE", "POLYGON ((9 9, 10 9, 10 10, 9 10, 9 9))")],
+        "area_type string, area string, WKT string",
+    )
+    suburbs = spark.createDataFrame(
+        [("soneike", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "name string, WKT string",
+    )
+    streets = spark.createDataFrame(
+        [("Main Road", "LINESTRING (0.1 0.1, 0.9 0.9)")],
+        "street_name string, WKT string",
+    )
+    cfg = AugmenterConfig(location_clients=[StubLLMClient("locations")])
+    gold = augment(
+        _silver(spark),
+        gis_areas=gis,
+        suburb_layer=suburbs,
+        ward_layer=None,
+        street_layer=streets,
+        config=cfg,
+    )
+    rows = {r["Id"]: r for r in gold.collect()}
+    # no tier-1 GIS hit (area dim doesn't match) → waterfall produced
+    # MULTIPOLYGON footprints from stub-suggested locations via the
+    # geocoder tail (stub suggestions won't match suburb/street names)
+    fps = [r["geospatial_footprint"] for r in rows.values() if r["geospatial_footprint"]]
+    assert fps and all(fp.startswith("MULTIPOLYGON") for fp in fps)
+
+
 def test_emailer_fanout_and_sent_dedup(spark):
     gold = spark.createDataFrame(
         [
