@@ -295,6 +295,33 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.5, n_planes=2)
+
+
+SQL_DEDUP_EMB = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bk
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM b a JOIN b b ON a.bk = b.bk AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+"""
+
+
 TEXT_QUERIES = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
@@ -306,6 +333,7 @@ TEXT_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
 TEXT_ORACLES = {
@@ -319,4 +347,5 @@ TEXT_ORACLES = {
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,
+    "dedup_embedding_cosine": SQL_DEDUP_EMB,
 }

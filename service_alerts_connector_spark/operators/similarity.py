@@ -109,6 +109,55 @@ def bucketed_cosine_topk(
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs from a sign-LSH
+    bucketed self-join, verified by exact cosine ≥ threshold.
+
+    The bucket equi-join keeps the pair space at Σ(bucket²) instead of n² —
+    with b buckets of even size that is n²/b; near-identical vectors share
+    sign buckets by construction (opposite-sign components would already
+    make them dissimilar).  Scale path: write the table partitioned by
+    bucket → the self-join becomes partition-local.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(v, n_planes).alias("_b")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pair_cos = F.round(
+        _dot(
+            F.col(f"a.{vec_col}").cast("array<double>"),
+            F.col(f"b.{vec_col}").cast("array<double>"),
+        )
+        / (
+            _norm(F.col(f"a.{vec_col}").cast("array<double>"))
+            * _norm(F.col(f"b.{vec_col}").cast("array<double>"))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cos", pair_cos)
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos",
+        )
+    )
+
+
 def cosine_topk_mapinpandas(
     df: DataFrame,
     query_vec: list[float],
