@@ -26,6 +26,7 @@ from service_alerts_connector_spark.sources.multimodal import media_features
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 

@@ -18,6 +18,7 @@ from service_alerts_connector_spark.plans.fixer import clean_alerts
 def _dirty_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → SharePoint-shaped bronze with deterministic dirt:
     every residue class of o_orderkey exercises a different repair path."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle tz parity
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     date_s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")

@@ -23,6 +23,7 @@ from service_alerts_connector_spark.operators.textdedup import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle tz parity
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
