@@ -90,7 +90,9 @@ def parse_wkt(wkt: str) -> tuple[str, object]:
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
-                    polys.append(_parse_rings(body[start : i + 1]))
+                    # strip the polygon-group parens so _parse_rings sees the
+                    # ring list (else hole rings merge into the exterior)
+                    polys.append(_parse_rings(body[start + 1 : i]))
         return "multipolygon", polys
     if upper.startswith("POLYGON"):
         body = s[s.index("(") + 1 : s.rindex(")")]
