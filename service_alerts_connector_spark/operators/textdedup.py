@@ -231,36 +231,25 @@ def simhash32(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", token_hash32(F.col("tok")))
-    votes = (
-        tok.select(
-            id_col,
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-        )
-        .withColumn(
-            "vote",
+    # one aggregation with 32 balance columns instead of exploding each token
+    # ×32 bit-rows: 32× fewer rows through the shuffle, same math
+    balances = [
+        F.sum(
             F.when(
-                F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast(
-                    "bigint"
-                )
-                % 2
-                == 1,
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("balance"))
-    )
-    return (
-        votes.withColumn(
-            "bit_val",
-            F.when(
-                F.col("balance") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-            ).otherwise(F.lit(0)),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").alias("simhash"))
-    )
+            ).otherwise(F.lit(-1))
+        ).alias(f"_b{i}")
+        for i in range(32)
+    ]
+    votes = tok.groupBy(id_col).agg(*balances)
+    sig = None
+    for i in range(32):
+        term = F.when(
+            F.col(f"_b{i}") > 0, F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -70,6 +70,27 @@ def test_generate_feeds_yields_all(spark):
     assert len(feeds) == 24
 
 
+def test_api_sql_views(spark):
+    from service_alerts_connector_spark.plans.serving import (
+        register_api_views,
+    )
+
+    gold = _gold(spark)
+    names = register_api_views(spark, gold)
+    assert names == [
+        "service_alerts_v0",
+        "service_alerts_v1",
+        "service_alerts_v1_1",
+        "service_alerts_v1_2",
+    ]
+    out = spark.sql(
+        "SELECT Id FROM service_alerts_v1_2 WHERE NOT planned ORDER BY Id"
+    ).collect()
+    assert [r["Id"] for r in out] == [2, 3]
+    # v0 must not expose enrichment columns
+    assert "tweet_text" not in spark.table("service_alerts_v0").columns
+
+
 def test_json_records_shape(spark):
     df = feed_dataframe(_gold(spark), FeedConfig("current", False, "v1.2"), NOW)
     payload = json.loads(dataframe_to_json_records(df))
