@@ -128,9 +128,27 @@ def q_geo_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic lite-kmeans cells, probe the 2 nearest of 4
+    cells with exact cosine top-k.  Iterative training (Lloyd steps) is not
+    SQL-expressible → rows-only check."""
+    from service_alerts_connector_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids_kmeanspp_lite,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids_kmeanspp_lite(emb, k=4, sample=64, iterations=1)
+    row = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    q = [float(x) for x in row["embedding"]]
+    return ivf_topk(emb, cents, q, k=10, n_probe=2)
+
+
 EXTRA_QUERIES = {
     "x1_stub_drafts": q_x1_stub_drafts,
     "x3_stub_geocode": q_x3_stub_geocode,
     "multimodal_features": q_multimodal_features,
     "geo_overlay": q_geo_overlay,
+    "ann_ivf": q_ann_ivf,
 }

@@ -109,6 +109,92 @@ def bucketed_cosine_topk(
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: assign each vector to its nearest centroid (broadcast list of
+    centroids, expression-only distance argmin).  At scale the table is
+    written partitioned by ``ivf_cell`` so probes read only n_probe cells."""
+    v = F.col(vec_col).cast("array<double>")
+    best_cell = None
+    best_dist = None
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        diff = F.zip_with(v, carr, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        if best_cell is None:
+            best_cell, best_dist = F.lit(ci), d
+        else:
+            cond = d < best_dist
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    return df.withColumn("ivf_cell", best_cell)
+
+
+def train_centroids_kmeanspp_lite(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 256,
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Deterministic lite k-means for IVF cells: seed with the k
+    lowest-id sampled vectors, refine with ``iterations`` Lloyd steps
+    computed as DataFrame aggregations (mean per cell).  Deterministic by
+    construction (no RNG) — good enough cells for inverted-file pruning;
+    a production index would train offline with MLlib KMeans."""
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    centroids = [
+        [float(x) for x in r[vec_col]] for r in seed_rows[:k]
+    ]
+    work = df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    for _ in range(iterations):
+        assigned = ivf_assign(work, centroids, vec_col)
+        dim = len(centroids[0])
+        means = assigned.groupBy("ivf_cell").agg(
+            *[
+                F.avg(F.col(vec_col).cast("array<double>")[i]).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        got = {
+            r["ivf_cell"]: [r[f"c{i}"] for i in range(dim)]
+            for r in means.collect()
+        }
+        centroids = [got.get(ci, centroids[ci]) for ci in range(k)]
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: exact cosine top-k over only the ``n_probe`` cells whose
+    centroids are nearest the query — scanning ~n_probe/k of the data."""
+    q = query_vec
+    dists = [
+        (ci, sum((float(a) - float(b)) ** 2 for a, b in zip(c, q)))
+        for ci, c in enumerate(centroids)
+    ]
+    probe_cells = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    candidates = assigned.where(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

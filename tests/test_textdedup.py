@@ -92,6 +92,36 @@ def test_cosine_mapinpandas_matches_expression(spark):
     assert expr_top[0][0] == 0 and expr_top[0][1] == 1.0  # self-match first
 
 
+def test_ivf_topk_recall(spark):
+    import random
+
+    from service_alerts_connector_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids_kmeanspp_lite,
+    )
+
+    random.seed(3)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids_kmeanspp_lite(emb, k=4, sample=64, iterations=1)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    q = rows[7][1]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, 10).collect()]
+    approx = [
+        r["vec_id"] for r in ivf_topk(emb, cents, q, k=10, n_probe=2).collect()
+    ]
+    assert len(approx) == 10
+    assert approx[0] == 7  # the query's own vector survives probing
+    # approximate recall: probing half the cells keeps most of the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+    # deterministic across runs
+    assert approx == [
+        r["vec_id"] for r in ivf_topk(emb, cents, q, k=10, n_probe=2).collect()
+    ]
+
+
 def test_bucketed_ann_subset_of_bucket(spark):
     import random
 
