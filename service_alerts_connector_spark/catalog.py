@@ -49,6 +49,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC: timestamp wall-clock round-trips must match the (naive) DuckDB
     # oracle regardless of what timezone the caller's session was built with.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from service_alerts_connector_spark.shipping import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -27,6 +27,11 @@ from service_alerts_connector_spark.sources.multimodal import media_features
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from service_alerts_connector_spark.shipping import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -138,6 +143,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from service_alerts_connector_spark.shipping import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = train_centroids_kmeanspp_lite(emb, k=4, sample=64, iterations=1)
     row = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]

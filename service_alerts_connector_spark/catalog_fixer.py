@@ -19,6 +19,11 @@ def _dirty_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → SharePoint-shaped bronze with deterministic dirt:
     every residue class of o_orderkey exercises a different repair path."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle tz parity
+    from service_alerts_connector_spark.shipping import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     date_s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")

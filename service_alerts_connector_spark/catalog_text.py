@@ -24,6 +24,11 @@ from service_alerts_connector_spark.operators.textdedup import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle tz parity
+    from service_alerts_connector_spark.shipping import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
