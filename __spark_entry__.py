@@ -8,6 +8,15 @@ onto the driver's TPC-H-ish tables with a DuckDB-equivalent oracle.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# importable no matter how the harness loaded this file (spec-from-path,
+# different cwd, scrubbed env)
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -161,3 +161,34 @@ def test_checksum_insensitive_to_row_order(spark):
         for r in with_checksum(df2, ["title", "descr"], "s").collect()
     }
     assert cs1 == cs2
+
+
+def test_deterministic_uuid_shape_and_stability(spark):
+    """F18: uuid-shaped, content-derived, stable across runs/partitioning."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.functions.ids import (
+        deterministic_uuid,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"cfg{i % 3}") for i in range(50)], "Id long, cfg string"
+    )
+    u1 = {
+        r["Id"]: r["u"]
+        for r in df.select(
+            "Id", deterministic_uuid(F.col("cfg"), F.col("Id")).alias("u")
+        ).collect()
+    }
+    u2 = {
+        r["Id"]: r["u"]
+        for r in df.repartition(7)
+        .select("Id", deterministic_uuid(F.col("cfg"), F.col("Id")).alias("u"))
+        .collect()
+    }
+    assert u1 == u2
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    assert all(pat.match(v) for v in u1.values())
+    assert len(set(u1.values())) == 50  # distinct keys, distinct ids
