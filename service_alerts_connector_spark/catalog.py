@@ -929,6 +929,42 @@ WHERE o_orderkey % 40 = 0
 
 
 # ---------------------------------------------------------------------------
+# W5 — event-time tumbling-window aggregation (the streaming-agg shape, run
+# batch here; streaming variant with watermark in streaming/windows.py)
+# ---------------------------------------------------------------------------
+def q_w5_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").alias("etype"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "etype",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_W5 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type AS etype,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog assembly
 # ---------------------------------------------------------------------------
 CORE_QUERIES: dict[str, QueryFn] = {
@@ -958,6 +994,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
     "u2_difference_by_key": q_u2_difference_by_key,
     "f17_array_ops": q_f17_array_ops,
     "config_join_fanout": q_config_join_fanout,
+    "w5_windowed_agg": q_w5_windowed_agg,
 }
 
 CORE_ORACLES: dict[str, str] = {
@@ -987,4 +1024,5 @@ CORE_ORACLES: dict[str, str] = {
     "u2_difference_by_key": SQL_U2,
     "f17_array_ops": SQL_F17,
     "config_join_fanout": SQL_CONFIG_FANOUT,
+    "w5_windowed_agg": SQL_W5,
 }

@@ -1,0 +1,44 @@
+"""Watermarked event-time windowed aggregation (streaming form of the
+batch ``w5_windowed_agg`` catalog query).
+
+The alert domain needs no event-time windows (SURVEY §1.4 — its "windows"
+are publish-time filter predicates), but the engine's training-data side
+does: event streams aggregate per tumbling window with a watermark bounding
+both state and lateness.  Late rows within the watermark still merge into
+their window; rows later than the watermark are dropped by the engine —
+the explicit lateness policy a 100 TB stream must declare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count + value sum per key with bounded lateness."""
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.col(key_col).alias("etype"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "etype",
+            "n",
+            "sum_value",
+        )
+    )
