@@ -26,6 +26,10 @@ from service_alerts_connector_spark.catalog import (
     CORE_QUERIES,
     q_pricing_summary,
 )
+from service_alerts_connector_spark.catalog_analytics import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
@@ -45,11 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the
     training-data pipeline operators (dedup/similarity/text analysis)."""
-    return {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **EXTRA_QUERIES}
+    return {
+        **CORE_QUERIES,
+        **TEXT_QUERIES,
+        **FIXER_QUERIES,
+        **ANALYTICS_QUERIES,
+        **EXTRA_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query.  EXTRA_QUERIES
     (stubbed enrichment / multimodal / planar-geometry ops) intentionally
     have no oracle — the driver records the weaker rows-only check."""
-    return {**CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES}
+    return {**CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES, **ANALYTICS_ORACLES}

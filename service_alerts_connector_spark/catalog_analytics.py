@@ -1,0 +1,136 @@
+"""Catalog — general analytics surface beyond the reference's minimal
+aggregate/window usage: multi-level aggregates (ROLLUP), distinct
+aggregation, lead/lag/rank windows, exact percentiles.  The reference needs
+none of these (SURVEY §2.4/§2.5 note their absence), but an engine claiming
+its serving role must offer the standard analytic toolbox; each query is
+DuckDB-oracle-verified like the core set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — subtotals + grand total in one pass
+# ---------------------------------------------------------------------------
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0).alias(
+                "sum_qty"
+            ),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation
+# ---------------------------------------------------------------------------
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT l_returnflag AS returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag + rank windows — inter-event gaps per user
+# ---------------------------------------------------------------------------
+def q_lag_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_s",
+            F.col("ts").cast("long") - F.col("prev_ts").cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("event_id") % 10 == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("user_id").alias("uid"),
+            "gap_s",
+            "rn",
+        )
+    )
+
+
+SQL_LAG_RANK = """
+SELECT event_id AS id, user_id AS uid,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) AS gap_s,
+       rn
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE event_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles
+# ---------------------------------------------------------------------------
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus AS status,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+ANALYTICS_QUERIES = {
+    "rollup_pricing": q_rollup_pricing,
+    "distinct_agg": q_distinct_agg,
+    "lag_rank_window": q_lag_rank_window,
+    "percentiles": q_percentiles,
+}
+
+ANALYTICS_ORACLES = {
+    "rollup_pricing": SQL_ROLLUP,
+    "distinct_agg": SQL_DISTINCT,
+    "lag_rank_window": SQL_LAG_RANK,
+    "percentiles": SQL_PERCENTILES,
+}

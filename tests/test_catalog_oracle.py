@@ -8,6 +8,10 @@ import os
 import pytest
 
 from service_alerts_connector_spark.catalog import CORE_ORACLES, CORE_QUERIES
+from service_alerts_connector_spark.catalog_analytics import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
@@ -18,8 +22,8 @@ from service_alerts_connector_spark.catalog_text import (
 )
 from tests.oracle_util import compare, duck_connection
 
-CORE_QUERIES = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES}
-CORE_ORACLES = {**CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES}
+CORE_QUERIES = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **ANALYTICS_QUERIES}
+CORE_ORACLES = {**CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES, **ANALYTICS_ORACLES}
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
