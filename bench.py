@@ -14,11 +14,12 @@ import os
 import time
 
 from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
+from service_alerts_connector_spark.catalog_analytics import ANALYTICS_QUERIES as _AN
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
-CORE_QUERIES = {**_CORE, **_TEXT, **_FIX}
+CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN}
 
 HEADLINE = [
     "fixer_chain",
@@ -37,6 +38,11 @@ HEADLINE = [
     "dedup_simhash",
     "text_stats",
     "ann_cosine_topk",
+    "w5_windowed_agg",
+    "rollup_pricing",
+    "distinct_agg",
+    "lag_rank_window",
+    "percentiles",
 ]
 
 

@@ -255,23 +255,54 @@ def simhash32(
 def simhash_near_pairs(
     signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by hamming distance over SimHash signatures.
+    """Near-dup pairs by hamming distance over SimHash signatures — banded.
 
-    All-pairs compare — appropriate after banding by signature prefix at
-    scale (bucket on the top 16 bits and compare within buckets); for
-    corpus-sized inputs used in tests, direct compare is fine.
+    Pigeonhole: split the 32-bit signature into ``max_hamming + 1`` bands;
+    any pair within ``max_hamming`` bit flips must agree exactly on at least
+    one band, so candidates = pairs sharing a (band, band_value) bucket, and
+    the exact hamming filter verifies.  Complete (no misses) and avoids the
+    O(n²) cross join — cost is Σ(bucket²) per band, i.e. only genuinely
+    similar signatures meet.
     """
-    a = signatures.alias("a")
-    b = signatures.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .where(ham <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
+    bands = max_hamming + 1
+    width = 32 // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
         )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
+    )
+    cand = (
+        banded.groupBy("band", "val")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(_pairs_from_sorted_ids("ids").alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
     )

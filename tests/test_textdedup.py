@@ -74,6 +74,43 @@ def test_simhash_identity_and_proximity(docs):
     assert (1, 3) in near  # near dup within 10 bits
 
 
+def test_simhash_banded_pairs_equal_bruteforce(spark):
+    """The banded candidate generation must find exactly the pairs a full
+    cross-join hamming comparison finds (pigeonhole completeness)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    base = rng.getrandbits(32)
+    sigs = [(0, base)]
+    for i in range(1, 60):
+        v = base
+        for _ in range(rng.randrange(0, 8)):  # flip 0-7 bits
+            v ^= 1 << rng.randrange(32)
+        sigs.append((i, v))
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .collect()
+    }
+    assert banded == brute and brute  # identical and non-trivial
+
+
 def test_cosine_mapinpandas_matches_expression(spark):
     import random
 
