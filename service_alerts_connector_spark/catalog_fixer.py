@@ -141,13 +141,13 @@ WITH bronze AS (
 ), timed AS (
   SELECT *,
          CASE WHEN regexp_matches(start_fix, '^[0-9]{2}:[0-9]{2}$')
-                   AND CAST(substr(start_fix, 1, 2) AS INTEGER) <= 23
-                   AND CAST(substr(start_fix, 4, 2) AS INTEGER) <= 59
+                   AND TRY_CAST(substr(start_fix, 1, 2) AS INTEGER) <= 23
+                   AND TRY_CAST(substr(start_fix, 4, 2) AS INTEGER) <= 59
               THEN CAST(strftime(effective_ts, '%Y-%m-%d') || ' ' || start_fix || ':00'
                         AS TIMESTAMP) END AS start_ts0,
          CASE WHEN regexp_matches(end_fix, '^[0-9]{2}:[0-9]{2}$')
-                   AND CAST(substr(end_fix, 1, 2) AS INTEGER) <= 23
-                   AND CAST(substr(end_fix, 4, 2) AS INTEGER) <= 59
+                   AND TRY_CAST(substr(end_fix, 1, 2) AS INTEGER) <= 23
+                   AND TRY_CAST(substr(end_fix, 4, 2) AS INTEGER) <= 59
               THEN CAST(strftime(effective_ts, '%Y-%m-%d') || ' ' || end_fix || ':00'
                         AS TIMESTAMP) END AS end_ts0
   FROM repaired
@@ -163,7 +163,7 @@ SELECT id, service_area,
        CASE planned_raw WHEN 'Planned' THEN TRUE
                         WHEN 'Unplanned' THEN FALSE END AS planned,
        CASE WHEN regexp_matches(trim(ref_raw), '^[0-9]{10}$')
-            THEN printf('%012d', CAST(trim(ref_raw) AS BIGINT)) END
+            THEN printf('%012d', TRY_CAST(trim(ref_raw) AS BIGINT)) END
          AS notification_number,
        strftime(CAST(publish_raw AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS publish_ts,
        strftime(expiry_raw + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS expiry_ts,
