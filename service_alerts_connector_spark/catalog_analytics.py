@@ -121,7 +121,47 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Frame-spec window — running (cumulative) totals per key
+# ---------------------------------------------------------------------------
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn(
+            "running_cents",
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w),
+        )
+        .where(F.col("event_id") % 25 == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("user_id").alias("uid"),
+            (F.col("running_cents") / 100.0).alias("running_value"),
+        )
+    )
+
+
+SQL_RUNNING = """
+SELECT event_id AS id, user_id AS uid,
+       running_cents / 100.0 AS running_value
+FROM (
+  SELECT event_id, user_id,
+         sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_cents
+  FROM events
+)
+WHERE event_id % 25 = 0
+"""
+
+
 ANALYTICS_QUERIES = {
+    "running_total": q_running_total,
     "rollup_pricing": q_rollup_pricing,
     "distinct_agg": q_distinct_agg,
     "lag_rank_window": q_lag_rank_window,
@@ -129,6 +169,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "running_total": SQL_RUNNING,
     "rollup_pricing": SQL_ROLLUP,
     "distinct_agg": SQL_DISTINCT,
     "lag_rank_window": SQL_LAG_RANK,
