@@ -224,11 +224,16 @@ Transport = Callable[[tuple[str, ...], str, str], None]  # (to, subject, html)
 def send_pending(
     pending: DataFrame,
     transport: Transport,
+    archive_root: str | None = None,
 ) -> DataFrame:
     """Render + send every pending email; returns the new sent-log rows
     (email_key, config_name, Id).  Collect is intentional: by construction
     (incremental cap upstream) this is ≤ tens of rows per batch — the
-    side-effecting edge, not a data-scale operator."""
+    side-effecting edge, not a data-scale operator.
+
+    ``archive_root`` archives each rendered HTML under its delivery key
+    (reference S11: a copy of every sent email lands in the object store,
+    ServiceAlertEmailer.py:820-826)."""
     rows = pending.collect()
     sent = []
     for r in rows:
@@ -239,6 +244,12 @@ def send_pending(
             f"Service Alert: {rec.get('title', '')}",
             html,
         )
+        if archive_root is not None:
+            from pathlib import Path
+
+            path = Path(archive_root) / f"{rec['email_key']}.html"
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(html)
         sent.append((rec["email_key"], rec["config_name"], rec[ID_COL]))
     spark = pending.sparkSession
     return spark.createDataFrame(

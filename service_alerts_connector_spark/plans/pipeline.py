@@ -25,7 +25,6 @@ from service_alerts_connector_spark.constants import (
     AUGMENTED_DATASET,
     SANITISED_DATASET,
 )
-from service_alerts_connector_spark.operators.dedup import upsert
 from service_alerts_connector_spark.plans.augmenter import (
     AugmenterConfig,
     augment,

@@ -16,7 +16,6 @@ from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from service_alerts_connector_spark.constants import ID_COL
 from service_alerts_connector_spark.operators.dedup import snapshot_diff

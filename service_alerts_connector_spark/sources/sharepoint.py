@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Any, Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from service_alerts_connector_spark.schemas import RAW_SCHEMA
 
