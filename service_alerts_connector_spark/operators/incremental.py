@@ -112,7 +112,8 @@ def backfill_unfinished(
     """ST5 — pull ≤ ``limit - count(new)`` cached rows that still lack
     enrichment (e.g. null tweet) back into the work set.
 
-    Reference ServiceAlertAugmenter.py:546-570: take the 2×n oldest
+    Reference ServiceAlertAugmenter.py:546-570 (``sort_values(by=
+    publish_date).tail(n*2)`` — SURVEY W2): take the 2×n *most recent*
     unfinished cache rows, sample n of them.  The reference's
     ``DataFrame.sample`` is unseeded; the engine seeds it for reproducibility
     (SURVEY §7(d)).  Count of `new` is a driver-side scalar — it gates an
@@ -125,7 +126,7 @@ def backfill_unfinished(
         return IncrementalSplit(new=new, kept=kept)
     candidates = (
         kept.filter(unfinished_predicate)
-        .orderBy(F.asc(order_col))
+        .orderBy(F.desc(order_col))
         .limit(budget * 2)
     )
     moving = candidates.orderBy(F.rand(seed)).limit(budget)
