@@ -239,9 +239,14 @@ def send_pending(
     for r in rows:
         rec = r.asDict()
         html = render_email_html(rec)
+        # ST7/X5 — updates get the "Updated" subject (reference
+        # ServiceAlertEmailer.py:693-696)
+        prefix = (
+            "Updated Service Alert" if rec.get("_is_update") else "Service Alert"
+        )
         transport(
             tuple(rec["recipients"]),
-            f"Service Alert: {rec.get('title', '')}",
+            f"{prefix}: {rec.get('title', '')}",
             html,
         )
         if archive_root is not None:

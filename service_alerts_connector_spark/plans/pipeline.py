@@ -109,12 +109,21 @@ def run_micro_batch(
         out_root=sinks.recon_root,
         notifier=sinks.notifier,
     )
-    write_dataset(rr.new_snapshot, state_root, SNAPSHOT_DATASET)
 
-    # email fan-out with durable sent-log (ST6)
+    # email fan-out with durable sent-log (ST6); alerts whose Id existed in
+    # the previous snapshot are updates → "Updated Service Alert" subject
     if sinks.email_transport is not None and sinks.email_configs:
         sent_log = _try_read(spark, state_root, SENTLOG_DATASET)
         pending = pending_emails(gold, sinks.email_configs, sent_log)
+        if prev_snapshot is not None:
+            from pyspark.sql import functions as F
+
+            prev_ids = prev_snapshot.select(
+                F.col("Id"), F.lit(True).alias("_is_update")
+            ).distinct()
+            pending = pending.join(prev_ids, "Id", "left").withColumn(
+                "_is_update", F.coalesce(F.col("_is_update"), F.lit(False))
+            )
         new_log = send_pending(pending, sinks.email_transport)
         merged_log = (
             new_log
@@ -122,5 +131,9 @@ def run_micro_batch(
             else sent_log.unionByName(new_log).distinct()
         )
         write_dataset(merged_log, state_root, SENTLOG_DATASET)
+
+    # snapshot write happens LAST: the email join reads prev_snapshot
+    # lazily, so its backing files must survive until the sends are done
+    write_dataset(rr.new_snapshot, state_root, SNAPSHOT_DATASET)
 
     return gold

@@ -87,3 +87,6 @@ def test_two_microbatch_pipeline(spark, tmp_path):
     # batches (sent-log idempotence) — plus one more when status changed
     # (new delivery key per status, reference ST6 semantics)
     assert len(outbox) == 2
+    subjects = sorted(s for _, s in outbox)
+    assert subjects[0].startswith("Service Alert:")  # first sight
+    assert subjects[1].startswith("Updated Service Alert:")  # status change
