@@ -160,7 +160,30 @@ WHERE event_id % 25 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Pivot — status counts per priority as columns
+# ---------------------------------------------------------------------------
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 ANALYTICS_QUERIES = {
+    "pivot_status": q_pivot_status,
     "running_total": q_running_total,
     "rollup_pricing": q_rollup_pricing,
     "distinct_agg": q_distinct_agg,
@@ -169,6 +192,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "pivot_status": SQL_PIVOT,
     "running_total": SQL_RUNNING,
     "rollup_pricing": SQL_ROLLUP,
     "distinct_agg": SQL_DISTINCT,
