@@ -182,7 +182,37 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# CUBE + grouping id — all grouping combinations, subtotal-nulls
+# disambiguated from data-nulls via GROUPING()
+# ---------------------------------------------------------------------------
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+        .withColumnsRenamed(
+            {"l_returnflag": "returnflag", "l_linestatus": "linestatus"}
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       count(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 ANALYTICS_QUERIES = {
+    "cube_grouping": q_cube_grouping,
     "pivot_status": q_pivot_status,
     "running_total": q_running_total,
     "rollup_pricing": q_rollup_pricing,
@@ -192,6 +222,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "cube_grouping": SQL_CUBE,
     "pivot_status": SQL_PIVOT,
     "running_total": SQL_RUNNING,
     "rollup_pricing": SQL_ROLLUP,
