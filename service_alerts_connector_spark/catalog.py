@@ -965,6 +965,59 @@ GROUP BY date_trunc('hour', ts), event_type
 
 
 # ---------------------------------------------------------------------------
+# J4 — composite-key dimension lookup with build-side name normalization
+# (reference area-polygon lookup by (area_type, area) with str.strip()'d
+# names, ServiceAlertAugmenter.py:509-535) — exercised through the engine's
+# area_lookup_join over synthetically dirtied keys.
+# ---------------------------------------------------------------------------
+def q_j4_composite_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.operators.spatial import (
+        area_lookup_join,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    # dimension: one row per (brand, type) with a synthetic "polygon" id;
+    # dirty names: padded + upper-cased on the build side
+    dim = (
+        part.groupBy("p_brand", "p_type")
+        .agg(F.min("p_partkey").alias("dim_id"))
+        .select(
+            F.col("p_brand").alias("area_type"),
+            F.concat(F.lit("  "), F.upper(F.col("p_type")), F.lit(" ")).alias(
+                "area"
+            ),
+            F.concat(F.lit("POLY-"), F.col("dim_id").cast("string")).alias(
+                "WKT"
+            ),
+        )
+    )
+    probe = part.where(F.col("p_partkey") % 9 == 0).select(
+        F.col("p_partkey").alias("Id"),
+        F.col("p_brand").alias("area_type"),
+        F.col("p_type").alias("area"),
+    )
+    return area_lookup_join(probe, dim).select(
+        "Id", F.col("area_wkt").alias("polygon_ref")
+    )
+
+
+SQL_J4 = """
+WITH dim AS (
+  SELECT p_brand AS area_type,
+         '  ' || upper(p_type) || ' ' AS area,
+         'POLY-' || CAST(min(p_partkey) AS VARCHAR) AS wkt
+  FROM part GROUP BY p_brand, p_type
+)
+SELECT p.p_partkey AS Id, d.wkt AS polygon_ref
+FROM part p
+LEFT JOIN dim d
+  ON p.p_brand = d.area_type
+ AND lower(trim(p.p_type)) = lower(trim(d.area))
+WHERE p.p_partkey % 9 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog assembly
 # ---------------------------------------------------------------------------
 CORE_QUERIES: dict[str, QueryFn] = {
@@ -995,6 +1048,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
     "f17_array_ops": q_f17_array_ops,
     "config_join_fanout": q_config_join_fanout,
     "w5_windowed_agg": q_w5_windowed_agg,
+    "j4_composite_lookup": q_j4_composite_lookup,
 }
 
 CORE_ORACLES: dict[str, str] = {
@@ -1025,4 +1079,5 @@ CORE_ORACLES: dict[str, str] = {
     "f17_array_ops": SQL_F17,
     "config_join_fanout": SQL_CONFIG_FANOUT,
     "w5_windowed_agg": SQL_W5,
+    "j4_composite_lookup": SQL_J4,
 }

@@ -72,6 +72,33 @@ def q_x3_stub_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("Id")
 
 
+def q_x2_stub_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — LLM location extraction (array<array<string>> output with
+    JSON-shape repair) via the deterministic stub client."""
+    from service_alerts_connector_spark.enrichment.llm import (
+        extract_locations,
+    )
+
+    alerts = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 25)
+        .select(
+            F.col("doc_id").alias("Id"),
+            F.col("text").alias("description"),
+        )
+    )
+    out = extract_locations(
+        alerts,
+        [StubLLMClient("locations")],
+        lambda rec: f"Extract locations from: {rec.get('description', '')[:150]}",
+    )
+    return out.select(
+        "Id",
+        F.size(F.flatten("suggested_locations")).alias("n_suggestions"),
+        F.array_join(F.flatten("suggested_locations"), "|").alias("joined"),
+    ).orderBy("Id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary media column (synthesized from text
     bytes) through the Arrow-batched decode-stub feature extractor."""
@@ -157,6 +184,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES = {
     "x1_stub_drafts": q_x1_stub_drafts,
+    "x2_stub_locations": q_x2_stub_locations,
     "x3_stub_geocode": q_x3_stub_geocode,
     "multimodal_features": q_multimodal_features,
     "geo_overlay": q_geo_overlay,
