@@ -1,0 +1,49 @@
+"""Driver-contract invariants for __spark_entry__: no silent name
+collisions between catalog modules, every oracle has a query, and the
+rows-only set is exactly the documented non-SQL-expressible operators."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+EXPECTED_ROWS_ONLY = {
+    "x1_stub_drafts",
+    "x2_stub_locations",
+    "x3_stub_geocode",
+    "multimodal_features",
+    "geo_overlay",
+    "ann_ivf",
+}
+
+
+def test_no_name_collisions():
+    from service_alerts_connector_spark.catalog import CORE_QUERIES
+    from service_alerts_connector_spark.catalog_analytics import (
+        ANALYTICS_QUERIES,
+    )
+    from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
+    from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES
+    from service_alerts_connector_spark.catalog_text import TEXT_QUERIES
+
+    parts = [
+        CORE_QUERIES,
+        TEXT_QUERIES,
+        FIXER_QUERIES,
+        ANALYTICS_QUERIES,
+        EXTRA_QUERIES,
+    ]
+    total = sum(len(p) for p in parts)
+    assert len(E.queries()) == total  # a collision would silently drop one
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert set(qs) - set(oracles) == EXPECTED_ROWS_ONLY
+
+
+def test_all_queries_are_callables():
+    for name, fn in E.queries().items():
+        assert callable(fn), name
+    for name, sql in E.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
