@@ -328,7 +328,53 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (token tiebreak) —
+    the fan-in aggregation every corpus pipeline runs for vocab builds."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.tokens(F.col("text")).alias("_toks"))
+        .select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB = r"""
+SELECT t AS token, count(*) AS freq
+FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+)
+GROUP BY t ORDER BY freq DESC, t ASC LIMIT 50
+"""
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram in 50-char buckets — the length-filter design
+    input for corpus quality gates."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LENGTH_HIST = """
+SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY bucket
+"""
+
+
 TEXT_QUERIES = {
+    "text_vocab_topk": q_text_vocab_topk,
+    "text_length_histogram": q_text_length_histogram,
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -343,6 +389,8 @@ TEXT_QUERIES = {
 }
 
 TEXT_ORACLES = {
+    "text_vocab_topk": SQL_VOCAB,
+    "text_length_histogram": SQL_LENGTH_HIST,
     "text_stats": SQL_TEXT_STATS,
     "text_lang_id": SQL_LANG_ID,
     "text_quality": SQL_QUALITY,
