@@ -353,13 +353,18 @@ WHERE NOT EXISTS (
 # (reference ServiceAlertAugmenter.py:679-681 inferred_suburbs)
 # ---------------------------------------------------------------------------
 def q_a1_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The grouped set is surfaced as a comma-joined string: the external
+    # driver's canonicalizer pandas-sorts result cells and cannot hash
+    # list-typed values (round-1 red row).  The array-typed variant stays
+    # covered by tests/test_catalog_oracle.py::test_a1_array_variant.
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_orderkey") % 50 == 0)
         .groupBy(F.col("l_orderkey").alias("id"))
         .agg(
-            F.array_sort(
-                F.collect_set(F.col("l_suppkey").cast("string"))
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("l_suppkey").cast("string"))),
+                ",",
             ).alias("suppliers"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -368,7 +373,8 @@ def q_a1_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_A1 = """
 SELECT l_orderkey AS id,
-       list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))) AS suppliers,
+       array_to_string(list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))), ',')
+         AS suppliers,
        count(*) AS n_items
 FROM lineitem WHERE l_orderkey % 50 = 0
 GROUP BY l_orderkey

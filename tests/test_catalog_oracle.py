@@ -50,3 +50,31 @@ def test_matches_oracle(spark, duck, name):
     assert r["cols_match"], f"{name}: {r['spark_cols']} != {r['duck_cols']}"
     assert r["count_match"], f"{name}: {r['spark_count']} != {r['duck_count']}"
     assert r["values_match"], f"{name}: value mismatch {r.get('sample_diffs')}"
+
+
+def test_a1_array_variant(spark, duck):
+    """Array-typed collect_set (the driver-facing q_a1_collect_list now joins
+    to a string because the external canonicalizer cannot hash list cells;
+    this pins the original array<string> semantics)."""
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.catalog import _t
+
+    li = _t(spark, SF_DIR, "lineitem")
+    df = (
+        li.where(F.col("l_orderkey") % 50 == 0)
+        .groupBy(F.col("l_orderkey").alias("id"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("l_suppkey").cast("string"))
+            ).alias("suppliers")
+        )
+    )
+    sql = """
+    SELECT l_orderkey AS id,
+           list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))) AS suppliers
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey
+    """
+    r = compare(df, duck, sql)
+    assert r["cols_match"] and r["count_match"] and r["values_match"], r
