@@ -12,6 +12,7 @@ from service_alerts_connector_spark.functions import text as TX
 from service_alerts_connector_spark.operators.similarity import (
     bucketed_cosine_topk,
     cosine_topk,
+    seeded_hyperplanes,
 )
 from service_alerts_connector_spark.operators.textdedup import (
     exact_dedup_groups,
@@ -272,60 +273,133 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def _sql_proj(vec: str, plane: list[tuple[int, int]]) -> str:
+    """<vec, sparse ±1 plane> as a left-associated explicit sum — the
+    identical IEEE op sequence `projection_expr` builds in Spark, so bucket
+    signs are bit-equal across engines (operators/similarity docstring)."""
+    parts = []
+    for i, (d, s) in enumerate(plane):
+        if i == 0:
+            parts.append(("-" if s < 0 else "") + f"{vec}[{d + 1}]")
+        else:
+            parts.append(("- " if s < 0 else "+ ") + f"{vec}[{d + 1}]")
+    return " ".join(parts)
+
+
+def _sql_bucket(vec: str, planes: list[list[tuple[int, int]]]) -> str:
+    cases = [
+        f"CASE WHEN ({_sql_proj(vec, p)}) > 0 THEN {2 ** j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(cases) + ")"
+
+
+_ANN_PLANES = seeded_hyperplanes(8, 64, seed=7)
+
+
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return bucketed_cosine_topk(
-        emb, _query_vec(spark, sf_dir), k=5, n_planes=3
+        emb, _query_vec(spark, sf_dir), k=5, n_planes=8, seed=7, hamming=1
     )
 
 
-SQL_ANN_BUCKETED = """
+SQL_ANN_BUCKETED = f"""
 WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qe,
-         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-          + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS qbucket
-  FROM embeddings WHERE vec_id = 0
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), qb AS (
+  SELECT qe, {_sql_bucket("qe", _ANN_PLANES)} AS qbucket FROM q
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), s AS (
   SELECT vec_id,
-         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
-               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                        CAST(embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(qe, qe))), 6) AS cos
-  FROM embeddings, q
-  WHERE (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-         + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-         + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) = qbucket
+         round(list_dot_product(v, qe)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))),
+               6) AS cos
+  FROM e, qb
+  WHERE {_sql_bucket("v", _ANN_PLANES)} IN
+        (qbucket, {", ".join(f"xor(qbucket, {1 << j})" for j in range(8))})
 )
 SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
+_NDUP_PLANES = seeded_hyperplanes(32, 64, seed=7)
+_NDUP_BANDS = 4
+_NDUP_SHIFT = 10_000_000  # > any vec_id at any scale factor
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup extraction over a corpus that *contains* duplicates: the
+    embeddings table unioned with an id-shifted copy of itself.  Exact
+    duplicates (cosine 1.0) are recalled by banded sign-LSH under any
+    banding, so the oracled row count is deterministic; recall at
+    near-threshold cosines is the measured, documented approximation
+    (tests/test_textdedup.py recall tests)."""
     from service_alerts_connector_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.5, n_planes=2)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(_NDUP_SHIFT)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(shifted)
+    return embedding_near_dup_pairs(
+        corpus, threshold=0.9, n_planes=32, n_bands=_NDUP_BANDS, seed=7
+    )
 
 
-SQL_DEDUP_EMB = """
-WITH b AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
-          + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bk
-  FROM embeddings
+def _sql_band_bucket(
+    vec: str, planes: list[list[tuple[int, int]]], band: int, r: int
+) -> str:
+    cases = [
+        f"CASE WHEN ({_sql_proj(vec, planes[band * r + i])}) > 0"
+        f" THEN {2 ** i} ELSE 0 END"
+        for i in range(r)
+    ]
+    return "(" + " + ".join(cases) + ")"
+
+
+def _sql_dedup_emb() -> str:
+    r = len(_NDUP_PLANES) // _NDUP_BANDS
+    band_cols = ",\n         ".join(
+        f"{_sql_band_bucket('v', _NDUP_PLANES, b, r)} AS bb{b}"
+        for b in range(_NDUP_BANDS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS ia, c.vec_id AS ib FROM b a JOIN b c"
+        f" ON a.bb{b} = c.bb{b} AND a.vec_id < c.vec_id"
+        for b in range(_NDUP_BANDS)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + {_NDUP_SHIFT} AS vec_id, v FROM e0
+), b AS (
+  SELECT vec_id, v,
+         {band_cols}
+  FROM u
+), cand AS (
+{cand_union}
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-FROM b a JOIN b b ON a.bk = b.bk AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+SELECT ia AS id_a, ib AS id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+FROM cand
+JOIN u ea ON ea.vec_id = ia
+JOIN u eb ON eb.vec_id = ib
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v))
+               * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
 """
+
+
+SQL_DEDUP_EMB = _sql_dedup_emb()
 
 
 def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

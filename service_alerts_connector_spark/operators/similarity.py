@@ -1,27 +1,51 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Tiers:
 
 * ``cosine_topk``        — brute-force cosine against a query vector as a
                            pure expression plan (zip_with/aggregate fold —
                            JVM-side, codegen'd).  The correctness baseline.
-* ``bucketed_cosine_topk`` — sign-LSH bucketing (hyperplane signs): probe
-                           only the query's bucket.  The scale path: at 100 TB
-                           the table is written bucketed/partitioned by this
-                           key, so a query prunes to one bucket's files.
+* ``bucketed_cosine_topk`` — random-hyperplane sign-LSH bucketing with
+                           Hamming-distance multi-probe: probe the query's
+                           bucket plus its single-bit-flip neighbours.  The
+                           scale path: at 100 TB the table is written
+                           bucketed/partitioned by this key, so a query
+                           prunes to ``1 + n_planes`` buckets' files.
+* ``embedding_near_dup_pairs`` — banded sign-LSH candidate generation
+                           (MinHash-LSH shape: explode band buckets, one
+                           groupBy, capped sorted-id pair expansion) verified
+                           by exact cosine.
 * ``cosine_topk_mapinpandas`` — Arrow-batched NumPy matmul variant of the
                            brute force (per-partition partial top-k, then
                            global merge) — the pattern to swap in when the
                            embedding dimension/corpus makes expression folds
                            uncompetitive.
 
-Cosines are rounded to 6 dp before ranking, with the id as tiebreak, so
-results are deterministic and engine-portable.
+Determinism and engine portability:
+
+* Cosines are rounded to 6 dp before ranking, with the id as tiebreak.
+* Hyperplanes are pseudo-random but *derived from md5 of (seed, plane, dim)*
+  and rounded to 6 dp, so an oracle in any engine regenerates the identical
+  constants (see ``seeded_hyperplanes``).
+* Projections are built as explicit left-associated sums — the same IEEE
+  add/mul sequence an oracle's left-associated SQL ``v[1]*c1 + v[2]*c2 + …``
+  performs — so bucket *signs* are bit-identical across engines, never
+  at the mercy of an engine's summation order.
+
+Recall (documented approximation): sign-LSH with ``P`` planes split into
+``B`` bands of ``r = P/B`` bits has pair-recall ``1 - (1 - p^r)^B`` where
+``p = 1 - acos(cos_sim)/pi``.  The defaults (32 planes, 4 bands of 8) give
+~0.75 recall at cosine 0.9 while pruning a random-pair space by ~B/2^r =
+1/64.  Exact duplicates (cosine 1.0) are always recalled.  Raise ``n_bands``
+(narrower bands) for higher recall at higher candidate cost; raise
+``n_planes`` with band width held for both.  The brute-force tier is the
+recall-1.0 baseline.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import hashlib
+from typing import Iterator, Sequence
 
 import pandas as pd
 
@@ -72,20 +96,81 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec_col: Column, n_planes: int = 3) -> Column:
-    """Sign-LSH bucket id from the signs of the first ``n_planes`` axis
-    projections (deterministic, engine-portable).  A production variant
-    would use seeded random hyperplanes via a broadcast plane matrix; axis
-    planes keep the operator expression-only."""
-    bits = [
-        F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2 ** (n_planes - 1 - i)))
-        .otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
+# A plane is a sparse list of (dim_index, sign) with sign in {+1, -1}.
+SparsePlane = Sequence[tuple[int, int]]
+
+
+def seeded_hyperplanes(
+    n_planes: int, dim: int, seed: int = 7, nnz: int | None = None
+) -> list[list[tuple[int, int]]]:
+    """Deterministic *sparse ±1* random hyperplanes (database-friendly
+    random projections, Achlioptas 2003): plane p touches the ``nnz`` dims
+    with the lowest ``md5(f"hp:{seed}:{p}:{d}")`` digest, each with an
+    md5-derived sign.  Engine-portable by construction — any oracle
+    regenerates identical planes from the recipe, the projection is a short
+    exact ±element sum (no float literals), and the per-plane expression is
+    ``nnz`` add/subs, so 32 banded planes stay comfortably inside
+    whole-stage codegen's 64 KB method limit (a dense 64-dim plane matrix
+    provably does not).  Sparse sign projections approximate the
+    1 - θ/π collision law of dense Gaussian planes; exact duplicates always
+    collide.  The recall tests measure the approximation."""
+    nnz = nnz if nnz is not None else max(4, dim // 8)
+    planes: list[list[tuple[int, int]]] = []
+    for p in range(n_planes):
+        scored = sorted(
+            (hashlib.md5(f"hp:{seed}:{p}:{d}".encode()).hexdigest(), d)
+            for d in range(dim)
+        )
+        plane = sorted(
+            (d, 1 if int(h[-1], 16) % 2 == 0 else -1) for h, d in scored[:nnz]
+        )
+        planes.append(plane)
+    return planes
+
+
+def projection_expr(vec_col: Column, plane: SparsePlane) -> Column:
+    """<vec, plane> as an explicit left-associated ± sum in ascending dim
+    order — the identical IEEE op sequence an oracle's left-associated
+    ``±v[d1] ± v[d2] ± …`` performs, so sign decisions are bit-portable."""
+    e: Column | None = None
+    for d, s in plane:
+        term = F.element_at(vec_col, d + 1)
+        if e is None:
+            e = term if s > 0 else -term
+        else:
+            e = (e + term) if s > 0 else (e - term)
+    assert e is not None
+    return e
+
+
+def hyperplane_bucket(vec_col: Column, planes: Sequence[SparsePlane]) -> Column:
+    """Sign-LSH bucket id: bit j (weight 2**j) is set iff <vec, plane_j> > 0."""
+    total: Column | None = None
+    for j, plane in enumerate(planes):
+        bit = F.when(projection_expr(vec_col, plane) > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+        total = bit if total is None else total + bit
+    assert total is not None
     return total
+
+
+def query_bucket(query_vec: Sequence[float], planes: Sequence[SparsePlane]) -> int:
+    """Driver-side bucket of a literal query vector — the same left-assoc
+    float arithmetic as ``projection_expr`` so the probe set matches."""
+    bits = 0
+    for j, plane in enumerate(planes):
+        acc: float | None = None
+        for d, s in plane:
+            term = float(query_vec[d])
+            if acc is None:
+                acc = term if s > 0 else -term
+            else:
+                acc = (acc + term) if s > 0 else (acc - term)
+        assert acc is not None
+        if acc > 0:
+            bits += 2**j
+    return bits
 
 
 def bucketed_cosine_topk(
@@ -94,18 +179,28 @@ def bucketed_cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 3,
+    n_planes: int = 8,
+    seed: int = 7,
+    hamming: int = 1,
 ) -> DataFrame:
-    """ANN: restrict the scan to the query's sign-LSH bucket, then exact
-    cosine top-k within it.  With the table partitioned by bucket this is a
-    partition-pruned scan of ~1/2^n_planes of the data."""
-    qbits = 0
-    for i in range(n_planes):
-        if float(query_vec[i]) > 0:
-            qbits += 2 ** (n_planes - 1 - i)
+    """ANN: restrict the scan to the query's random-hyperplane sign-LSH
+    bucket plus (``hamming=1`` multi-probe) its single-bit-flip neighbours,
+    then exact cosine top-k within the probed set.
+
+    With the table written partitioned by ``bucket`` this is a
+    partition-pruned scan of ``(1 + n_planes)/2**n_planes`` of the data
+    (9/256 at the default 8 planes).  Multi-probe recovers most of the
+    recall lost to near-zero projections flipping sign (the classic
+    single-bucket sign-LSH failure mode).  ``n_planes`` should scale with
+    corpus size — log2(n / target_bucket_rows); 8 suits the sf test tables,
+    16–32 a 100 TB corpus."""
+    dim = len(query_vec)
+    planes = seeded_hyperplanes(n_planes, dim, seed)
+    qb = query_bucket(query_vec, planes)
+    probes = [qb] if hamming == 0 else [qb] + [qb ^ (1 << j) for j in range(n_planes)]
     bucketed = df.withColumn(
-        "bucket", sign_bucket(F.col(vec_col).cast("array<double>"), n_planes)
-    ).where(F.col("bucket") == F.lit(qbits))
+        "bucket", hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes)
+    ).where(F.col("bucket").isin(probes))
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
@@ -195,53 +290,162 @@ def ivf_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def banded_bucket_cols(
+    vec_col: Column,
+    planes: Sequence[Sequence[float]],
+    n_bands: int,
+) -> list[Column]:
+    """One sign-LSH bucket id per band: band b packs the signs of planes
+    [b*r, (b+1)*r) into an int (bit i of the band ← plane b*r+i)."""
+    r = len(planes) // n_bands
+    out = []
+    for b in range(n_bands):
+        total: Column | None = None
+        for i in range(r):
+            bit = F.when(
+                projection_expr(vec_col, planes[b * r + i]) > 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+            total = bit if total is None else total + bit
+        assert total is not None
+        out.append(total)
+    return out
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 2,
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup detection: candidate pairs from a sign-LSH
-    bucketed self-join, verified by exact cosine ≥ threshold.
+    """Embedding-cosine near-dup detection: banded random-hyperplane
+    sign-LSH candidates (pairs sharing ≥1 band bucket), verified by exact
+    cosine ≥ threshold.
 
-    The bucket equi-join keeps the pair space at Σ(bucket²) instead of n² —
-    with b buckets of even size that is n²/b; near-identical vectors share
-    sign buckets by construction (opposite-sign components would already
-    make them dissimilar).  Scale path: write the table partitioned by
-    bucket → the self-join becomes partition-local.
-    """
+    MinHash-LSH shape, one shuffle for candidate generation: explode each
+    id into its ``n_bands`` (band, bucket) cells, groupBy cell collecting a
+    *sorted, capped* id array, expand (a < b) pairs per cell with an
+    expression (no recomputing self-join), distinct, then join the vectors
+    back for exact verification (AQE broadcasts the lookup when the table
+    is small; at 100 TB it is a co-partitioned shuffle join on the id — the
+    correct plan either way).
+
+    ``max_bucket`` caps a cell's id array before pair expansion so one
+    degenerate bucket (billions of identical boilerplate vectors) cannot
+    become a single unsplittable row with O(bucket²) pairs: the sorted
+    array is sliced to the cap (keep-lowest-ids, deterministic) and the
+    overflow is surfaced in the companion audit ``bucket_overflow_stats``.
+    Recall model in the module docstring; defaults (32 planes, 4 bands of
+    8 bits) prune a random-pair space ~64× and recall ~0.75 at cosine 0.9,
+    1.0 for exact duplicates."""
+    dim = _infer_dim(df, vec_col)
+    planes = seeded_hyperplanes(n_planes, dim, seed)
     v = F.col(vec_col).cast("array<double>")
-    bucketed = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(v, n_planes).alias("_b")
-    )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pair_cos = F.round(
-        _dot(
-            F.col(f"a.{vec_col}").cast("array<double>"),
-            F.col(f"b.{vec_col}").cast("array<double>"),
+    bands = banded_bucket_cols(v, planes, n_bands)
+    cells = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bands[b].alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("cell"),
+    ).select(id_col, F.col("cell.band").alias("band"), F.col("cell.bucket").alias("bucket"))
+    candidates = (
+        cells.groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.col(id_col))), 1, max_bucket
+            ).alias("ids")
         )
-        / (
-            _norm(F.col(f"a.{vec_col}").cast("array<double>"))
-            * _norm(F.col(f"b.{vec_col}").cast("array<double>"))
-        ),
+        .where(F.size("ids") > 1)
+        .select(_pair_explode("ids"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), v.alias("_v"))
+    pair_cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a._b") == F.col("b._b"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        candidates.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b"
         )
         .withColumn("cos", pair_cos)
         .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def bucket_overflow_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit for the ``max_bucket`` cap: cells whose population exceeds the
+    cap, with the overflow count — run alongside near-dup extraction so a
+    truncation never passes silently."""
+    dim = _infer_dim(df, vec_col)
+    planes = seeded_hyperplanes(n_planes, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bands = banded_bucket_cols(v, planes, n_bands)
+    cells = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bands[b].alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("cell"),
+    ).select(id_col, F.col("cell.band"), F.col("cell.bucket"))
+    return (
+        cells.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cos",
+            "band",
+            "bucket",
+            "n_ids",
+            (F.col("n_ids") - max_bucket).alias("n_overflow"),
         )
     )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the schema when it is a fixed-size
+    metadata field, else from one bounded head row (dimension is a property
+    of the embedding model, constant per table)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head(1)
+    if not row:
+        raise ValueError(f"cannot infer dim of empty {vec_col}")
+    return int(row[0]["d"])
+
+
+def _pair_explode(ids_col: str):
+    """All (a < b) pairs from a sorted id array — expression-only pair
+    generation inside a bucket (no recomputing self-join)."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform({ids_col}, (x, i) -> "
+            f"transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
+            f"y -> struct(x AS id_a, y AS id_b))))"
+        )
+    ).alias("p")
 
 
 def cosine_topk_mapinpandas(

@@ -123,14 +123,9 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 8,
-    bands: int = 4,
+def _banded_minhash(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Band the signature and self-join on (band, band_hash) → (id_a < id_b)
-    candidate pairs.  rows-per-band = num_hashes // bands."""
     rows_per = num_hashes // bands
     band_cols = [
         F.struct(
@@ -143,19 +138,67 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash) → (id_a < id_b)
+    candidate pairs.  rows-per-band = num_hashes // bands.
+
+    ``max_bucket`` caps a bucket's sorted id array before pair expansion so
+    a pathological bucket (billions of identical boilerplate docs) cannot
+    become one unsplittable row with O(bucket²) pairs; the slice keeps the
+    lowest ids (deterministic) and ``lsh_bucket_overflow`` audits what was
+    dropped.  In a dedup pipeline the cap loses nothing semantically: a
+    bucket that large is one duplicate class, and the kept ids still link
+    every retained member to the class representative."""
+    banded = _banded_minhash(signatures, id_col, num_hashes, bands)
     # Pair generation per bucket from a sorted id array: one aggregation, no
     # self-join (a self-join would re-run the whole signature computation on
     # both sides and shuffle twice).
     return (
         banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.col(id_col))), 1, max_bucket
+            ).alias("ids")
+        )
         .where(F.size("ids") > 1)
         .select(_pairs_from_sorted_ids("ids").alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_overflow(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit for ``lsh_candidate_pairs``'s cap: (band, bucket, n_ids,
+    n_overflow) for every bucket that exceeded ``max_bucket`` — run
+    alongside dedup so a truncation never passes silently."""
+    banded = _banded_minhash(signatures, id_col, num_hashes, bands)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket)
+        .select(
+            "band",
+            "bucket",
+            "n_ids",
+            (F.col("n_ids") - max_bucket).alias("n_overflow"),
+        )
     )
 
 
@@ -253,7 +296,10 @@ def simhash32(
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by hamming distance over SimHash signatures — banded.
 
@@ -263,6 +309,11 @@ def simhash_near_pairs(
     the exact hamming filter verifies.  Complete (no misses) and avoids the
     O(n²) cross join — cost is Σ(bucket²) per band, i.e. only genuinely
     similar signatures meet.
+
+    ``max_bucket`` caps a bucket's sorted id array before pair expansion
+    (keep-lowest-ids, deterministic) — see ``lsh_candidate_pairs``; beyond
+    the cap the pigeonhole completeness guarantee applies to the retained
+    ids only, and ``simhash_bucket_overflow`` audits the truncation.
     """
     bands = max_hamming + 1
     width = 32 // bands
@@ -287,7 +338,11 @@ def simhash_near_pairs(
     )
     cand = (
         banded.groupBy("band", "val")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(F.col(id_col))), 1, max_bucket
+            ).alias("ids")
+        )
         .where(F.size("ids") > 1)
         .select(_pairs_from_sorted_ids("ids").alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
@@ -305,4 +360,39 @@ def simhash_near_pairs(
         .join(sb, "id_b")
         .where(ham <= max_hamming)
         .select("id_a", "id_b", ham.alias("hamming"))
+    )
+
+
+def simhash_bucket_overflow(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit for ``simhash_near_pairs``'s cap — buckets exceeding
+    ``max_bucket`` with their overflow counts."""
+    bands = max_hamming + 1
+    width = 32 // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("val"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    return (
+        banded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket)
+        .select(
+            "band",
+            "val",
+            "n_ids",
+            (F.col("n_ids") - max_bucket).alias("n_overflow"),
+        )
     )

@@ -171,3 +171,139 @@ def test_bucketed_ann_subset_of_bucket(spark):
     out = bucketed_cosine_topk(emb, q, k=5, n_planes=3).collect()
     assert len(out) == 5
     assert out[0]["vec_id"] == 5  # query vector is in its own bucket, top hit
+
+
+def _planted_corpus(spark, n=100, dim=64, sigma=0.045, seed=123):
+    """n unit vectors + a noisy copy of each at cosine ~0.91-0.96."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, (n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base + rng.normal(0, sigma, base.shape)
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    cos = (base * noisy).sum(axis=1)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)] + [
+        (1000 + i, [float(x) for x in noisy[i]]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, cos
+
+
+def test_embedding_near_dup_recall_vs_bruteforce(spark):
+    """Banded sparse sign-LSH recall at cosine ~0.91-0.96 against the
+    brute-force truth — pins the documented recall approximation (theory
+    ~0.86 at the 32-plane/4-band default for this cosine band)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df, cos = _planted_corpus(spark)
+    true_pairs = {
+        (i, 1000 + i) for i in range(100) if round(float(cos[i]), 6) >= 0.9
+    }
+    assert len(true_pairs) >= 95  # the planting really is above threshold
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert got <= true_pairs  # exact-cosine verification: no false positives
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.8, f"LSH recall degraded: {recall}"
+
+
+def test_embedding_near_dup_exact_dups_recall_is_1(spark):
+    """Exact duplicates collide in every band — recall 1.0 by construction
+    (the invariant the oracled catalog demo relies on)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df, _ = _planted_corpus(spark, n=40)
+    base = df.where(F.col("vec_id") < 1000)
+    corpus = base.unionByName(
+        base.select((F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in embedding_near_dup_pairs(corpus, threshold=0.99).collect()
+    }
+    assert got == {(i, 5000 + i, 1.0) for i in range(40)}
+
+
+def test_bucket_cap_bounds_pairs_and_reports_overflow(spark):
+    """A degenerate all-identical corpus cannot explode pair expansion:
+    the per-cell id array is capped (keep-lowest-ids) and the overflow is
+    surfaced by the audit operator."""
+    from service_alerts_connector_spark.operators.similarity import (
+        bucket_overflow_stats,
+        embedding_near_dup_pairs,
+    )
+
+    vec = [1.0 if d % 3 == 0 else -0.5 for d in range(64)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.99, max_bucket=50
+    ).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(50))  # deterministic keep-lowest-ids slice
+    assert len(pairs) == 50 * 49 // 2
+    audit = bucket_overflow_stats(df, max_bucket=50).collect()
+    assert audit and all(r["n_ids"] == 300 and r["n_overflow"] == 250 for r in audit)
+    # 4 bands x 1 populated cell each
+    assert len(audit) == 4
+
+
+def test_minhash_lsh_cap_on_identical_corpus(spark):
+    """All-identical corpus: every doc lands in one bucket per band; the
+    cap bounds pair expansion to C(cap, 2) over the lowest ids and the
+    audit reports the overflow."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        lsh_bucket_overflow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(120)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(
+        sigs, num_hashes=8, bands=4, max_bucket=30
+    ).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(30))
+    assert len(pairs) == 30 * 29 // 2
+    audit = lsh_bucket_overflow(sigs, num_hashes=8, bands=4, max_bucket=30)
+    rows = audit.collect()
+    assert len(rows) == 4  # one saturated bucket per band
+    assert all(r["n_ids"] == 120 and r["n_overflow"] == 90 for r in rows)
+
+
+def test_simhash_cap_on_identical_corpus(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        simhash_bucket_overflow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(80)], "doc_id long, text string"
+    )
+    sigs = simhash32(docs)
+    pairs = simhash_near_pairs(sigs, max_hamming=3, max_bucket=20).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert ids == set(range(20))
+    assert len(pairs) == 20 * 19 // 2
+    rows = simhash_bucket_overflow(sigs, max_hamming=3, max_bucket=20).collect()
+    assert len(rows) == 4
+    assert all(r["n_ids"] == 80 and r["n_overflow"] == 60 for r in rows)
+
+
+def test_ann_bucketed_multiprobe_finds_strong_neighbor(spark):
+    """Multi-probe sign-LSH ANN: a planted strong neighbour (cos ~0.95) of
+    the query lands in the probe set and ranks first."""
+    df, cos = _planted_corpus(spark, n=60)
+    q_row = df.where(F.col("vec_id") == 3).collect()[0]
+    q = [float(x) for x in q_row["embedding"]]
+    out = bucketed_cosine_topk(df, q, k=3, n_planes=8, hamming=1).collect()
+    assert out[0]["vec_id"] == 3 and out[0]["cos"] == 1.0
+    assert out[1]["vec_id"] == 1003  # the noisy copy is the next hit
