@@ -187,6 +187,86 @@ def intersection_area(pa: Polygon, pb: Polygon) -> float:
     return min(a1, a2)
 
 
+def merge_bboxes(
+    boxes: list[tuple[float, float, float, float]]
+) -> tuple[float, float, float, float] | None:
+    """Union bbox of a list of bboxes (None for an empty list)."""
+    if not boxes:
+        return None
+    return (
+        min(b[0] for b in boxes),
+        min(b[1] for b in boxes),
+        max(b[2] for b in boxes),
+        max(b[3] for b in boxes),
+    )
+
+
+def bboxes_overlap(
+    a: tuple[float, float, float, float],
+    b: tuple[float, float, float, float],
+) -> bool:
+    return not (a[0] > b[2] or b[0] > a[2] or a[1] > b[3] or b[1] > a[3])
+
+
+class GridIndex:
+    """Uniform-grid spatial index over feature bboxes.
+
+    Built once per task from the broadcast layer; ``candidates(bbox)``
+    returns only the feature indices whose grid cells overlap the query
+    bbox, cutting the exact-geometry candidate set from O(features) to
+    O(features in nearby cells).  This is the single-node analogue of the
+    spatial partitioning Sedona's ST_Intersects join does cluster-wide
+    (reference overlay: ServiceAlertAugmenter.py:649-681 relies on
+    geopandas' R-tree for the same pruning).
+
+    Cell count scales with sqrt(n) per axis (capped at 256) so average
+    occupancy stays O(1) for uniformly spread layers; features spanning
+    multiple cells are registered in each.
+    """
+
+    def __init__(
+        self,
+        bboxes: list[tuple[float, float, float, float] | None],
+        max_cells_per_axis: int = 256,
+    ):
+        present = [(i, b) for i, b in enumerate(bboxes) if b is not None]
+        self._cells: dict[tuple[int, int], list[int]] = {}
+        self._minx = self._miny = 0.0
+        self._sx = self._sy = 1.0
+        self._nx = self._ny = 1
+        if not present:
+            return
+        minx = min(b[0] for _, b in present)
+        miny = min(b[1] for _, b in present)
+        maxx = max(b[2] for _, b in present)
+        maxy = max(b[3] for _, b in present)
+        n_axis = max(1, min(max_cells_per_axis, int(len(present) ** 0.5)))
+        self._nx = self._ny = n_axis
+        self._minx, self._miny = minx, miny
+        self._sx = ((maxx - minx) / n_axis) or 1.0
+        self._sy = ((maxy - miny) / n_axis) or 1.0
+        for i, (bminx, bminy, bmaxx, bmaxy) in present:
+            for cx in range(self._cx(bminx), self._cx(bmaxx) + 1):
+                for cy in range(self._cy(bminy), self._cy(bmaxy) + 1):
+                    self._cells.setdefault((cx, cy), []).append(i)
+
+    def _cx(self, x: float) -> int:
+        return min(self._nx - 1, max(0, int((x - self._minx) / self._sx)))
+
+    def _cy(self, y: float) -> int:
+        return min(self._ny - 1, max(0, int((y - self._miny) / self._sy)))
+
+    def candidates(
+        self, box: tuple[float, float, float, float]
+    ) -> set[int]:
+        minx, miny, maxx, maxy = box
+        out: set[int] = set()
+        for cx in range(self._cx(minx), self._cx(maxx) + 1):
+            for cy in range(self._cy(miny), self._cy(maxy) + 1):
+                out.update(self._cells.get((cx, cy), ()))
+        return out
+
+
 def make_valid(ring: Ring) -> Ring:
     """F20 make_valid-lite: close the ring and drop consecutive duplicates."""
     if not ring:

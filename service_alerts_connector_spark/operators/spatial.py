@@ -25,6 +25,19 @@ from service_alerts_connector_spark.constants import ID_COL
 from service_alerts_connector_spark.geo import ops as G
 from service_alerts_connector_spark.geo import wkt as W
 
+# Import-gated Sedona branch (mirrors the PIL gate in sources/multimodal.py).
+# When Apache Sedona is on the classpath + pip-installed, the spatial
+# operators (J5/J6/J7) compile to ST_* expression joins that Sedona's
+# optimizer turns into spatially-partitioned range joins — the 100 TB path.
+# This container has no Sedona (CLAUDE.md), so the pure-Python geo fallback
+# runs; the branch is selected automatically, overridable per-call.
+try:  # pragma: no cover — Sedona is not installed in this container
+    from sedona.spark import SedonaContext  # type: ignore  # noqa: F401
+
+    HAVE_SEDONA = True
+except ImportError:
+    HAVE_SEDONA = False
+
 # Area types excluded from spatial inference (reference
 # ServiceAlertAugmenter.py:64 AREA_TYPE_EXCLUSION_SET — P9).
 AREA_TYPE_EXCLUSION = ("Citywide", "Driving Licence Testing Centre",
@@ -73,6 +86,50 @@ def area_lookup_join(
     return joined.drop("_at", "_an")
 
 
+def overlay_inference_sedona(
+    alerts: DataFrame,
+    layer: DataFrame,
+    out_col: str,
+    footprint_col: str = "geospatial_footprint",
+    layer_name_col: str = "name",
+    layer_wkt_col: str = "WKT",
+    min_overlap: float = 0.05,
+) -> DataFrame:
+    """J5/J6 on Sedona: ST_Intersects predicate join + proportional-overlap
+    filter via ST_Area(ST_Intersection), then collect_set per alert.
+
+    Requires a Sedona-registered SparkSession (``SedonaContext.create``).
+    Sedona rewrites the ST_Intersects theta-join into a spatial range join
+    with its own spatial partitioning — no broadcast-collect of the layer,
+    so this is the branch that survives country-scale layers.  Semantics
+    match ``overlay_inference`` (the reference's 5% rule,
+    ServiceAlertAugmenter.py:649-681).
+    """
+    a = (
+        alerts.select(ID_COL, footprint_col)
+        .where(F.col(footprint_col).isNotNull())
+        .withColumn("_ag", F.expr(f"ST_GeomFromWKT(`{footprint_col}`)"))
+    )
+    lay = layer.select(
+        F.col(layer_name_col).cast("string").alias("_fname"),
+        F.expr(f"ST_GeomFromWKT(`{layer_wkt_col}`)").alias("_fg"),
+    )
+    pairs = a.join(lay, F.expr("ST_Intersects(_ag, _fg)"))
+    scored = (
+        pairs.withColumn("_inter", F.expr("ST_Area(ST_Intersection(_ag, _fg))"))
+        .withColumn("_fa", F.expr("ST_Area(_fg)"))
+        .withColumn("_aa", F.expr("ST_Area(_ag)"))
+    )
+    hits = scored.where(
+        ((F.col("_fa") > 0) & (F.col("_inter") / F.col("_fa") > min_overlap))
+        | ((F.col("_aa") > 0) & (F.col("_inter") / F.col("_aa") > min_overlap))
+    )
+    inferred = hits.groupBy(ID_COL).agg(
+        F.sort_array(F.collect_set("_fname")).alias(out_col)
+    )
+    return alerts.join(inferred, ID_COL, "left")
+
+
 def overlay_inference(
     alerts: DataFrame,
     layer: DataFrame,
@@ -81,6 +138,7 @@ def overlay_inference(
     layer_name_col: str = "name",
     layer_wkt_col: str = "WKT",
     min_overlap: float = 0.05,
+    use_sedona: bool | None = None,
 ) -> DataFrame:
     """J5 + A1 — proportional-overlap spatial inference.
 
@@ -91,7 +149,23 @@ def overlay_inference(
     The layer is collected (small dimension) and broadcast via closure;
     alerts stream through mapInPandas.  Output joins back on Id — the base
     DataFrame is never widened row-by-row (J9 → join semantics).
+
+    Candidate pruning: each task builds a uniform-grid index over the layer
+    features' bboxes once (``geo.ops.GridIndex``), so per alert only the
+    features in bbox-overlapping grid cells reach the exact intersection —
+    sub-quadratic in layer size instead of the naive O(alerts × features)
+    scan (the reference gets the same pruning from geopandas' R-tree,
+    ServiceAlertAugmenter.py:649-681).  At truly large layers the Sedona
+    branch (``overlay_inference_sedona``, auto-selected when Sedona
+    imports) replaces the broadcast-collect wholesale.
     """
+    if use_sedona is None:
+        use_sedona = HAVE_SEDONA
+    if use_sedona:
+        return overlay_inference_sedona(
+            alerts, layer, out_col, footprint_col,
+            layer_name_col, layer_wkt_col, min_overlap,
+        )
     layer_rows = [
         (r[layer_name_col], _to_polys(r[layer_wkt_col]))
         for r in layer.select(layer_name_col, layer_wkt_col).collect()
@@ -104,10 +178,16 @@ def overlay_inference(
         feat_areas = [
             sum(G.polygon_area(p) for p in polys) for _, polys in feats
         ]
+        feat_bboxes = [
+            G.merge_bboxes([G.bbox(p[0]) for p in polys if p])
+            for _, polys in feats
+        ]
+        grid = G.GridIndex(feat_bboxes)
         for pdf in batches:
             ids, names = [], []
-            for _, row in pdf.iterrows():
-                wkt_str = row[footprint_col]
+            for alert_id, wkt_str in zip(
+                pdf[ID_COL].tolist(), pdf[footprint_col].tolist()
+            ):
                 if wkt_str is None or (
                     isinstance(wkt_str, float) and pd.isna(wkt_str)
                 ):
@@ -117,8 +197,16 @@ def overlay_inference(
                 except ValueError:
                     continue
                 fp_area = sum(G.polygon_area(p) for p in fp)
+                fp_bbox = G.merge_bboxes([G.bbox(p[0]) for p in fp if p])
+                if fp_bbox is None:
+                    continue
                 hits = []
-                for (fname, fpolys), farea in zip(feats, feat_areas):
+                for fi in grid.candidates(fp_bbox):
+                    fbox = feat_bboxes[fi]
+                    if fbox is None or not G.bboxes_overlap(fp_bbox, fbox):
+                        continue
+                    fname, fpolys = feats[fi]
+                    farea = feat_areas[fi]
                     inter = 0.0
                     for a in fp:
                         for b in fpolys:
@@ -130,7 +218,7 @@ def overlay_inference(
                     ):
                         hits.append(str(fname))
                 if hits:
-                    ids.append(row[ID_COL])
+                    ids.append(alert_id)
                     names.append(sorted(set(hits)))
             yield pd.DataFrame(
                 {
@@ -163,6 +251,7 @@ def fuzzy_street_match(
     street_wkt_col: str = "WKT",
     bounding_wkt_col: str = "area_wkt",
     max_distance: int = 5,
+    use_sedona: bool | None = None,
 ) -> DataFrame:
     """J7/W3 — fuzzy street geocoding: Levenshtein ≤ N against a broadcast
     street dimension, constrained to streets intersecting the alert's
@@ -170,8 +259,12 @@ def fuzzy_street_match(
 
     Plan shape: broadcast theta-join on the Levenshtein bound (JVM-side
     expression), spatial constraint via the geo fallback in a follow-up
-    filter stage, then a window top-1 per alert.  Returns Id → street_wkt.
+    filter stage (or an ST_Intersects expression when Sedona is present —
+    fully JVM-side, no Python gate), then a window top-1 per alert.
+    Returns Id → street_wkt.
     """
+    if use_sedona is None:
+        use_sedona = HAVE_SEDONA
     cand = alerts.select(
         ID_COL, street_query_col, bounding_wkt_col
     ).join(
@@ -195,8 +288,9 @@ def fuzzy_street_match(
     def spatial_gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keep = []
-            for i, row in pdf.iterrows():
-                bound = row[bounding_wkt_col]
+            for bound, swkt in zip(
+                pdf[bounding_wkt_col].tolist(), pdf["_swkt"].tolist()
+            ):
                 if bound is None or (
                     isinstance(bound, float) and pd.isna(bound)
                 ):
@@ -204,7 +298,7 @@ def fuzzy_street_match(
                     continue
                 try:
                     bpolys = _to_polys(bound)
-                    spolys = _to_polys(row["_swkt"])
+                    spolys = _to_polys(swkt)
                 except ValueError:
                     keep.append(False)
                     continue
@@ -217,7 +311,16 @@ def fuzzy_street_match(
                 )
             yield pdf[pd.Series(keep, index=pdf.index)]
 
-    gated = cand.mapInPandas(spatial_gate, cand.schema)
+    if use_sedona:
+        gated = cand.where(
+            F.col(bounding_wkt_col).isNull()
+            | F.expr(
+                f"ST_Intersects(ST_GeomFromWKT(`{bounding_wkt_col}`),"
+                " ST_GeomFromWKT(_swkt))"
+            )
+        )
+    else:
+        gated = cand.mapInPandas(spatial_gate, cand.schema)
     from pyspark.sql import Window
 
     w = Window.partitionBy(ID_COL).orderBy(

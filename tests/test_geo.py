@@ -55,3 +55,47 @@ def test_make_valid_closes_ring():
     fixed = G.make_valid(open_ring)
     assert fixed[0] == fixed[-1]
     assert (1.0, 0.0) in fixed and fixed.count((1.0, 0.0)) == 1
+
+
+def _rect(minx, miny, maxx, maxy):
+    return [[(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]]
+
+
+def test_grid_index_matches_exhaustive_scan():
+    # deterministic pseudo-random rectangle layer
+    import random
+
+    rng = random.Random(7)
+    boxes = []
+    for _ in range(300):
+        x = rng.uniform(0, 100)
+        y = rng.uniform(0, 100)
+        boxes.append((x, y, x + rng.uniform(0.1, 3), y + rng.uniform(0.1, 3)))
+    grid = G.GridIndex(boxes)
+    for _ in range(50):
+        qx = rng.uniform(0, 100)
+        qy = rng.uniform(0, 100)
+        q = (qx, qy, qx + 2, qy + 2)
+        expect = {i for i, b in enumerate(boxes) if G.bboxes_overlap(q, b)}
+        got = grid.candidates(q)
+        # grid may over-approximate (cell granularity) but never misses
+        assert expect <= got
+
+
+def test_grid_index_prunes():
+    boxes = [(float(i), 0.0, float(i) + 0.5, 0.5) for i in range(256)]
+    grid = G.GridIndex(boxes)
+    cands = grid.candidates((0.0, 0.0, 1.0, 1.0))
+    assert len(cands) < 64  # far fewer than the 256-feature scan
+    assert 0 in cands and 1 in cands
+
+
+def test_grid_index_handles_empty_and_none():
+    assert G.GridIndex([]).candidates((0, 0, 1, 1)) == set()
+    grid = G.GridIndex([None, (0.0, 0.0, 1.0, 1.0)])
+    assert grid.candidates((0.5, 0.5, 2.0, 2.0)) == {1}
+
+
+def test_merge_bboxes():
+    assert G.merge_bboxes([]) is None
+    assert G.merge_bboxes([(0, 0, 1, 1), (2, -1, 3, 0.5)]) == (0, -1, 3, 1)

@@ -88,3 +88,59 @@ def test_fuzzy_street_match(spark):
     assert out[1]["matched_street"] == "Main Road"  # distance 1 beats 4
     assert len(out[1]["segment_wkts"]) == 2  # same-name in-bound segments union
     assert 2 not in out  # beyond levenshtein bound
+
+
+def test_overlay_grid_pruning_matches_dense_layer(spark):
+    """Grid-pruned overlay over a 20x20 grid layer gives exactly the
+    features the footprint overlaps >5% — pruning must not drop hits."""
+    layer = spark.createDataFrame(
+        [
+            (f"CELL_{i}_{j}",
+             f"POLYGON (({i} {j}, {i+1} {j}, {i+1} {j+1}, {i} {j+1}, {i} {j}))")
+            for i in range(20) for j in range(20)
+        ],
+        "name string, WKT string",
+    )
+    alerts = spark.createDataFrame(
+        [(1, "POLYGON ((4.5 4.5, 6.5 4.5, 6.5 6.5, 4.5 6.5, 4.5 4.5))")],
+        "Id long, geospatial_footprint string",
+    )
+    out = {
+        r["Id"]: r["hit"]
+        for r in overlay_inference(alerts, layer, "hit").collect()
+    }
+    # footprint covers 25% of each of the 4 corner cells and 50% of the 4
+    # edge cells and 100% of the center cell -> all 9 cells in [4,6]^2
+    assert out[1] == sorted(f"CELL_{i}_{j}" for i in (4, 5, 6) for j in (4, 5, 6))
+
+
+def test_sedona_gate_absent_falls_back(spark):
+    from service_alerts_connector_spark.operators import spatial as S
+
+    assert not S.HAVE_SEDONA  # container has no Sedona (CLAUDE.md)
+    # explicit fallback selection works and matches auto-selection
+    auto = overlay_inference(_alerts(spark), _layer(spark), "x").collect()
+    forced = overlay_inference(
+        _alerts(spark), _layer(spark), "x", use_sedona=False
+    ).collect()
+    assert sorted(map(str, auto)) == sorted(map(str, forced))
+
+
+import pytest as _pytest
+
+from service_alerts_connector_spark.operators.spatial import HAVE_SEDONA
+
+
+@_pytest.mark.skipif(
+    not HAVE_SEDONA,
+    reason="Sedona not installed in this container; branch is "
+    "import-gated (operators/spatial.py HAVE_SEDONA)",
+)
+def test_sedona_branch_matches_fallback(spark):  # pragma: no cover
+    sed = overlay_inference(
+        _alerts(spark), _layer(spark), "x", use_sedona=True
+    ).collect()
+    fb = overlay_inference(
+        _alerts(spark), _layer(spark), "x", use_sedona=False
+    ).collect()
+    assert sorted(map(str, sed)) == sorted(map(str, fb))
