@@ -83,7 +83,10 @@ def split_incremental(
         new = input_df.join(cache_df.select(*keys), keys, "left_anti")
         kept = cache_df.join(input_df.select(*keys), keys, "left_semi")
     if limit is not None:
-        new = new.orderBy(F.desc(order_col)).limit(limit)
+        # id tiebreak: equal order_col values (same-poll ingests) must admit
+        # the same rows on any partitioning — repo determinism rule, every
+        # top-k carries a key tiebreak (SCALE.md "Determinism at scale")
+        new = new.orderBy(F.desc(order_col), F.desc(id_col)).limit(limit)
     return IncrementalSplit(new=new, kept=kept)
 
 

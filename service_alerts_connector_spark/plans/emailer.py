@@ -119,8 +119,12 @@ def pending_emails(
 ) -> DataFrame:
     """Fan out gold through every config predicate and anti-join the sent
     log.  Output: one row per (config, alert) still to send, with the
-    delivery key.  The gold scan is cached and reused across configs."""
-    gold = gold.cache()
+    delivery key.
+
+    The gold scan is reused once per config — the *caller* owns its cache
+    lifecycle (run_service_alerts caches gold before the fan-out and
+    unpersists after send_pending's eager collect).  Caching here leaked
+    one pinned DataFrame per micro-batch in the foreachBatch path."""
     parts = []
     for cfg in configs:
         parts.append(

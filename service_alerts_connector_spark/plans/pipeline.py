@@ -114,7 +114,11 @@ def run_micro_batch(
     # the previous snapshot are updates → "Updated Service Alert" subject
     if sinks.email_transport is not None and sinks.email_configs:
         sent_log = _try_read(spark, state_root, SENTLOG_DATASET)
-        pending = pending_emails(gold, sinks.email_configs, sent_log)
+        # cache for the per-config fan-out; released below once send_pending
+        # has eagerly collected (pending_emails must not own the cache — a
+        # per-micro-batch cache with no unpersist pins executor storage)
+        gold_cached = gold.cache()
+        pending = pending_emails(gold_cached, sinks.email_configs, sent_log)
         if prev_snapshot is not None:
             from pyspark.sql import functions as F
 
@@ -125,6 +129,7 @@ def run_micro_batch(
                 "_is_update", F.coalesce(F.col("_is_update"), F.lit(False))
             )
         new_log = send_pending(pending, sinks.email_transport)
+        gold_cached.unpersist()
         merged_log = (
             new_log
             if sent_log is None

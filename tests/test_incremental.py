@@ -62,6 +62,17 @@ def test_admission_cap_most_recent(spark):
     assert sorted(r["Id"] for r in split.new.collect()) == [7, 8, 9]
 
 
+def test_admission_cap_tied_order_is_deterministic(spark):
+    # all rows share one _ingest_seq (same poll): the id tiebreak must pick
+    # the same rows on any partitioning — highest ids win under desc sort
+    inp = with_checksum(
+        _df(spark, [(i, f"t{i}", 5, None) for i in range(10)]), ["Id", "title"]
+    ).repartition(8)
+    for _ in range(3):
+        split = split_incremental(inp, None, limit=3, order_col="_ingest_seq")
+        assert sorted(r["Id"] for r in split.new.collect()) == [7, 8, 9]
+
+
 def test_merge_processed_union(spark):
     cols = ["Id", "title"]
     new = with_checksum(_df(spark, [(2, "b", 1, "fresh")]), cols)

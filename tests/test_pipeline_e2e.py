@@ -90,3 +90,8 @@ def test_two_microbatch_pipeline(spark, tmp_path):
     subjects = sorted(s for _, s in outbox)
     assert subjects[0].startswith("Service Alert:")  # first sight
     assert subjects[1].startswith("Updated Service Alert:")  # status change
+
+    # cache hygiene: the email fan-out cache is released per batch — no
+    # DataFrame stays pinned in executor storage after the run (the old
+    # pending_emails-owned cache leaked one per micro-batch)
+    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
