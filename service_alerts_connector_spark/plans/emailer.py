@@ -112,6 +112,39 @@ def email_key(config_name: str) -> Column:
     )
 
 
+def legacy_email_key(config_name: str) -> Column:
+    """Pre-status delivery key: sha256(config ‖ Id) — the engine analog of
+    the reference's *legacy* filename form, which sent-dedup still honours
+    so a live-state migration doesn't resend every historical alert
+    (ServiceAlertEmailer.py:793-808 checks both filename forms)."""
+    return F.sha2(
+        F.concat_ws("|", F.lit(config_name), F.col(ID_COL).cast("string")),
+        256,
+    )
+
+
+def legacy_email_key_col(config_name_col: Column) -> Column:
+    """legacy_email_key with the config name as a column (join fan-out)."""
+    return F.sha2(
+        F.concat_ws("|", config_name_col, F.col(ID_COL).cast("string")), 256
+    )
+
+
+def _anti_join_sent(fanned: DataFrame, sent_log: DataFrame) -> DataFrame:
+    """Drop rows already delivered under EITHER key form.
+
+    The sent log stores one key column; a migrated log may hold legacy
+    (status-less) keys, so two consecutive left_anti joins on the same key
+    set cover both — same shape the reference gets from its two
+    list_objects probes (ServiceAlertEmailer.py:800-811)."""
+    sent_keys = sent_log.select("email_key")
+    return fanned.join(sent_keys, "email_key", "left_anti").join(
+        sent_keys.withColumnRenamed("email_key", "legacy_email_key"),
+        "legacy_email_key",
+        "left_anti",
+    )
+
+
 def pending_emails(
     gold: DataFrame,
     configs: list[EmailConfig],
@@ -132,14 +165,13 @@ def pending_emails(
             .withColumn("config_name", F.lit(cfg.name))
             .withColumn("recipients", F.lit(list(cfg.recipients)).cast("array<string>"))
             .withColumn("email_key", email_key(cfg.name))
+            .withColumn("legacy_email_key", legacy_email_key(cfg.name))
         )
     fanned = parts[0]
     for p in parts[1:]:
         fanned = fanned.unionByName(p)
     if sent_log is not None:
-        fanned = fanned.join(
-            sent_log.select("email_key"), "email_key", "left_anti"
-        )
+        fanned = _anti_join_sent(fanned, sent_log)
     return fanned
 
 
@@ -170,13 +202,15 @@ def pending_emails_joined(
            | (gold["service_area"] == cfg["service_area"]))
         & (cfg["planned"].isNull() | (gold["planned"] == cfg["planned"]))
     )
-    fanned = gold.join(cfg, cond).withColumn(
-        "email_key", email_key_col(F.col("config_name"))
+    fanned = (
+        gold.join(cfg, cond)
+        .withColumn("email_key", email_key_col(F.col("config_name")))
+        .withColumn(
+            "legacy_email_key", legacy_email_key_col(F.col("config_name"))
+        )
     )
     if sent_log is not None:
-        fanned = fanned.join(
-            sent_log.select("email_key"), "email_key", "left_anti"
-        )
+        fanned = _anti_join_sent(fanned, sent_log)
     return fanned
 
 

@@ -126,6 +126,44 @@ def test_emailer_fanout_and_sent_dedup(spark):
     assert pending_emails(gold, EXAMPLE_EMAIL_CONFIGS, sent_log).count() == 0
 
 
+def test_emailer_legacy_sent_key_fallback(spark):
+    """A sent log migrated from the legacy (status-less) key form still
+    dedups: reference checks both filename forms
+    (ServiceAlertEmailer.py:793-808)."""
+    from service_alerts_connector_spark.plans.emailer import legacy_email_key
+
+    gold = spark.createDataFrame(
+        [(1, "Water & Sanitation", "Leak", "Open", True, "Official Planning Suburb",
+          ["grassy park"], ["57"]),
+         (2, "Water & Sanitation", "Burst", "Open", True, "Citywide",
+          None, None)],
+        "Id long, service_area string, title string, status string, planned boolean, "
+        "area_type string, inferred_suburbs array<string>, inferred_wards array<string>",
+    )
+    # a log holding alert 1's LEGACY key only (as a migrated store would)
+    legacy_log = (
+        gold.where("Id = 1")
+        .select(legacy_email_key("water-planned").alias("email_key"))
+    )
+    pending = pending_emails(gold, EXAMPLE_EMAIL_CONFIGS, legacy_log)
+    got = {(r["config_name"], r["Id"]) for r in pending.collect()}
+    assert ("water-planned", 1) not in got  # deduped via legacy key
+    assert ("water-planned", 2) in got  # untouched alert still pending
+    # mixed log: legacy key for 1 + current (status-aware) key for 2
+    outbox = []
+    mixed = legacy_log.unionByName(
+        send_pending(
+            pending.where("Id = 2 and config_name = 'water-planned'"),
+            lambda to, subj, html: outbox.append(subj),
+        ).select("email_key")
+    )
+    left = {
+        (r["config_name"], r["Id"])
+        for r in pending_emails(gold, EXAMPLE_EMAIL_CONFIGS, mixed).collect()
+    }
+    assert ("water-planned", 1) not in left and ("water-planned", 2) not in left
+
+
 def test_recon_cdc(spark, tmp_path):
     gold = spark.createDataFrame(
         [(1, "Open", "a"), (2, "Closed", "b"), (3, "Open", "c")],
