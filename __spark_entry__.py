@@ -35,6 +35,10 @@ from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
 )
+from service_alerts_connector_spark.catalog_geo import (
+    GEO_ORACLES,
+    GEO_QUERIES,
+)
 from service_alerts_connector_spark.catalog_text import (
     TEXT_ORACLES,
     TEXT_QUERIES,
@@ -54,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TEXT_QUERIES,
         **FIXER_QUERIES,
         **ANALYTICS_QUERIES,
+        **GEO_QUERIES,
         **EXTRA_QUERIES,
     }
 
@@ -62,4 +67,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query.  EXTRA_QUERIES
     (stubbed enrichment / multimodal / planar-geometry ops) intentionally
     have no oracle — the driver records the weaker rows-only check."""
-    return {**CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES, **ANALYTICS_ORACLES}
+    return {
+        **CORE_ORACLES,
+        **TEXT_ORACLES,
+        **FIXER_ORACLES,
+        **ANALYTICS_ORACLES,
+        **GEO_ORACLES,
+    }

@@ -324,6 +324,57 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 5
 """
 
 
+def q_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with *fixed* centroids (the embeddings of vec_id 1..4), so
+    cell assignment (argmin squared-L2, first-wins ties), probe selection
+    (2 nearest cells to the query) and the exact cosine top-k within probed
+    cells are all SQL-expressible — the oracled complement of the
+    rows-only ``ann_ivf``, whose iterative Lloyd training is not."""
+    from service_alerts_connector_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=10, n_probe=2)
+
+
+SQL_ANN_IVF_FIXED = """
+WITH cents AS (
+  SELECT vec_id - 1 AS cell, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 4
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+), probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY list_distance(c, qe) ASC, cell ASC LIMIT 2
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ranked AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(cents.c, e.v) ASC, cents.cell ASC
+         ) AS rn
+  FROM e CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, cell AS ivf_cell FROM ranked WHERE rn = 1
+), s AS (
+  SELECT a.vec_id,
+         round(list_dot_product(a.v, q.qe)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos
+  FROM assigned a, q
+  WHERE a.ivf_cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 _NDUP_PLANES = seeded_hyperplanes(32, 64, seed=7)
 _NDUP_BANDS = 4
 _NDUP_SHIFT = 10_000_000  # > any vec_id at any scale factor
@@ -459,6 +510,7 @@ TEXT_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    "ann_ivf_fixed": q_ann_ivf_fixed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -475,5 +527,6 @@ TEXT_ORACLES = {
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,
+    "ann_ivf_fixed": SQL_ANN_IVF_FIXED,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
 }

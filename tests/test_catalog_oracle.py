@@ -16,14 +16,24 @@ from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
 )
+from service_alerts_connector_spark.catalog_geo import (
+    GEO_ORACLES,
+    GEO_QUERIES,
+)
 from service_alerts_connector_spark.catalog_text import (
     TEXT_ORACLES,
     TEXT_QUERIES,
 )
 from tests.oracle_util import compare, duck_connection
 
-CORE_QUERIES = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **ANALYTICS_QUERIES}
-CORE_ORACLES = {**CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES, **ANALYTICS_ORACLES}
+CORE_QUERIES = {
+    **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
+    **ANALYTICS_QUERIES, **GEO_QUERIES,
+}
+CORE_ORACLES = {
+    **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
+    **ANALYTICS_ORACLES, **GEO_ORACLES,
+}
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 

@@ -23,6 +23,7 @@ def test_no_name_collisions():
     )
     from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
     from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES
+    from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
     from service_alerts_connector_spark.catalog_text import TEXT_QUERIES
 
     parts = [
@@ -30,6 +31,7 @@ def test_no_name_collisions():
         TEXT_QUERIES,
         FIXER_QUERIES,
         ANALYTICS_QUERIES,
+        GEO_QUERIES,
         EXTRA_QUERIES,
     ]
     total = sum(len(p) for p in parts)
