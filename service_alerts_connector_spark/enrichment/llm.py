@@ -72,6 +72,106 @@ def estimate_tokens(prompt: str) -> int:
     return int(len(prompt) / 4 * 1.2) + 256
 
 
+# ---------------------------------------------------------------------------
+# Packaged few-shot prompt templates (same structure as the reference's
+# summary/location/shorten yaml.jinja2 resources; original content)
+# ---------------------------------------------------------------------------
+def load_prompt_template(name: str) -> str:
+    """Read a packaged template's text (driver-side; builders close over
+    the string so executors never need the data file)."""
+    from importlib import resources
+
+    return (
+        resources.files("service_alerts_connector_spark.resources")
+        .joinpath(name)
+        .read_text()
+    )
+
+
+def render_chat_messages(
+    template_text: str, **params: object
+) -> list[dict]:
+    """Render a YAML/Jinja2 chat template → [{role, content}, ...].
+
+    Structure contract (matches the reference's prompt resources,
+    summary_prompt_template.yaml.jinja2:1-101): a system preamble, N
+    few-shot user/assistant pairs, and a final user slot carrying the live
+    record (``record_json``) or post (``post_text``)."""
+    import jinja2
+    import yaml
+
+    rendered = jinja2.Template(template_text).render(**params)
+    messages = yaml.safe_load(rendered)
+    if not isinstance(messages, list) or not all(
+        isinstance(m, dict) and {"role", "content"} <= set(m) for m in messages
+    ):
+        raise ValueError("prompt template must render to a chat-message list")
+    return messages
+
+
+def flatten_messages(messages: list[dict]) -> str:
+    """Serialize chat messages for the flat-prompt ``LLMClient`` protocol.
+    An OpenAI-compatible client would take the message list directly; the
+    flattened transcript keeps the few-shot structure visible to both."""
+    return "\n\n".join(
+        f"[{m['role']}]\n{str(m['content']).rstrip()}" for m in messages
+    )
+
+
+def _record_json(rec: dict) -> str:
+    return json.dumps(
+        {k: rec[k] for k in sorted(rec) if k != ID_COL},
+        default=str,
+        ensure_ascii=False,
+    )
+
+
+def summary_prompt_builder(
+    max_post_length: int = MAX_POST_LENGTH,
+) -> Callable[[dict], str]:
+    """X1 prompt builder from the packaged summary template."""
+    text = load_prompt_template("summary_prompt.yaml.jinja2")
+
+    def build(rec: dict) -> str:
+        return flatten_messages(
+            render_chat_messages(
+                text,
+                max_post_length=max_post_length,
+                record_json=_record_json(rec),
+            )
+        )
+
+    return build
+
+
+def location_prompt_builder() -> Callable[[dict], str]:
+    """X2 prompt builder from the packaged location template."""
+    text = load_prompt_template("location_prompt.yaml.jinja2")
+
+    def build(rec: dict) -> str:
+        return flatten_messages(
+            render_chat_messages(text, record_json=_record_json(rec))
+        )
+
+    return build
+
+
+def shorten_prompt_builder(
+    max_post_length: int = MAX_POST_LENGTH,
+) -> Callable[[str], str]:
+    """Shorten-reprompt builder from the packaged shorten template."""
+    text = load_prompt_template("shorten_prompt.yaml.jinja2")
+
+    def build(post_text: str) -> str:
+        return flatten_messages(
+            render_chat_messages(
+                text, max_post_length=max_post_length, post_text=post_text
+            )
+        )
+
+    return build
+
+
 @dataclass(frozen=True)
 class RetryPolicy:
     max_retries: int = 3
@@ -107,6 +207,7 @@ def draft_posts(
     policy: RetryPolicy = RetryPolicy(),
     limit: int = DRAFT_LIMIT,
     max_partitions: int = 4,
+    shorten_builder: Callable[[str], str] | None = None,
 ) -> DataFrame:
     """X1 — draft a social-media post per row.
 
@@ -114,7 +215,12 @@ def draft_posts(
     re-caps defensively and coalesces to ``max_partitions`` so total external
     concurrency is bounded.  Returns (Id, out_col, llm_error) for join-back —
     the reference's point-writebacks (J9) become an enrichment join.
+
+    Over-length drafts re-prompt through ``shorten_builder`` (default: the
+    packaged few-shot shorten template, Augmenter:217-223 semantics).
     """
+    if shorten_builder is None:
+        shorten_builder = shorten_prompt_builder(max_post_length)
     work = df.limit(limit).coalesce(max_partitions)
     cols = work.columns
 
@@ -137,9 +243,7 @@ def draft_posts(
                 if text and len(text) > max_post_length:
                     # shorten-reprompt (Augmenter:217-223)
                     text, err = _call_with_retry(
-                        clients,
-                        f"Shorten to under {max_post_length} chars:\n{text}",
-                        policy,
+                        clients, shorten_builder(text), policy
                     )
                     if text and len(text) > max_post_length:
                         text, err = text[:max_post_length], "truncated"

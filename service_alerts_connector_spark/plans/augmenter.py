@@ -64,6 +64,8 @@ SERVICE_AREA_HASHTAGS = {
 
 
 def default_draft_prompt(rec: dict) -> str:
+    """Minimal fallback prompt (kept for tests/compat; ``augment`` uses the
+    packaged few-shot summary template by default)."""
     return (
         "Draft a short public service-alert post.\n"
         + "\n".join(f"{k}: {v}" for k, v in sorted(rec.items()) if k != ID_COL)
@@ -128,11 +130,16 @@ def augment(
     )
     work, kept = split.new, split.kept
 
-    # 2 — LLM drafting (X1) joined back (J9-as-join)
+    # 2 — LLM drafting (X1) joined back (J9-as-join); packaged few-shot
+    # summary template (resources/summary_prompt.yaml.jinja2)
+    from service_alerts_connector_spark.enrichment.llm import (
+        summary_prompt_builder,
+    )
+
     drafts = draft_posts(
         work,
         cfg.llm_clients,
-        default_draft_prompt,
+        summary_prompt_builder(),
         limit=cfg.draft_limit,
     ).drop("llm_error")
     work = work.drop("tweet_text").join(drafts, ID_COL, "left")
@@ -165,11 +172,14 @@ def augment(
                 extract_locations,
             )
 
+            from service_alerts_connector_spark.enrichment.llm import (
+                location_prompt_builder,
+            )
+
             suggestions = extract_locations(
                 unresolved.select(ID_COL, "description", "area", "location"),
                 cfg.location_clients,
-                lambda rec: "Extract locations:\n"
-                + "\n".join(f"{k}: {v}" for k, v in sorted(rec.items())),
+                location_prompt_builder(),
             ).drop("llm_error")
             geocoded = full_geocode_waterfall(
                 unresolved,

@@ -38,7 +38,8 @@ def ensure_package_on_executors(spark: SparkSession) -> None:
                 if "__pycache__" in root:
                     continue
                 for fname in files:
-                    if not fname.endswith(".py"):
+                    # package data (prompt templates) ships alongside code
+                    if not fname.endswith((".py", ".yaml.jinja2")):
                         continue
                     full = os.path.join(root, fname)
                     rel = os.path.join(
