@@ -16,10 +16,11 @@ import time
 from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
 from service_alerts_connector_spark.catalog_analytics import ANALYTICS_QUERIES as _AN
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
+from service_alerts_connector_spark.catalog_geo import GEO_QUERIES as _GEO
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
-CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN}
+CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN, **_GEO}
 
 HEADLINE = [
     "fixer_chain",
@@ -43,6 +44,10 @@ HEADLINE = [
     "distinct_agg",
     "lag_rank_window",
     "percentiles",
+    # round-2 additions: make the two round-1 scale-flagged operators
+    # (spatial overlay, embedding near-dup LSH) measurable round-over-round
+    "geo_overlay_rect",
+    "dedup_embedding_cosine",
 ]
 
 
