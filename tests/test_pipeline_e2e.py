@@ -21,6 +21,9 @@ NOW = datetime(2024, 2, 14, 12, 0)
 
 
 def test_two_microbatch_pipeline(spark, tmp_path):
+    # session is shared across the test suite: measure cache hygiene as a
+    # delta, not an absolute (another module's cache may legitimately live)
+    n_cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     staged = tmp_path / "staged"
     staged.mkdir()
     with open(staged / "p1.jsonl", "w") as f:
@@ -91,7 +94,8 @@ def test_two_microbatch_pipeline(spark, tmp_path):
     assert subjects[0].startswith("Service Alert:")  # first sight
     assert subjects[1].startswith("Updated Service Alert:")  # status change
 
-    # cache hygiene: the email fan-out cache is released per batch — no
-    # DataFrame stays pinned in executor storage after the run (the old
+    # cache hygiene: the email fan-out cache is released per batch — the
+    # two-batch run must not leave any extra DataFrame pinned (the old
     # pending_emails-owned cache leaked one per micro-batch)
-    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached_after <= n_cached_before
