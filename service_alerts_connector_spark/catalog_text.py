@@ -155,7 +155,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
 
 
-SQL_MINHASH_LSH = (
+_SQL_MINHASH_BANDS = (
     _SQL_SHINGLES
     + """
 , ex AS (
@@ -173,9 +173,52 @@ SQL_MINHASH_LSH = (
   UNION ALL SELECT doc_id, 2, md5(concat_ws('|', mh4, mh5)) FROM sig
   UNION ALL SELECT doc_id, 3, md5(concat_ws('|', mh6, mh7)) FROM sig
 )
+"""
+)
+
+_SQL_PAIR_SELECT = """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+SQL_MINHASH_LSH = _SQL_MINHASH_BANDS + _SQL_PAIR_SELECT
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash-LSH pairs → connected
+    components (id, component=min reachable id) — the keep-one-per-cluster
+    step after pair mining.  Iterative min-label propagation in Spark; the
+    oracle computes the same closure with a recursive CTE."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = (
+    _SQL_MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, pairs AS (
+  {_SQL_PAIR_SELECT}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS component
+FROM reach GROUP BY id ORDER BY doc_id
 """
 )
 
@@ -506,6 +549,7 @@ TEXT_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -523,6 +567,7 @@ TEXT_ORACLES = {
     "text_fingerprint": SQL_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,

@@ -203,6 +203,73 @@ def lsh_bucket_overflow(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (pairs → components)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve a near-dup *pair* list into duplicate clusters: (id,
+    component) where ``component`` is the smallest id reachable through the
+    pair graph — the canonical keep-one-per-cluster step after LSH pair
+    mining.
+
+    Min-label propagation as iterative DataFrame joins: each round every
+    vertex adopts the smallest component label among itself and its
+    neighbours; converges in O(cluster diameter) rounds (duplicate clusters
+    are near-cliques, so typically 2-4).  Each round localCheckpoints
+    (eager) to truncate lineage — without it the plan doubles per round.
+    The per-round convergence probe is one driver-side scalar count,
+    bounded by ``max_iterations``; raises if not converged rather than
+    returning a partial clustering.
+
+    At 100 TB: rounds are shuffle-on-id joins (AQE handles skewed hub
+    vertices); swap ``localCheckpoint`` for a reliable checkpoint dir when
+    executor loss matters.  GraphFrames' connectedComponents is the
+    documented library alternative.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification tier)
 # ---------------------------------------------------------------------------
 def jaccard_pairs(

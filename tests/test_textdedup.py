@@ -307,3 +307,64 @@ def test_ann_bucketed_multiprobe_finds_strong_neighbor(spark):
     out = bucketed_cosine_topk(df, q, k=3, n_planes=8, hamming=1).collect()
     assert out[0]["vec_id"] == 3 and out[0]["cos"] == 1.0
     assert out[1]["vec_id"] == 1003  # the noisy copy is the next hit
+
+
+def test_connected_components_basic(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+    )
+
+    # two clusters: {1,2,3,4} via a chain, {10,11}; pair list is sparse
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation vs a driver-side union-find on a deterministic
+    random pair graph."""
+    import random
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = sorted({
+        tuple(sorted(rng.sample(range(120), 2))) for _ in range(90)
+    })
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    truth = {v: find(v) for v in touched}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == truth
+
+
+def test_connected_components_empty(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
