@@ -173,6 +173,14 @@ def overlay_inference(
     spark = alerts.sparkSession
     blayer = spark.sparkContext.broadcast(layer_rows)
 
+    # CPU-bound Python stage: a small-file scan arrives in one partition
+    # and would run the whole overlay on one worker — rebalance up to the
+    # cluster's parallelism first (no-op on an already-partitioned corpus;
+    # same rationale as textdedup._spread)
+    from service_alerts_connector_spark.operators.textdedup import _spread
+
+    alerts = _spread(alerts)
+
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         feats = blayer.value
         feat_areas = [
