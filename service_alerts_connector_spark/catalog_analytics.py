@@ -211,8 +211,44 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum sample (50 orders per o_orderstatus) with
+    content-hash ordering — deterministic membership any engine
+    reproduces, unlike seeded RNG streams."""
+    from service_alerts_connector_spark.operators.topk import (
+        stratified_sample_exact,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = stratified_sample_exact(
+        orders,
+        ["o_orderstatus"],
+        50,
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+    )
+    return out.select("o_orderstatus", "o_orderkey").orderBy(
+        "o_orderstatus", "o_orderkey"
+    )
+
+
+SQL_STRATIFIED = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC
+         ) AS rn
+  FROM orders
+)
+SELECT o_orderstatus, o_orderkey FROM ranked
+WHERE rn <= 50
+ORDER BY o_orderstatus, o_orderkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "cube_grouping": q_cube_grouping,
+    "stratified_sample": q_stratified_sample,
     "pivot_status": q_pivot_status,
     "running_total": q_running_total,
     "rollup_pricing": q_rollup_pricing,
@@ -223,6 +259,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "cube_grouping": SQL_CUBE,
+    "stratified_sample": SQL_STRATIFIED,
     "pivot_status": SQL_PIVOT,
     "running_total": SQL_RUNNING,
     "rollup_pricing": SQL_ROLLUP,

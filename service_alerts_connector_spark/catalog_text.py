@@ -223,6 +223,46 @@ FROM reach GROUP BY id ORDER BY doc_id
 )
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized near-dedup decision: corpus minus non-representative
+    cluster members (min-id representative kept, unclustered rows kept)."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        near_dedup_keep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    return (
+        near_dedup_keep(docs, pairs)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_NEAR_KEEP = (
+    _SQL_MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, pairs AS (
+  {_SQL_PAIR_SELECT}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+ORDER BY d.doc_id
+"""
+)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return jaccard_pairs(docs, shingle_k=3, threshold=0.2)
@@ -550,6 +590,7 @@ TEXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_near_keep": q_dedup_near_keep,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -568,6 +609,7 @@ TEXT_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_near_keep": SQL_DEDUP_NEAR_KEEP,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,

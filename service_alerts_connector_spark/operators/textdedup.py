@@ -269,6 +269,24 @@ def connected_components(
     )
 
 
+def near_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Materialize the near-dedup decision: drop every non-representative
+    member of a near-dup cluster (representative = min id, via
+    ``connected_components``), keep all unclustered rows.  One anti-join —
+    the corpus-side operation stays O(n)."""
+    comp = connected_components(pairs, id_a, id_b)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification tier)
 # ---------------------------------------------------------------------------

@@ -32,6 +32,32 @@ def seeded_sample_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    hash_key: Column,
+) -> DataFrame:
+    """Exact, engine-portable stratified sample: exactly ``n_per_group``
+    rows per group (fewer if the stratum is smaller), selected by a
+    content-hash order instead of an RNG.
+
+    ``hash_key`` (e.g. ``F.md5(key.cast("string").cast("binary"))``) gives
+    a uniform pseudo-random-but-deterministic order any engine reproduces
+    bit-for-bit — unlike ``rand(seed)``, whose stream is engine-specific.
+    The training-data use: class-balanced subcorpora with reproducible
+    membership across reruns and engines.  One window shuffle on the
+    group key; skewed strata are still a single partition each — for
+    pathological strata pre-aggregate with ``skew.salted_aggregate``.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.asc(hash_key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def best_match_per_group(
     df: DataFrame, group_cols: list[str], order: list[Column]
 ) -> DataFrame:

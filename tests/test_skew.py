@@ -65,3 +65,27 @@ def test_salted_broadcast_left_matches_plain(spark):
         for r in salted_broadcast_left(probe, build, "k").collect()
     )
     assert salted == plain  # same rows incl. the unmatched 'miss' -> null
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.operators.topk import (
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "k long, grp string",
+    )
+    hk = F.md5(F.col("k").cast("string").cast("binary"))
+    outs = []
+    for parts in (1, 7):
+        out = stratified_sample_exact(df.repartition(parts), ["grp"], 20, hk)
+        rows = sorted((r["grp"], r["k"]) for r in out.collect())
+        outs.append(rows)
+        by_grp = {}
+        for g, _ in rows:
+            by_grp[g] = by_grp.get(g, 0) + 1
+        assert by_grp == {"big": 20, "small": 10}  # small stratum kept whole
+    assert outs[0] == outs[1]  # membership independent of partitioning

@@ -368,3 +368,16 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_near_dedup_keep(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        near_dedup_keep,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in near_dedup_keep(docs, pairs).collect())
+    assert kept == [1, 4, 5]  # cluster {1,2,3} -> keep 1; 4,5 unclustered
