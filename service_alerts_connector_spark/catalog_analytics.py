@@ -246,9 +246,61 @@ ORDER BY o_orderstatus, o_orderkey
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min inactivity
+    gap), rolled up per session.  Timestamps surface as formatted strings
+    and gaps compare floored epoch seconds (catalog determinism rules)."""
+    from service_alerts_connector_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_s=1800)
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sessed AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sessed GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
 ANALYTICS_QUERIES = {
     "cube_grouping": q_cube_grouping,
     "stratified_sample": q_stratified_sample,
+    "sessionize": q_sessionize,
     "pivot_status": q_pivot_status,
     "running_total": q_running_total,
     "rollup_pricing": q_rollup_pricing,
@@ -260,6 +312,7 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLES = {
     "cube_grouping": SQL_CUBE,
     "stratified_sample": SQL_STRATIFIED,
+    "sessionize": SQL_SESSIONIZE,
     "pivot_status": SQL_PIVOT,
     "running_total": SQL_RUNNING,
     "rollup_pricing": SQL_ROLLUP,

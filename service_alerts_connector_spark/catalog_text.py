@@ -263,6 +263,31 @@ ORDER BY d.doc_id
 )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination screen: every 10th doc is the held-out
+    split; flag train docs sharing an LSH band bucket with any of them."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        cross_corpus_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    return cross_corpus_contamination(train, test).orderBy("doc_id")
+
+
+SQL_CONTAMINATION = (
+    _SQL_MINHASH_BANDS
+    + """
+SELECT DISTINCT a.doc_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+ORDER BY a.doc_id
+"""
+)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return jaccard_pairs(docs, shingle_k=3, threshold=0.2)
@@ -591,6 +616,7 @@ TEXT_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_near_keep": q_dedup_near_keep,
+    "contamination": q_contamination,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -610,6 +636,7 @@ TEXT_ORACLES = {
     "dedup_minhash_lsh": SQL_MINHASH_LSH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_near_keep": SQL_DEDUP_NEAR_KEEP,
+    "contamination": SQL_CONTAMINATION,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,

@@ -269,6 +269,40 @@ def connected_components(
     )
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Train/test contamination probe: train docs sharing ≥1 MinHash-LSH
+    band bucket with *any* held-out doc — the screen a training pipeline
+    runs before shipping a corpus that must not contain eval data.
+
+    One semi-join on (band, bucket): O(train + test) signature work, no
+    pairwise comparison; candidates flagged here go to ``jaccard_pairs``
+    for exact verification if needed.  Returns distinct flagged train ids.
+    """
+    bands_a = _banded_minhash(
+        minhash_signatures(train, text_col, id_col, num_hashes, shingle_k),
+        id_col, num_hashes, bands,
+    )
+    bands_b = _banded_minhash(
+        minhash_signatures(test, text_col, id_col, num_hashes, shingle_k),
+        id_col, num_hashes, bands,
+    )
+    return (
+        bands_a.join(
+            bands_b.select("band", "bucket"), ["band", "bucket"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
 def near_dedup_keep(
     df: DataFrame,
     pairs: DataFrame,

@@ -381,3 +381,26 @@ def test_near_dedup_keep(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in near_dedup_keep(docs, pairs).collect())
     assert kept == [1, 4, 5]  # cluster {1,2,3} -> keep 1; 4,5 unclustered
+
+
+def test_cross_corpus_contamination(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        cross_corpus_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about spark engines and shuffles"),
+         (3, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    flagged = sorted(
+        r["doc_id"]
+        for r in cross_corpus_contamination(train, test).collect()
+    )
+    assert 1 in flagged       # identical doc must flag
+    assert 2 not in flagged   # unrelated doc must not
