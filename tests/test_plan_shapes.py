@@ -68,3 +68,36 @@ def test_fixer_chain_is_single_projection(spark):
     plan = _plan(clean_alerts(raw))
     assert plan.count("Project") == 1
     assert "Exchange" not in plan  # zero shuffles in the scalar chain
+
+
+def test_sessionize_single_exchange(spark):
+    """Both sessionize windows (lag flag + running sum) share one
+    (user, ts) partitioning: exactly one Exchange and one Sort."""
+    from datetime import datetime
+
+    from service_alerts_connector_spark.operators.sessions import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    plan = _plan(sessionize(ev))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_stratified_sample_single_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.operators.topk import (
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, grp string")
+    plan = _plan(
+        stratified_sample_exact(
+            df, ["grp"], 5,
+            F.md5(F.col("k").cast("string").cast("binary")),
+        )
+    )
+    assert plan.count("Exchange") == 1
