@@ -117,6 +117,55 @@ FROM s
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data run actually executes:
+    language gate (confident-English) → quality-score floor → token-length
+    band → exact dedup (min-id representative).  One declarative plan —
+    Catalyst fuses the three scalar gates into the scan's filter and the
+    dedup is the only shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    gated = docs.where(
+        (TX.lang_guess(t) == "en")
+        & (F.round(TX.quality_score(t), 6) > 0.3)
+        & (TX.token_count(t).between(5, 5000))
+    )
+    keep = (
+        gated.select(F.col("doc_id"), F.md5(t).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    out = gated.join(keep, "doc_id", "left_semi")
+    return out.select("doc_id", TX.token_count(t).alias("n_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+SQL_CORPUS_CURATION = r"""
+WITH gated AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) >= 2
+    AND round(
+      (CAST(CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+            ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS DOUBLE) * 5.0)
+        / (CAST(coalesce(length(text), 0) AS DOUBLE) + 1.0)
+      - (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+         / (CAST(coalesce(length(text), 0) AS DOUBLE) + 1.0)), 6) > 0.3
+    AND (CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+         ELSE len(string_split_regex(trim(lower(text)), '\s+')) END) BETWEEN 5 AND 5000
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+)
+SELECT g.doc_id, g.n_tokens
+FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -617,6 +666,7 @@ TEXT_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_near_keep": q_dedup_near_keep,
     "contamination": q_contamination,
+    "corpus_curation": q_corpus_curation,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -637,6 +687,7 @@ TEXT_ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_near_keep": SQL_DEDUP_NEAR_KEEP,
     "contamination": SQL_CONTAMINATION,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
