@@ -663,16 +663,13 @@ def q_f12_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = part.where(
         (F.col("p_partkey") > 50) & (F.col("p_partkey") <= 150)
     ).select(F.col("p_partkey").alias("b_id"), F.col("p_name").alias("b_name"))
+    # threshold form: the banded DP early-exits rows beyond the bound
+    # (returns -1), so each candidate pair costs O(len × bound) instead of
+    # O(len²) — same kept pairs and distances as the unbounded form
+    lev = F.levenshtein(F.col("a_name"), F.col("b_name"), 8)
     return (
-        a.join(
-            F.broadcast(b),
-            F.levenshtein(F.col("a_name"), F.col("b_name")) <= 8,
-        )
-        .select(
-            "a_id",
-            "b_id",
-            F.levenshtein(F.col("a_name"), F.col("b_name")).alias("dist"),
-        )
+        a.join(F.broadcast(b), lev != F.lit(-1))
+        .select("a_id", "b_id", lev.alias("dist"))
     )
 
 

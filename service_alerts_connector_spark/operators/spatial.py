@@ -282,14 +282,20 @@ def fuzzy_street_match(
                 F.col(street_wkt_col).alias("_swkt"),
             )
         ),
+        # threshold form: banded DP early-exits beyond the bound (-1),
+        # O(len × bound) per candidate pair instead of O(len²)
         F.levenshtein(
-            F.lower(F.trim(F.col(street_query_col))), F.lower(F.col("_sname"))
+            F.lower(F.trim(F.col(street_query_col))),
+            F.lower(F.col("_sname")),
+            max_distance,
         )
-        <= max_distance,
+        != F.lit(-1),
     ).withColumn(
         "_score",
         F.levenshtein(
-            F.lower(F.trim(F.col(street_query_col))), F.lower(F.col("_sname"))
+            F.lower(F.trim(F.col(street_query_col))),
+            F.lower(F.col("_sname")),
+            max_distance,
         ),
     )
 
