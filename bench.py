@@ -48,6 +48,12 @@ HEADLINE = [
     # (spatial overlay, embedding near-dup LSH) measurable round-over-round
     "geo_overlay_rect",
     "dedup_embedding_cosine",
+    # round-2 training-pipeline operators
+    "sessionize",
+    "stratified_sample",
+    "corpus_curation",
+    "contamination",
+    "dedup_clusters",
 ]
 
 
