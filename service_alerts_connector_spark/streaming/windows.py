@@ -15,6 +15,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_window_counts(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming analogue of ``operators/sessions.sessionize``: per-key
+    sessions closed after ``gap`` of inactivity, via ``F.session_window``
+    in a watermarked aggregation — incremental session state instead of a
+    batch sort, same gap semantics.  Run with append mode to emit each
+    session once the watermark passes its close (update mode is rejected —
+    sessions can merge), or complete mode to re-emit full state; state is
+    bounded by watermark + gap either way."""
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     window_duration: str = "1 hour",

@@ -68,3 +68,70 @@ def test_late_rows_merge_into_window(spark, tmp_path):
         for r in agg(batch_df.withWatermark("ts", "2 hours")).collect()
     }
     assert batch == results
+
+
+def test_session_window_stream_merges_and_splits(spark, tmp_path):
+    """session_window: events within the gap merge into one session; a
+    larger gap opens a new one.  Streaming result equals the batch
+    sessionize rollup on the same rows."""
+    from service_alerts_connector_spark.streaming.windows import (
+        session_window_counts,
+    )
+
+    rows = [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1},
+        {"ts": "2024-01-01 10:20:00", "user_id": 1},  # within 30-min gap
+        {"ts": "2024-01-01 12:00:00", "user_id": 1},  # new session
+        {"ts": "2024-01-01 10:05:00", "user_id": 2},
+    ]
+    staged = tmp_path / "in"
+    staged.mkdir()
+    with open(staged / "b1.jsonl", "w") as f:
+        for e in rows:
+            f.write(json.dumps(e) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .json(str(staged))
+    )
+    results: dict[tuple, int] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[(r["user_id"], r["session_start"])] = r["n_events"]
+
+    # session_window aggregations reject update mode (sessions can merge);
+    # complete re-emits the full session state per batch
+    q = (
+        session_window_counts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert results == {
+        (1, "2024-01-01 10:00:00"): 2,
+        (1, "2024-01-01 12:00:00"): 1,
+        (2, "2024-01-01 10:05:00"): 1,
+    }
+
+    # batch sessionize groups the same rows into the same sessions
+    from service_alerts_connector_spark.operators.sessions import sessionize
+    from pyspark.sql import functions as F
+
+    batch_df = (
+        spark.read.schema("ts timestamp, user_id long")
+        .json(str(staged))
+        .withColumn("event_id", F.monotonically_increasing_id())
+    )
+    batch = {
+        (r["user_id"], r["session_idx"]): r["n"]
+        for r in sessionize(batch_df)
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert batch == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
