@@ -39,6 +39,10 @@ from service_alerts_connector_spark.catalog_geo import (
     GEO_ORACLES,
     GEO_QUERIES,
 )
+from service_alerts_connector_spark.catalog_temporal import (
+    TEMPORAL_ORACLES,
+    TEMPORAL_QUERIES,
+)
 from service_alerts_connector_spark.catalog_text import (
     TEXT_ORACLES,
     TEXT_QUERIES,
@@ -59,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **FIXER_QUERIES,
         **ANALYTICS_QUERIES,
         **GEO_QUERIES,
+        **TEMPORAL_QUERIES,
         **EXTRA_QUERIES,
     }
 
@@ -73,4 +78,5 @@ def oracle_sql() -> dict[str, str]:
         **FIXER_ORACLES,
         **ANALYTICS_ORACLES,
         **GEO_ORACLES,
+        **TEMPORAL_ORACLES,
     }

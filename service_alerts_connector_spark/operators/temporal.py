@@ -1,0 +1,147 @@
+"""Temporal joins — as-of (point-in-time) join and bucketed range join.
+
+Beyond the reference's operator surface (its joins are all equi/fuzzy —
+SURVEY §2.3), but essential event-pipeline operators: "latest state at or
+before each observation" and "points falling inside intervals".  Both are
+notorious scale traps when written naively (a theta join becomes a
+BroadcastNestedLoopJoin or CartesianProduct); the implementations here are
+shuffle-bounded compositions of built-in operators only.
+
+As-of join — union + running window, ONE shuffle:
+    tag right rows 0 and left rows 1, union on the join key, then a
+    ``last(payload, ignorenulls)`` over rows-unbounded-preceding ordered by
+    ``(ts, tag, tiebreak)``.  Every left row reads the most recent right row
+    at-or-before its timestamp without ever materializing left×right pairs.
+    Spark evaluates the unbounded-preceding/current-row frame incrementally
+    (running state, O(n) per partition).  At 100 TB both inputs shuffle once
+    on the key — the same cost as a plain equi-join — versus the naive
+    ``left.ts >= right.ts`` theta join, which has no equi clause and plans a
+    nested loop.  Skewed hub keys: pre-filter or range-split via
+    ``operators/skew`` (the window is per-key sequential by nature).
+
+Bucketed range join — interval binning:
+    intervals explode to the fixed-width time buckets they cover; each
+    point maps to exactly ONE bucket; an equi-join on the bucket plus the
+    exact predicate replaces the nested loop.  A point in an interval is
+    found in precisely its own bucket, so no dedup pass is needed.  Bucket
+    width trades replication (long intervals → many buckets) against bucket
+    fan-in; choose it near the median interval length.  At 100 TB this is
+    two hash shuffles on a well-distributed integer key — AQE's skew-join
+    split handles a hot bucket (e.g. everything in one hour).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    right_tiebreak: str,
+    right_on: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward-inclusive as-of join: for each left row, attach the payload
+    of the right row with the greatest ``(right_ts, right_tiebreak)`` among
+    rows sharing the key and ``right_ts <= left_ts`` (left rows with no
+    match keep null payloads — left-join semantics).
+
+    ``right_tiebreak`` is mandatory (repo determinism rule: every "latest"
+    carries a key tiebreak) and must be unique per ``(key, right_ts)``.
+    Payload columns are renamed ``<name><suffix>`` when they collide with a
+    left column.  The payload rides in ONE struct so the matched row is
+    taken atomically — per-column ``last(ignorenulls)`` would mix rows when
+    a payload value is legitimately null.
+    """
+    right_on = right_on or on
+    pay = F.struct(
+        *[F.col(c) for c in payload_cols], F.col(right_tiebreak).alias("_tb")
+    )
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_tiebreak).alias("_tbo"),
+        pay.alias("_pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("_tbo"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # Right rows sort BEFORE left rows at an equal timestamp (inclusive <=);
+    # among tied right rows the larger tiebreak sorts later, so ``last``
+    # picks max (ts, tiebreak).  Frame is row-based, so tied sort keys are
+    # harmless: every preceding right row is in-frame either way.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc_nulls_first("_tbo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_pay", ignorenulls=True).over(w)
+    taken = set(left.columns)
+    out_names = [c if c not in taken else f"{c}{suffix}" for c in payload_cols]
+    return (
+        r.unionByName(l)
+        .withColumn("_m", matched)
+        .where(F.col("_side") == 1)
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+            *[
+                F.col("_m").getField(c).alias(o)
+                for c, o in zip(payload_cols, out_names)
+            ],
+        )
+    )
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner join of ``points`` to every interval with
+    ``start_col <= point_ts < end_col`` (half-open), via fixed-width time
+    buckets instead of a nested-loop theta join.
+
+    Each interval is exploded to the epoch-second buckets it touches; each
+    point lives in exactly one bucket, so every qualifying (point, interval)
+    pair is produced exactly once — no dedup.  Column sets must be disjoint
+    apart from the timestamp columns (standard join hygiene; rename first).
+    """
+    sec = lambda c: F.col(c).cast("long")  # noqa: E731 — floor to seconds
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(sec(start_col) / bucket_s),
+                F.floor(sec(end_col) / bucket_s),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", F.floor(sec(point_ts) / bucket_s))
+    return (
+        pt.join(iv, on="_bucket", how="inner")
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

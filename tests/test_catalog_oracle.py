@@ -20,6 +20,10 @@ from service_alerts_connector_spark.catalog_geo import (
     GEO_ORACLES,
     GEO_QUERIES,
 )
+from service_alerts_connector_spark.catalog_temporal import (
+    TEMPORAL_ORACLES,
+    TEMPORAL_QUERIES,
+)
 from service_alerts_connector_spark.catalog_text import (
     TEXT_ORACLES,
     TEXT_QUERIES,
@@ -28,11 +32,11 @@ from tests.oracle_util import compare, duck_connection
 
 CORE_QUERIES = {
     **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
-    **ANALYTICS_QUERIES, **GEO_QUERIES,
+    **ANALYTICS_QUERIES, **GEO_QUERIES, **TEMPORAL_QUERIES,
 }
 CORE_ORACLES = {
     **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
-    **ANALYTICS_ORACLES, **GEO_ORACLES,
+    **ANALYTICS_ORACLES, **GEO_ORACLES, **TEMPORAL_ORACLES,
 }
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")

@@ -24,6 +24,9 @@ def test_no_name_collisions():
     from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
     from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES
     from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
+    from service_alerts_connector_spark.catalog_temporal import (
+        TEMPORAL_QUERIES,
+    )
     from service_alerts_connector_spark.catalog_text import TEXT_QUERIES
 
     parts = [
@@ -32,6 +35,7 @@ def test_no_name_collisions():
         FIXER_QUERIES,
         ANALYTICS_QUERIES,
         GEO_QUERIES,
+        TEMPORAL_QUERIES,
         EXTRA_QUERIES,
     ]
     total = sum(len(p) for p in parts)
