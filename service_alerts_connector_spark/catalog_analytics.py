@@ -297,7 +297,98 @@ ORDER BY user_id, session_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct sketch — portable deterministic cardinality estimate
+# ---------------------------------------------------------------------------
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count estimate of l_partkey per return
+    flag (k=64), next to the exact count so the estimate is auditable.
+    md5-derived, so DuckDB reproduces the identical estimate — unlike
+    HLL-based approx_count_distinct (engine-specific by construction)."""
+    from service_alerts_connector_spark.operators.sketches import kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, on="l_returnflag", how="inner")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            "kmv_distinct",
+            "exact_distinct",
+        )
+    )
+
+
+SQL_KMV = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS returnflag,
+                  md5(CAST(l_partkey AS VARCHAR)) AS hh
+  FROM lineitem
+), ranked AS (
+  SELECT returnflag, hh,
+         row_number() OVER (PARTITION BY returnflag ORDER BY hh) AS rn
+  FROM h
+), topk AS (
+  SELECT returnflag,
+         count(*) AS n_le_k,
+         max(CASE WHEN rn = 64 THEN hh END) AS kth
+  FROM ranked WHERE rn <= 64 GROUP BY returnflag
+), est AS (
+  SELECT returnflag,
+         CAST(CASE WHEN n_le_k < 64 THEN n_le_k
+              ELSE floor(63.0 / ((('0x' || substr(kth, 1, 8))::BIGINT + 1)
+                                 / 4294967296.0))
+              END AS BIGINT) AS kmv_distinct
+  FROM topk
+)
+SELECT e.returnflag, e.kmv_distinct, x.exact_distinct
+FROM est e
+JOIN (SELECT l_returnflag AS returnflag,
+             count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag) x USING (returnflag)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split — reproducible train/val/test assignment
+# ---------------------------------------------------------------------------
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment (80/10/10) as a pure md5 function of
+    the id: stable under repartitioning, appends, and engine choice, plus
+    the per-split size rollup."""
+    from service_alerts_connector_spark.operators.sketches import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = hash_split(docs, "doc_id")
+    counts = assigned.groupBy("split").agg(F.count(F.lit(1)).alias("split_n"))
+    return assigned.join(counts, on="split", how="inner").select(
+        "doc_id", "split", "split_n"
+    )
+
+
+def _sql_hash_split() -> str:
+    from service_alerts_connector_spark.operators.sketches import (
+        hash_split_sql,
+    )
+
+    expr = hash_split_sql("doc_id")
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, {expr} AS split FROM documents
+), counts AS (
+  SELECT split, count(*) AS split_n FROM assigned GROUP BY split
+)
+SELECT a.doc_id, a.split, c.split_n
+FROM assigned a JOIN counts c USING (split)
+"""
+
+
 ANALYTICS_QUERIES = {
+    "kmv_distinct": q_kmv_distinct,
+    "hash_split": q_hash_split,
     "cube_grouping": q_cube_grouping,
     "stratified_sample": q_stratified_sample,
     "sessionize": q_sessionize,
@@ -310,6 +401,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "kmv_distinct": SQL_KMV,
+    "hash_split": _sql_hash_split(),
     "cube_grouping": SQL_CUBE,
     "stratified_sample": SQL_STRATIFIED,
     "sessionize": SQL_SESSIONIZE,

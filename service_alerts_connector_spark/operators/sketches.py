@@ -1,0 +1,148 @@
+"""Deterministic sketches and hash-based dataset splitting.
+
+Training-data pipelines need cardinality estimates and reproducible
+train/val/test assignment that are STABLE across engines, runs, and
+cluster layouts.  Spark's native ``approx_count_distinct`` (HyperLogLog++)
+is excellent at 100 TB but its exact output is engine-specific, so it can't
+be differentially tested against another engine; the K-Minimum-Values
+sketch here is built from md5 — portable, deterministic, and still a
+bounded-memory one-pass estimate.  Both md5-derived primitives floor/format
+per the repo determinism rules (CLAUDE.md): hex→int via ``conv`` in Spark
+and ``('0x' || h)::BIGINT`` in DuckDB produce identical values.
+
+KMV at scale: the k smallest distinct hashes per group.  One
+``distinct`` shuffle (O(n) rows, map-side combined) then a per-group
+top-k.  A plain ``row_number`` window sorts each whole group, so a hot
+group (billions of distinct keys) becomes one giant sort partition;
+``salt_buckets`` switches on a two-phase prune — k smallest per
+(group, salt) first, so the final per-group sort sees at most
+``salt_buckets × k`` rows whatever the group size.  Estimate error is
+~1/sqrt(k-2) (Beyer et al., "On synopses for distinct-value estimation
+under multiset operations", SIGMOD'07).
+
+Hash split: the md5 fraction of the id decides the split, so membership
+is a pure function of the row — adding/removing rows never reshuffles
+other rows' assignments (critical when a corpus is re-snapshotted), and
+any engine reproduces it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO32 = float(1 << 32)
+
+
+def md5_frac32(col: Column) -> Column:
+    """Uniform-ish fraction in (0, 1] from the first 8 hex chars of
+    md5(col-as-string).  ``+1`` avoids an exact zero (division guard) at a
+    negligible 2^-32 bias; DuckDB equivalent:
+    ``(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967296.0``.
+    """
+    v = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (v + F.lit(1)) / F.lit(_TWO32)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 64,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group distinct-count estimate: ``(k-1) / frac(k-th smallest
+    md5)``, exact when a group has fewer than ``k`` distinct keys.
+
+    Output: group columns + ``kmv_distinct`` (bigint; floored — Spark's
+    cast floors while DuckDB's rounds, so the floor is explicit).
+    """
+    groups = [F.col(c) for c in group_cols]
+    d = df.select(*groups, F.md5(F.col(key_col).cast("string")).alias("_h")).distinct()
+    if salt_buckets:
+        # phase 1: k smallest per (group, salt) — bounds every sort
+        # partition; salt from the hash itself so it's deterministic.
+        salt = (
+            F.conv(F.substring("_h", 25, 4), 16, 10).cast("long") % salt_buckets
+        )
+        w1 = Window.partitionBy(*group_cols, "_salt").orderBy("_h")
+        d = (
+            d.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= k)
+            .drop("_salt", "_rn")
+        )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    ranked = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    kth_frac = (
+        F.conv(F.substring(F.max(F.when(F.col("_rn") == k, F.col("_h"))), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    ) / F.lit(_TWO32)
+    return ranked.groupBy(*group_cols).agg(
+        F.when(F.count("_h") < k, F.count("_h"))
+        .otherwise(F.floor(F.lit(float(k - 1)) / kth_frac))
+        .cast("long")
+        .alias("kmv_distinct")
+    )
+
+
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+)
+
+
+def split_bounds(
+    fracs: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> list[tuple[str, int]]:
+    """Cumulative 16-bit integer upper bounds for each split label
+    (shared by the Spark expression and the SQL oracle so both engines
+    draw identical boundaries)."""
+    acc, out = 0.0, []
+    for name, frac in fracs:
+        acc += frac
+        out.append((name, min(int(acc * 65536), 65536)))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "split-v1",
+    fracs: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column chosen
+    by the 16-bit md5 fraction of ``seed || ':' || id``.  Membership is a
+    pure row function — stable under repartitioning, appends, and engine
+    choice.  Change ``seed`` to draw an independent split.
+    """
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    expr: Column | None = None
+    for name, bound in reversed(split_bounds(fracs)):
+        expr = F.lit(name) if expr is None else F.when(v < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(
+    id_sql: str,
+    seed: str = "split-v1",
+    fracs: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> str:
+    """The DuckDB expression computing the identical split label (for
+    oracle construction and for users verifying assignments off-cluster)."""
+    v = f"('0x' || substr(md5('{seed}:' || CAST({id_sql} AS VARCHAR)), 1, 4))::BIGINT"
+    bounds = split_bounds(fracs)
+    cases = " ".join(
+        f"WHEN {v} < {bound} THEN '{name}'" for name, bound in bounds[:-1]
+    )
+    return f"CASE {cases} ELSE '{bounds[-1][0]}' END"

@@ -1,0 +1,91 @@
+"""KMV distinct sketch + deterministic hash split (operators/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.sketches import (
+    hash_split,
+    kmv_distinct,
+    split_bounds,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_exact_below_k(spark):
+    # fewer than k distinct keys -> the estimate IS the exact count
+    df = spark.createDataFrame(
+        [(g, i % 10) for g in ("a", "b") for i in range(50)], "g string, k long"
+    )
+    got = {r["g"]: r["kmv_distinct"] for r in kmv_distinct(df, "k", ["g"], k=64).collect()}
+    assert got == {"a": 10, "b": 10}
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    est = {
+        r["l_returnflag"]: r["kmv_distinct"]
+        for r in kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        if n < 64:
+            assert est[flag] == n
+        else:  # ~1/sqrt(k-2) relative error; allow 4 sigma
+            assert abs(est[flag] - n) / n < 0.55, (flag, est[flag], n)
+
+
+def test_kmv_salted_matches_unsalted(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = sorted(kmv_distinct(li, "l_partkey", ["l_returnflag"], k=32).collect())
+    salted = sorted(
+        kmv_distinct(li, "l_partkey", ["l_returnflag"], k=32, salt_buckets=8).collect()
+    )
+    assert plain == salted
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_hash_split_fractions_roughly_hold(spark):
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert n == 20000
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+
+
+def test_hash_split_membership_stable_under_append(spark):
+    # membership is a pure row function: a row's split never changes when
+    # the corpus grows (re-snapshot safety)
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_bounds_cumulative():
+    bounds = split_bounds()
+    assert [b for _, b in bounds] == [52428, 58982, 65536]
+    names = [n for n, _ in bounds]
+    assert names == ["train", "val", "test"]
