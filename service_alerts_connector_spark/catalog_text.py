@@ -654,7 +654,169 @@ FROM documents GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction — URLs / emails / phone-like runs → typed placeholders
+# ---------------------------------------------------------------------------
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus has no organic PII, so each doc is decorated with a
+    deterministic synthetic email / URL / phone derived from its id, then
+    redacted — the round trip exercises every pattern on every row."""
+    from service_alerts_connector_spark.functions.text import (
+        pii_count,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.example/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call +27 21 400 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" :: "),
+            F.substring("text", 1, 80),
+        ).alias("raw"),
+    )
+    return decorated.select(
+        "doc_id",
+        redact_pii(F.col("raw")).alias("redacted"),
+        pii_count(F.col("raw")).alias("n_pii"),
+    )
+
+
+SQL_PII = r"""
+WITH decorated AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com via https://ex.example/d/' || CAST(doc_id AS VARCHAR) ||
+         ' or call +27 21 400 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' :: ' || substr(text, 1, 80) AS raw
+  FROM documents
+), s1 AS (
+  SELECT doc_id, raw,
+         regexp_replace(raw, 'https?://[^\s]+', '<URL>', 'g') AS r1,
+         len(regexp_extract_all(raw, 'https?://[^\s]+')) AS c1
+  FROM decorated
+), s2 AS (
+  SELECT doc_id, r1, c1,
+         regexp_replace(r1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS r2,
+         len(regexp_extract_all(r1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(r2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+       CAST(c1 + c2 + len(regexp_extract_all(r2, '\+?[0-9][0-9()\- ]{6,}[0-9]'))
+            AS BIGINT) AS n_pii
+FROM s2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-line removal — corpus-frequent lines dropped per document
+# ---------------------------------------------------------------------------
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesizes 3-line documents (unique header, shared footer, text
+    stub); the shared footer crosses the 20%-of-corpus threshold and is
+    removed, the per-doc lines survive in order."""
+    from service_alerts_connector_spark.operators.boilerplate import (
+        remove_frequent_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" begins")),
+            F.lit("ALL RIGHTS RESERVED - FOOTER"),
+            F.substring("text", 1, 40),
+        ).alias("body"),
+    )
+    return remove_frequent_lines(
+        lined, "doc_id", "body", sep="\n", min_doc_frac=0.2
+    )
+
+
+SQL_BOILERPLATE = """
+WITH lined AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' begins' || chr(10) ||
+         'ALL RIGHTS RESERVED - FOOTER' || chr(10) ||
+         substr(text, 1, 40) AS body
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         unnest(string_split(body, chr(10))) AS line,
+         generate_subscripts(string_split(body, chr(10)), 1) AS pos
+  FROM lined
+), nonblank AS (
+  SELECT * FROM exploded WHERE line <> ''
+), freq AS (
+  SELECT line FROM (SELECT DISTINCT line, doc_id FROM nonblank)
+  GROUP BY line
+  HAVING count(*) >= ceil(0.2 * (SELECT count(*) FROM lined))
+), kept AS (
+  SELECT e.doc_id, e.pos, e.line
+  FROM exploded e LEFT JOIN freq f USING (line)
+  WHERE f.line IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, coalesce(r.cleaned, '') AS cleaned
+FROM lined l LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics — within-doc duplicate-token ratio
+# ---------------------------------------------------------------------------
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-token ratio per document (repetition filter input).
+    Tokens materialized in a prior projection (transform-lambda rule)."""
+    from service_alerts_connector_spark.functions.text import (
+        distinct_token_count,
+        dup_token_ratio,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        distinct_token_count(F.col("toks")).alias("n_distinct"),
+        dup_token_ratio(F.col("toks")).alias("dup_ratio"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) IS NULL OR trim(lower(text)) = ''
+              THEN [] ELSE string_split_regex(trim(lower(text)), '\s+')
+         END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       CASE WHEN len(toks) <= 0 THEN 0.0
+            ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE)
+       END AS dup_ratio
+FROM toked
+"""
+
+
 TEXT_QUERIES = {
+    "text_pii_redact": q_text_pii_redact,
+    "text_boilerplate": q_text_boilerplate,
+    "text_repetition": q_text_repetition,
     "text_vocab_topk": q_text_vocab_topk,
     "text_length_histogram": q_text_length_histogram,
     "text_stats": q_text_stats,
@@ -676,6 +838,9 @@ TEXT_QUERIES = {
 }
 
 TEXT_ORACLES = {
+    "text_pii_redact": SQL_PII,
+    "text_boilerplate": SQL_BOILERPLATE,
+    "text_repetition": SQL_REPETITION,
     "text_vocab_topk": SQL_VOCAB,
     "text_length_histogram": SQL_LENGTH_HIST,
     "text_stats": SQL_TEXT_STATS,

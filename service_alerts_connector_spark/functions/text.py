@@ -114,3 +114,54 @@ def token_hash32(col: Column) -> Column:
     hex chars of md5, parsed as an integer.  (Spark's ``hash()`` / DuckDB's
     ``hash()`` differ; md5 is the portable common denominator.)"""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition metrics (corpus-cleaning expressions)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs) so Spark's Java regex and
+# DuckDB's RE2 agree match-for-match; order matters — URLs first (they may
+# contain '@' and digits), then emails, then phone-ish runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace URLs, email addresses, and phone-number-like digit runs with
+    typed placeholder tokens — left-to-right non-overlapping replacement in
+    pattern order, identical under Java regex and RE2."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """How many PII spans ``redact_pii`` would replace (counted against the
+    progressively-redacted text, mirroring the replacement order)."""
+    out, n = col, F.lit(0)
+    for pattern, token in PII_PATTERNS:
+        n = n + F.regexp_count(out, F.lit(pattern))
+        out = F.regexp_replace(out, pattern, token)
+    return n
+
+
+def distinct_token_count(toks: Column) -> Column:
+    """Distinct-token count over a materialized token array."""
+    return F.size(F.array_distinct(toks))
+
+
+def dup_token_ratio(toks: Column) -> Column:
+    """Within-document repetition: fraction of tokens that are repeats of
+    an earlier token (0.0 for empty docs).  High values flag boilerplate /
+    degenerate generations.  Integer-derived double division — identical
+    across engines."""
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - nd).cast("double") / n.cast("double")
+    )
