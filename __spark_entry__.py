@@ -30,6 +30,10 @@ from service_alerts_connector_spark.catalog_analytics import (
     ANALYTICS_ORACLES,
     ANALYTICS_QUERIES,
 )
+from service_alerts_connector_spark.catalog_corpus import (
+    CORPUS_ORACLES,
+    CORPUS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
@@ -64,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **ANALYTICS_QUERIES,
         **GEO_QUERIES,
         **TEMPORAL_QUERIES,
+        **CORPUS_QUERIES,
         **EXTRA_QUERIES,
     }
 
@@ -79,4 +84,5 @@ def oracle_sql() -> dict[str, str]:
         **ANALYTICS_ORACLES,
         **GEO_ORACLES,
         **TEMPORAL_ORACLES,
+        **CORPUS_ORACLES,
     }

@@ -1,0 +1,88 @@
+"""Document chunking and per-source quota sampling for training pipelines.
+
+``chunk_documents`` splits each document's token stream into fixed-size
+overlapping windows (the tokenizer "stride/overflow" convention): window i
+starts at ``i × (chunk_tokens − overlap_tokens)`` and the series stops with
+the first window that reaches the end of the document, so no redundant tail
+window is emitted.  The whole operator is a narrow projection + explode —
+NO shuffle, so at 100 TB it pipelines with the scan and whatever follows.
+
+``source_quota`` caps each source/domain at ``quota`` documents, picking a
+deterministic pseudo-random subset (ordered by md5 of the id, id tiebreak)
+so the sample is stable across runs and engines — the "source mixing" step
+that stops one crawl domain from dominating a training mix.  One shuffle on
+the group key; per-group state is a row_number, so skewed sources stream
+through a single window scan rather than materializing per-group arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.functions.text import tokens
+
+
+def chunk_count(n_tokens: Column, chunk_tokens: int, step: int) -> Column:
+    """Number of windows: 1 if the doc fits in one chunk, else
+    1 + ceil((n − chunk)/step); 0 for empty docs."""
+    over = n_tokens - F.lit(chunk_tokens)
+    extra = F.ceil(over.cast("double") / F.lit(step)).cast("int")
+    return (
+        F.when(n_tokens <= 0, F.lit(0))
+        .when(over <= 0, F.lit(1))
+        .otherwise(F.lit(1) + extra)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_chunk_tokens) — one row per
+    fixed-size overlapping token window.  Empty documents yield no chunks.
+
+    Tokens are materialized in a projection before the explode (the repo's
+    transform-lambda rule: never recompute ``tokens()`` per element)."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    cnt = chunk_count(F.col("_n"), chunk_tokens, step)
+    # sequence(0, -1) counts DOWN (step defaults to -1 when start > stop),
+    # so the empty-doc case must short-circuit to an empty array.
+    idxs = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = toked.select(id_col, "_toks", F.explode(idxs).alias("chunk_idx"))
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 100,
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen by md5-hash order of the id
+    (deterministic, engine-portable, uncorrelated with the id order) with
+    the id itself as tiebreak.  Adds ``quota_rank`` (1-based) so callers can
+    audit how deep into the group each kept row sat."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= quota)
+    )

@@ -12,6 +12,10 @@ from service_alerts_connector_spark.catalog_analytics import (
     ANALYTICS_ORACLES,
     ANALYTICS_QUERIES,
 )
+from service_alerts_connector_spark.catalog_corpus import (
+    CORPUS_ORACLES,
+    CORPUS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
@@ -33,10 +37,12 @@ from tests.oracle_util import compare, duck_connection
 CORE_QUERIES = {
     **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
     **ANALYTICS_QUERIES, **GEO_QUERIES, **TEMPORAL_QUERIES,
+    **CORPUS_QUERIES,
 }
 CORE_ORACLES = {
     **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
     **ANALYTICS_ORACLES, **GEO_ORACLES, **TEMPORAL_ORACLES,
+    **CORPUS_ORACLES,
 }
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
