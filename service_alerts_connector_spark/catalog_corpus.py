@@ -149,11 +149,167 @@ FROM tf GROUP BY term HAVING count(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 history from the event changelog (runs of event_type per user)
+# ---------------------------------------------------------------------------
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 validity intervals over each user's event_type runs.
+    Timestamps surface as formatted strings (catalog determinism rules);
+    the open current interval surfaces as the literal 'current'."""
+    from service_alerts_connector_spark.operators.scd import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        "version",
+    )
+
+
+SQL_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER w AS prev_ts,
+         lag(event_type) OVER w AS prev_attr
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), points AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_attr
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S'),
+                'current') AS valid_to,
+       CAST(row_number() OVER w2 AS INTEGER) AS version
+FROM points
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2 normalization (unit-vector summary scalars)
+# ---------------------------------------------------------------------------
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm + summary scalars of the unit vector per embedding.  The unit
+    vector itself is array-typed (driver canonicalizer cannot hash arrays —
+    the a1 lesson), so the oracled surface is (norm, sum, min, max) of the
+    normalized components, each a left-assoc fold rounded to 6 dp."""
+    from service_alerts_connector_spark.functions.vectors import (
+        normalize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = normalize_embeddings(emb)
+    u = F.col("unit")
+    return out.select(
+        "vec_id",
+        F.round("norm", 6).alias("norm6"),
+        F.round(
+            F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sum_unit6"),
+        F.round(F.array_min(u), 6).alias("min_unit6"),
+        F.round(F.array_max(u), 6).alias("max_unit6"),
+    )
+
+
+SQL_EMB_NORM = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), normed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base
+), unit AS (
+  SELECT vec_id, norm,
+         CASE WHEN norm = 0 THEN v
+              ELSE list_transform(v, x -> x / norm) END AS u
+  FROM normed
+)
+SELECT vec_id,
+       round(norm, 6) AS norm6,
+       round(list_aggregate(u, 'sum'), 6) AS sum_unit6,
+       round(list_aggregate(u, 'min'), 6) AS min_unit6,
+       round(list_aggregate(u, 'max'), 6) AS max_unit6
+FROM unit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dimension-wise corpus statistics (exact µ-scaled integer sums)
+# ---------------------------------------------------------------------------
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.functions.vectors import dim_stats_micro
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dim_stats_micro(emb)
+
+
+SQL_DIM_STATS = """
+WITH cell AS (
+  SELECT dim - 1 AS dim,
+         CAST(round(x * 1000000) AS BIGINT) AS micro
+  FROM (
+    SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+)
+SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+       sum(micro) AS sum_micro, min(micro) AS min_micro,
+       max(micro) AS max_micro
+FROM cell GROUP BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — token-budget bin assignment per source shard
+# ---------------------------------------------------------------------------
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.operators.chunking import pack_bins
+    from service_alerts_connector_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_bins(docs, "source", "doc_id", "n_tokens", capacity=256)
+
+
+SQL_PACK = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM sized
+)
+SELECT doc_id, source, n_tokens,
+       cum_before // 256 AS bin_idx,
+       cum_before % 256 AS offset_in_bin
+FROM cum
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
     "tfidf_top_terms": q_tfidf_top_terms,
     "inverted_index": q_inverted_index,
+    "scd2_history": q_scd2_history,
+    "embedding_normalize": q_embedding_normalize,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "pack_bins": q_pack_bins,
 }
 
 CORPUS_ORACLES = {
@@ -161,4 +317,8 @@ CORPUS_ORACLES = {
     "source_quota": SQL_SOURCE_QUOTA,
     "tfidf_top_terms": SQL_TFIDF,
     "inverted_index": SQL_INVERTED,
+    "scd2_history": SQL_SCD2,
+    "embedding_normalize": SQL_EMB_NORM,
+    "embedding_dim_stats": SQL_DIM_STATS,
+    "pack_bins": SQL_PACK,
 }

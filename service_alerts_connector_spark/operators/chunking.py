@@ -69,6 +69,38 @@ def chunk_documents(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 256,
+) -> DataFrame:
+    """Sequence packing (concat-and-chunk convention): documents are laid
+    end-to-end in id order within each shard and ``bin_idx`` is the
+    token-budget bin the document STARTS in — ``cumsum_before div
+    capacity`` — so a bin holds ~``capacity`` tokens and a document may
+    straddle its boundary (the trainer's chunker splits it there).
+
+    Scale: the running sum is a window per SHARD, never a global
+    single-partition window — packing parallelizes across shards exactly
+    like the files a writer would emit.  Adds ``offset_in_bin`` (where the
+    doc starts inside its bin) for the downstream chunker."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn(
+        "_cum_before", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    )
+    return (
+        out.withColumn("bin_idx", F.expr(f"_cum_before div {int(capacity)}"))
+        .withColumn("offset_in_bin", F.expr(f"_cum_before % {int(capacity)}"))
+        .drop("_cum_before")
+    )
+
+
 def source_quota(
     df: DataFrame,
     group_col: str = "source",
