@@ -15,12 +15,13 @@ import time
 
 from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
 from service_alerts_connector_spark.catalog_analytics import ANALYTICS_QUERIES as _AN
+from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES as _CORP
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_geo import GEO_QUERIES as _GEO
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
-CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN, **_GEO}
+CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP}
 
 HEADLINE = [
     "fixer_chain",
@@ -54,6 +55,11 @@ HEADLINE = [
     "corpus_curation",
     "contamination",
     "dedup_clusters",
+    # round-2 corpus-prep batch
+    "doc_chunking",
+    "tfidf_top_terms",
+    "scd2_history",
+    "pack_bins",
 ]
 
 

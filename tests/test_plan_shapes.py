@@ -101,3 +101,56 @@ def test_stratified_sample_single_exchange(spark):
         )
     )
     assert plan.count("Exchange") == 1
+
+
+def test_chunking_is_narrow_zero_shuffle(spark):
+    """chunk_documents is projection + explode only — it must pipeline with
+    the scan (no Exchange anywhere)."""
+    from service_alerts_connector_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df, chunk_tokens=2, overlap_tokens=1))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 window passes (change flag, then lead/version) share one
+    (key × ts,tiebreak) partitioning: exactly one Exchange."""
+    from service_alerts_connector_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+
+    df = spark.createDataFrame([(1, 1, "A")], "ts long, uid long, st string")
+    plan = _plan(scd2_from_changelog(df, "uid", "st", "ts", "ts"))
+    assert plan.count("Exchange") == 1
+
+
+def test_pack_bins_single_exchange(spark):
+    from service_alerts_connector_spark.operators.chunking import pack_bins
+
+    df = spark.createDataFrame(
+        [(1, "s", 10)], "doc_id long, source string, n_tokens int"
+    )
+    plan = _plan(pack_bins(df))
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    """The document-frequency lookup joins broadcast at runtime (AQE sees
+    the tiny aggregate; a web-scale vocab would legitimately shuffle — the
+    operator deliberately does NOT force a broadcast hint)."""
+    from service_alerts_connector_spark.operators.tfidf import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = tfidf_top_terms(df)
+    out.collect()  # let AQE finalize the adaptive plan
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan
+    # AQE's toString appends the pre-conversion "Initial Plan" (which
+    # rightly shows SortMergeJoin) — assert on the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
