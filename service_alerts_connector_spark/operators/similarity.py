@@ -109,9 +109,13 @@ def seeded_hyperplanes(
     md5-derived sign.  Engine-portable by construction — any oracle
     regenerates identical planes from the recipe, the projection is a short
     exact ±element sum (no float literals), and the per-plane expression is
-    ``nnz`` add/subs, so 32 banded planes stay comfortably inside
-    whole-stage codegen's 64 KB method limit (a dense 64-dim plane matrix
-    provably does not).  Sparse sign projections approximate the
+    ``nnz`` add/subs, so 32 banded planes stay inside whole-stage codegen's
+    64 KB method limit — PROVIDED the double-cast vector is materialized in
+    a projection first (callers here all do): inlining the cast repeats it
+    under every element_at and the generated method overflows, silently
+    degrading the bucket stage to interpreted eval (measured 1.4× slower
+    end-to-end at sf0.1).  A dense 64-dim plane matrix overflows
+    regardless.  Sparse sign projections approximate the
     1 - θ/π collision law of dense Gaussian planes; exact duplicates always
     collide.  The recall tests measure the approximation."""
     nnz = nnz if nnz is not None else max(4, dim // 8)
@@ -198,9 +202,12 @@ def bucketed_cosine_topk(
     planes = seeded_hyperplanes(n_planes, dim, seed)
     qb = query_bucket(query_vec, planes)
     probes = [qb] if hamming == 0 else [qb] + [qb ^ (1 << j) for j in range(n_planes)]
-    bucketed = df.withColumn(
-        "bucket", hyperplane_bucket(F.col(vec_col).cast("array<double>"), planes)
-    ).where(F.col("bucket").isin(probes))
+    casted = df.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+    bucketed = (
+        casted.withColumn("bucket", hyperplane_bucket(F.col("_vd"), planes))
+        .where(F.col("bucket").isin(probes))
+        .drop("_vd")
+    )
     return cosine_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
@@ -343,9 +350,13 @@ def embedding_near_dup_pairs(
     1.0 for exact duplicates."""
     dim = _infer_dim(df, vec_col)
     planes = seeded_hyperplanes(n_planes, dim, seed)
-    v = F.col(vec_col).cast("array<double>")
-    bands = banded_bucket_cols(v, planes, n_bands)
-    cells = df.select(
+    # Materialize the double-cast array ONCE before the band expressions:
+    # inlining the cast repeats it under every element_at (n_planes × nnz
+    # copies), the generated method blows past janino's size limit, and the
+    # whole bucket stage silently falls back to interpreted evaluation.
+    casted = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd"))
+    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    cells = casted.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -373,6 +384,7 @@ def embedding_near_dup_pairs(
     # many candidate pairs — this cuts the verify stage from 3 folds per
     # pair (dot + 2 norms) to 1.  Same float ops per value, so results are
     # bit-identical to the per-pair form (and the SQL oracle).
+    v = F.col(vec_col).cast("array<double>")
     vecs = df.select(
         F.col(id_col), v.alias("_v"), _norm(v).alias("_n")
     )
@@ -417,9 +429,10 @@ def bucket_overflow_stats(
     truncation never passes silently."""
     dim = _infer_dim(df, vec_col)
     planes = seeded_hyperplanes(n_planes, dim, seed)
-    v = F.col(vec_col).cast("array<double>")
-    bands = banded_bucket_cols(v, planes, n_bands)
-    cells = df.select(
+    # same materialize-the-cast-once discipline as embedding_near_dup_pairs
+    casted = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd"))
+    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    cells = casted.select(
         F.col(id_col),
         F.explode(
             F.array(
