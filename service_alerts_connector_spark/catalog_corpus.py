@@ -301,6 +301,140 @@ FROM cum
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch — heavy-hitter estimates vs true counts
+# ---------------------------------------------------------------------------
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates for the 10 most frequent tokens, alongside the
+    exact counts (est_n ≥ true_n is the sketch's one-sided guarantee,
+    asserted in tests/test_batch_f.py)."""
+    from service_alerts_connector_spark.functions.text import tokens
+    from service_alerts_connector_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = count_min_sketch(toks, "term", depth=3, width=256)
+    true = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
+    w = Window.orderBy(F.desc("true_n"), F.asc("term"))
+    top = true.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+    est = cms_estimate(sketch, top.select("term"), "term", depth=3, width=256)
+    return top.join(est, "term").select("term", "true_n", "est_n")
+
+
+SQL_CMS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+), cells AS (
+  SELECT j.row AS row,
+         CAST(('0x' || substr(md5('cms' || CAST(j.row AS VARCHAR) || ':' || term), 1, 8))::BIGINT
+              % 256 AS BIGINT) AS col,
+         1::BIGINT AS w
+  FROM toks, (SELECT unnest([0, 1, 2]) AS row) j
+), sketch AS (
+  SELECT row, col, sum(w) AS cnt FROM cells GROUP BY row, col
+), true_counts AS (
+  SELECT term, count(*) AS true_n FROM toks GROUP BY term
+), top AS (
+  SELECT term, true_n,
+         row_number() OVER (ORDER BY true_n DESC, term ASC) AS rn
+  FROM true_counts QUALIFY rn <= 10
+), probe AS (
+  SELECT t.term, j.row AS row,
+         CAST(('0x' || substr(md5('cms' || CAST(j.row AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT
+              % 256 AS BIGINT) AS col
+  FROM top t, (SELECT unnest([0, 1, 2]) AS row) j
+)
+SELECT p.term, t.true_n, min(coalesce(s.cnt, 0)) AS est_n
+FROM probe p
+JOIN top t ON t.term = p.term
+LEFT JOIN sketch s ON s.row = p.row AND s.col = p.col
+GROUP BY p.term, t.true_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source mixing — config-driven deterministic downsampling
+# ---------------------------------------------------------------------------
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rates derived from the source name (srcN keeps
+    (N mod 10 + 1) × 6000 / 65536 ≈ 9%..92%) — the config is a broadcast
+    table in Spark and a CTE in the oracle, same integer bounds."""
+    from service_alerts_connector_spark.operators.sketches import source_mixing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    config = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "keep_per_65536",
+            (
+                (F.substring("source", 4, 10).cast("int") % 10 + 1) * 6000
+            ).cast("long"),
+        )
+    )
+    return source_mixing(docs, config, "source", "doc_id", seed="mix-v1")
+
+
+SQL_SOURCE_MIXING = """
+WITH config AS (
+  SELECT source,
+         CAST(((CAST(substr(source, 4) AS INTEGER) % 10 + 1) * 6000) AS BIGINT)
+           AS keep_per_65536
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, c.keep_per_65536
+FROM documents d JOIN config c USING (source)
+WHERE ('0x' || substr(md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      < c.keep_per_65536
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality deciles — curriculum binning per source (never a global window)
+# ---------------------------------------------------------------------------
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) over the quality score WITHIN each source — partitioned
+    binning parallelizes across sources where a corpus-global ntile would
+    be a single-partition sort (the scale rule pinned for pack_bins)."""
+    from service_alerts_connector_spark.functions.text import quality_score
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("quality"), F.asc("doc_id"))
+    return scored.withColumn("decile", F.ntile(10).over(w))
+
+
+SQL_QUALITY_DECILES = r"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS DOUBLE) AS n_tokens,
+         CAST(coalesce(length(text), 0) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         round((n_tokens * 5.0) / (n_chars + 1.0) - (n_punct / (n_chars + 1.0)), 6)
+           AS quality
+  FROM s
+)
+SELECT doc_id, source, quality,
+       CAST(ntile(10) OVER (
+         PARTITION BY source ORDER BY quality ASC, doc_id ASC
+       ) AS INTEGER) AS decile
+FROM scored
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -310,6 +444,9 @@ CORPUS_QUERIES = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_dim_stats": q_embedding_dim_stats,
     "pack_bins": q_pack_bins,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "source_mixing": q_source_mixing,
+    "quality_deciles": q_quality_deciles,
 }
 
 CORPUS_ORACLES = {
@@ -321,4 +458,7 @@ CORPUS_ORACLES = {
     "embedding_normalize": SQL_EMB_NORM,
     "embedding_dim_stats": SQL_DIM_STATS,
     "pack_bins": SQL_PACK,
+    "cms_heavy_hitters": SQL_CMS,
+    "source_mixing": SQL_SOURCE_MIXING,
+    "quality_deciles": SQL_QUALITY_DECILES,
 }

@@ -146,3 +146,135 @@ def hash_split_sql(
         f"WHEN {v} < {bound} THEN '{name}'" for name, bound in bounds[:-1]
     )
     return f"CASE {cases} ELSE '{bounds[-1][0]}' END"
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of a key stream as a SPARSE (row, col, cnt) table —
+    ``depth`` md5-derived hash rows of ``width`` buckets.  One narrow
+    explode (``depth`` cells per input row) + one groupBy((row, col)) with
+    map-side combine, so the shuffle carries at most ``depth × width``
+    distinct cells regardless of corpus size — the whole sketch is ~KBs at
+    any scale, and two sketches merge by adding cells (the property stream
+    compaction at 100 TB relies on).
+
+    Engine-portable by construction: cell = md5(f"cms{row}:{key}") mod
+    width, same recipe any SQL engine reproduces.  Estimates from
+    ``cms_estimate`` carry the classic one-sided guarantee (est ≥ true;
+    est ≤ true + εN with ε = e/width at probability 1 − (1/e)^depth)."""
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cms{j}:"),
+                                            F.col(key_col).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+        w.alias("_w"),
+    )
+    return (
+        cells.select(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each probe key against a count-min sketch: min over
+    the key's ``depth`` cells.  The sketch side is ≤ depth×width rows so
+    the join broadcasts; missing cells read as 0."""
+    probe_cells = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"cms{j}:"),
+                                            F.col(key_col).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )
+
+
+def source_mixing(
+    df: DataFrame,
+    config: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Config-driven downsampling for training-mix construction: keep a row
+    iff its 16-bit md5 fraction is below the group's ``keep_per_65536``
+    bound from the broadcast ``config`` table (integer bounds — no float
+    rate can drift between engines).  Membership is a pure row function
+    (same invariance story as ``hash_split``); groups missing from the
+    config are dropped (inner join), which doubles as an allowlist."""
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(config), group_col, "inner")
+        .withColumn("_h16", h16)
+        .where(F.col("_h16") < F.col("keep_per_65536"))
+        .drop("_h16")
+    )
