@@ -435,6 +435,44 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish token counting (token-budget estimation without the tokenizer)
+# ---------------------------------------------------------------------------
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_alerts_connector_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+        tokens_per_word_micro,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(t).alias("n_bpe"),
+        token_count(t).alias("n_words"),
+        tokens_per_word_micro(t).alias("fertility_micro"),
+    )
+
+
+SQL_BPE_TOKENS = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              AS INTEGER) AS n_bpe,
+         CASE WHEN trim(lower(text)) = '' OR text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+         END AS n_words
+  FROM documents
+)
+SELECT doc_id, n_bpe, CAST(n_words AS INTEGER) AS n_words,
+       CASE WHEN n_words <= 0 THEN 0
+            ELSE (CAST(n_bpe AS BIGINT) * 1000000) // CAST(n_words AS BIGINT)
+       END AS fertility_micro
+FROM counted
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -447,6 +485,7 @@ CORPUS_QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "source_mixing": q_source_mixing,
     "quality_deciles": q_quality_deciles,
+    "text_bpe_tokens": q_text_bpe_tokens,
 }
 
 CORPUS_ORACLES = {
@@ -461,4 +500,5 @@ CORPUS_ORACLES = {
     "cms_heavy_hitters": SQL_CMS,
     "source_mixing": SQL_SOURCE_MIXING,
     "quality_deciles": SQL_QUALITY_DECILES,
+    "text_bpe_tokens": SQL_BPE_TOKENS,
 }

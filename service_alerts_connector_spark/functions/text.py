@@ -165,3 +165,32 @@ def dup_token_ratio(toks: Column) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         (n - nd).cast("double") / n.cast("double")
     )
+
+
+# A GPT-2-style pre-tokenizer approximation, RE2-safe (no lookahead — the
+# real GPT-2 pattern's ` ?\p{L}+` contraction lookaheads don't survive both
+# engines): a token is a letter run, a digit run, or a single
+# non-alphanumeric-non-space character.  Counts land within a few percent
+# of a real BPE tokenizer's on English prose, which is what a token-budget
+# estimator needs — the exact vocab merge step requires the tokenizer model
+# itself and stays out of the engine.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate BPE token count: one count per letter-run / digit-run /
+    punctuation character (null text → 0)."""
+    return F.coalesce(
+        F.regexp_count(col, F.lit(BPE_ISH_PATTERN)), F.lit(0)
+    )
+
+
+def tokens_per_word_micro(col: Column) -> Column:
+    """BPE-ish tokens per whitespace word, ×1e6 floored to a bigint — the
+    "fertility" signal quality filters threshold on.  Exact integer
+    arithmetic (``(a − a mod b) / b`` on bigints ≤ 2^53 divides exactly),
+    so no engine's float division enters.  0 for empty docs."""
+    a = bpe_ish_token_count(col).cast("bigint") * 1_000_000
+    b = token_count(col).cast("bigint")
+    exact = (a - (a % b)) / b
+    return F.when(b <= 0, F.lit(0)).otherwise(exact).cast("bigint")

@@ -515,3 +515,81 @@ def simhash_bucket_overflow(
             (F.col("n_ids") - max_bucket).alias("n_overflow"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup — new batches against a persistent band store
+# ---------------------------------------------------------------------------
+
+BAND_STORE = "lsh_band_store"
+
+
+def incremental_dedup_batch(
+    spark,
+    root: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Admit the near-unique subset of ``new_docs`` against everything ever
+    admitted, touching ONLY the new batch's text: signatures are computed
+    for the batch alone and compared to the persistent (id, band, bucket)
+    store by ONE semi-join — the 100 TB ingest pattern where re-LSH-ing the
+    full corpus per batch would be O(corpus) every 10 minutes instead of
+    O(batch).
+
+    Two-stage admission (deterministic):
+
+    1. drop batch docs sharing any band bucket with the STORE;
+    2. within the surviving batch, keep the lowest id per colliding bucket
+       (``near_dedup_keep`` over batch-local LSH pairs).
+
+    The store then grows by the admitted docs' bands, snapshot-write-last:
+    the previous store is read PINNED to its immutable version directory
+    (never ``current``), so the returned lazy DataFrame stays valid after
+    the overwrite (CLAUDE.md state rule; version dirs outlive ``current``
+    by the prune horizon).  Returns the admitted docs.
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    sigs = minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k)
+    new_bands = _banded_minhash(sigs, id_col, num_hashes, bands)
+    versions = list_versions(root, BAND_STORE)
+    prev = (
+        read_dataset(spark, root, BAND_STORE, version=versions[-1])
+        if versions
+        else None
+    )
+
+    if prev is not None:
+        vs_store = new_bands.join(
+            prev.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "left_semi",
+        ).select(id_col).distinct()
+        survivors = new_docs.join(vs_store, id_col, "left_anti")
+    else:
+        survivors = new_docs
+
+    surv_bands = new_bands.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    surv_sigs = sigs.join(survivors.select(id_col), id_col, "left_semi")
+    batch_pairs = lsh_candidate_pairs(surv_sigs, id_col, num_hashes, bands)
+    admitted = near_dedup_keep(survivors, batch_pairs, id_col=id_col)
+
+    admitted_bands = surv_bands.join(
+        admitted.select(id_col), id_col, "left_semi"
+    )
+    merged = (
+        prev.unionByName(admitted_bands) if prev is not None else admitted_bands
+    )
+    write_dataset(merged, root, BAND_STORE)
+    return admitted

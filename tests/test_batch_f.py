@@ -74,3 +74,32 @@ def test_quality_deciles_partitioned_and_balanced(spark):
     for source, sizes in by_source.items():
         assert len(sizes) == 10, source  # every source fills all 10 bins
         assert max(sizes) - min(sizes) <= 1  # ntile balance property
+
+
+def test_bpe_ish_token_count(spark):
+    from service_alerts_connector_spark.functions.text import (
+        bpe_ish_token_count,
+        tokens_per_word_micro,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),          # 2 words, 2 runs
+            (2, "don't stop"),           # don ' t stop -> 4
+            (3, "v2.5-beta!"),           # v 2 . 5 - beta ! -> 7
+            (4, ""),                     # empty
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: (r["n"], r["f"])
+        for r in df.select(
+            "id",
+            bpe_ish_token_count(F.col("t")).alias("n"),
+            tokens_per_word_micro(F.col("t")).alias("f"),
+        ).collect()
+    }
+    assert got[1] == (2, 1_000_000)
+    assert got[2] == (4, 2_000_000)
+    assert got[3] == (7, 7_000_000)
+    assert got[4] == (0, 0)

@@ -1,0 +1,69 @@
+"""Incremental corpus dedup against the persistent band store."""
+
+from __future__ import annotations
+
+from service_alerts_connector_spark.operators.textdedup import (
+    incremental_dedup_batch,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def UNIQ_format(n: int) -> str:
+    # genuinely distinct texts: every token carries the id, so two docs
+    # with different n share no shingles at all
+    return " ".join(f"w{n}x{j}" for j in range(10))
+
+
+class UNIQ:  # keeps call sites readable: UNIQ.format(n)
+    format = staticmethod(UNIQ_format)
+
+
+def test_first_batch_admits_unique_drops_internal_dups(spark, tmp_path):
+    root = str(tmp_path)
+    batch1 = _docs(
+        spark,
+        [(i, UNIQ.format(i * 7919)) for i in range(5)]
+        + [(100, "identical duplicate text common to several rows here")]
+        + [(101, "identical duplicate text common to several rows here")],
+    )
+    admitted = incremental_dedup_batch(spark, root, batch1)
+    ids = sorted(r["doc_id"] for r in admitted.collect())
+    # both copies collide in-batch; the lowest id is the representative
+    assert 100 in ids and 101 not in ids
+    assert set(range(5)).issubset(ids)
+
+
+def test_second_batch_dedups_against_store_not_just_batch(spark, tmp_path):
+    root = str(tmp_path)
+    incremental_dedup_batch(
+        spark,
+        root,
+        _docs(spark, [(1, UNIQ.format(1)), (2, UNIQ.format(2))]),
+    )
+    batch2 = _docs(
+        spark,
+        [
+            (10, UNIQ.format(1)),   # exact dup of stored doc 1 -> dropped
+            (11, UNIQ.format(999)), # fresh -> admitted
+        ],
+    )
+    admitted = sorted(
+        r["doc_id"] for r in incremental_dedup_batch(spark, root, batch2).collect()
+    )
+    assert admitted == [11]
+    # the store grew: a third batch repeating doc 11's text is now dropped
+    batch3 = _docs(spark, [(20, UNIQ.format(999))])
+    assert incremental_dedup_batch(spark, root, batch3).count() == 0
+
+
+def test_returned_frame_survives_store_overwrite(spark, tmp_path):
+    """The admitted DataFrame must stay readable after the NEXT batch
+    overwrites the store (reads are pinned to immutable version dirs)."""
+    root = str(tmp_path)
+    a1 = incremental_dedup_batch(spark, root, _docs(spark, [(1, UNIQ.format(1))]))
+    incremental_dedup_batch(spark, root, _docs(spark, [(2, UNIQ.format(2))]))
+    # a1 still evaluates correctly post-overwrite
+    assert [r["doc_id"] for r in a1.collect()] == [1]
