@@ -473,6 +473,52 @@ FROM counted
 """
 
 
+# ---------------------------------------------------------------------------
+# Length-outlier filter — per-source percentile bounds (p05..p95)
+# ---------------------------------------------------------------------------
+def q_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose token count sits inside their source's [p05, p95] band.
+    Bounds come from a per-SOURCE exact percentile (each source's values
+    aggregate independently — never one corpus-wide buffer) joined back by
+    broadcast; a 100 TB deployment swaps ``percentile`` for
+    ``approx_percentile`` with no plan change (documented trade: exact
+    cross-engine bounds vs bounded memory)."""
+    from service_alerts_connector_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    bounds = sized.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tokens, 0.05)"), 4).alias("p05"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95"),
+    )
+    return (
+        sized.join(F.broadcast(bounds), "source")
+        .where(
+            (F.col("n_tokens") >= F.col("p05"))
+            & (F.col("n_tokens") <= F.col("p95"))
+        )
+        .select("doc_id", "source", "n_tokens", "p05", "p95")
+    )
+
+
+SQL_LENGTH_OUTLIER = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), bounds AS (
+  SELECT source,
+         round(quantile_cont(n_tokens, 0.05), 4) AS p05,
+         round(quantile_cont(n_tokens, 0.95), 4) AS p95
+  FROM sized GROUP BY source
+)
+SELECT s.doc_id, s.source, s.n_tokens, b.p05, b.p95
+FROM sized s JOIN bounds b USING (source)
+WHERE s.n_tokens >= b.p05 AND s.n_tokens <= b.p95
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -486,6 +532,7 @@ CORPUS_QUERIES = {
     "source_mixing": q_source_mixing,
     "quality_deciles": q_quality_deciles,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "length_outlier_filter": q_length_outlier_filter,
 }
 
 CORPUS_ORACLES = {
@@ -501,4 +548,5 @@ CORPUS_ORACLES = {
     "source_mixing": SQL_SOURCE_MIXING,
     "quality_deciles": SQL_QUALITY_DECILES,
     "text_bpe_tokens": SQL_BPE_TOKENS,
+    "length_outlier_filter": SQL_LENGTH_OUTLIER,
 }
