@@ -519,6 +519,62 @@ WHERE s.n_tokens >= b.p05 AND s.n_tokens <= b.p95
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label embedding centering stats (exact integers, no division)
+# ---------------------------------------------------------------------------
+def q_embedding_center_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centering summary per (label, dim), scaled by the group size so
+    everything stays in exact bigints: ``centered×n = micro×n − Σmicro``.
+    A floating per-row mean subtraction would hinge on engines' division
+    rounding; min/max are order-independent, so one aggregation yields
+    deterministic spread-around-mean bounds at any partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cell = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "label", "dim", F.round(F.col("x") * 1_000_000).cast("bigint").alias("micro")
+    )
+    agg = cell.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("micro").alias("sum_micro"),
+        F.min("micro").alias("min_micro"),
+        F.max("micro").alias("max_micro"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        "n",
+        (F.col("min_micro") * F.col("n") - F.col("sum_micro")).alias(
+            "min_centered_xn"
+        ),
+        (F.col("max_micro") * F.col("n") - F.col("sum_micro")).alias(
+            "max_centered_xn"
+        ),
+    )
+
+
+SQL_EMB_CENTER = """
+WITH cell AS (
+  SELECT label, dim - 1 AS dim,
+         CAST(round(x * 1000000) AS BIGINT) AS micro
+  FROM (
+    SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+  )
+), agg AS (
+  SELECT label, dim, count(*) AS n, sum(micro) AS sum_micro,
+         min(micro) AS min_micro, max(micro) AS max_micro
+  FROM cell GROUP BY label, dim
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, n,
+       min_micro * n - sum_micro AS min_centered_xn,
+       max_micro * n - sum_micro AS max_centered_xn
+FROM agg
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -533,6 +589,7 @@ CORPUS_QUERIES = {
     "quality_deciles": q_quality_deciles,
     "text_bpe_tokens": q_text_bpe_tokens,
     "length_outlier_filter": q_length_outlier_filter,
+    "embedding_center_stats": q_embedding_center_stats,
 }
 
 CORPUS_ORACLES = {
@@ -549,4 +606,5 @@ CORPUS_ORACLES = {
     "quality_deciles": SQL_QUALITY_DECILES,
     "text_bpe_tokens": SQL_BPE_TOKENS,
     "length_outlier_filter": SQL_LENGTH_OUTLIER,
+    "embedding_center_stats": SQL_EMB_CENTER,
 }

@@ -813,10 +813,53 @@ FROM toked
 """
 
 
+# ---------------------------------------------------------------------------
+# Intra-document n-gram repetition (Gopher-style duplicate-3-gram ratio)
+# ---------------------------------------------------------------------------
+def q_text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of a document's word 3-grams that repeat an earlier one —
+    the Gopher/RefinedWeb repetition rule.  Shingles are materialized in a
+    projection before the size/distinct expressions (transform-lambda
+    rule); the ratio is one IEEE division of exact ints (the proven
+    dup_token_ratio convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id", TX.word_shingles_of(F.col("_toks"), 3).alias("_sh")
+    )
+    n = F.size("_sh")
+    nd = F.size(F.array_distinct("_sh"))
+    return toked.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        nd.alias("n_distinct"),
+        F.when(n <= 0, F.lit(0.0))
+        .otherwise((n - nd).cast("double") / n.cast("double"))
+        .alias("dup_ngram_ratio"),
+    )
+
+
+SQL_NGRAM_REPETITION = (
+    _SQL_SHINGLES
+    + """
+SELECT doc_id,
+       CAST(len(shingles) AS INTEGER) AS n_ngrams,
+       CAST(len(list_distinct(shingles)) AS INTEGER) AS n_distinct,
+       CASE WHEN len(shingles) <= 0 THEN 0.0
+            ELSE CAST(len(shingles) - len(list_distinct(shingles)) AS DOUBLE)
+                 / CAST(len(shingles) AS DOUBLE)
+       END AS dup_ngram_ratio
+FROM sh
+"""
+)
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
     "text_repetition": q_text_repetition,
+    "text_ngram_repetition": q_text_ngram_repetition,
     "text_vocab_topk": q_text_vocab_topk,
     "text_length_histogram": q_text_length_histogram,
     "text_stats": q_text_stats,
@@ -841,6 +884,7 @@ TEXT_ORACLES = {
     "text_pii_redact": SQL_PII,
     "text_boilerplate": SQL_BOILERPLATE,
     "text_repetition": SQL_REPETITION,
+    "text_ngram_repetition": SQL_NGRAM_REPETITION,
     "text_vocab_topk": SQL_VOCAB,
     "text_length_histogram": SQL_LENGTH_HIST,
     "text_stats": SQL_TEXT_STATS,
