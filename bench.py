@@ -60,6 +60,13 @@ HEADLINE = [
     "tfidf_top_terms",
     "scd2_history",
     "pack_bins",
+    "cms_heavy_hitters",
+    "source_mixing",
+    "quality_deciles",
+    "text_bpe_tokens",
+    "length_outlier_filter",
+    "text_ngram_repetition",
+    "embedding_center_stats",
 ]
 
 

@@ -21,6 +21,7 @@ def test_no_name_collisions():
     from service_alerts_connector_spark.catalog_analytics import (
         ANALYTICS_QUERIES,
     )
+    from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES
     from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
     from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES
     from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
@@ -36,6 +37,7 @@ def test_no_name_collisions():
         ANALYTICS_QUERIES,
         GEO_QUERIES,
         TEMPORAL_QUERIES,
+        CORPUS_QUERIES,
         EXTRA_QUERIES,
     ]
     total = sum(len(p) for p in parts)
