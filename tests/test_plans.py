@@ -194,3 +194,59 @@ def test_multimodal_features_and_dedup(spark):
     groups = {r["content_sha256"]: r for r in exact_media_dedup(media).collect()}
     assert groups[feats[1]["content_sha256"]]["n_dups"] == 2
     assert groups[feats[1]["content_sha256"]]["keep_id"] == 1
+
+
+def _media_with_meta(spark, rows):
+    from service_alerts_connector_spark.sources.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_resize_rewrites_meta_and_content(spark):
+    from service_alerts_connector_spark.sources.multimodal import resize_images
+
+    media = _media_with_meta(
+        spark,
+        [
+            (1, b"img-A", {"mime": "image/png", "width": 640, "height": 480,
+                           "duration_ms": None, "source_uri": "u1"}),
+            (2, b"img-B", {"mime": "image/png", "width": 64, "height": 64,
+                           "duration_ms": None, "source_uri": "u2"}),
+        ],
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert out[1]["meta"]["width"] == 224 and out[1]["meta"]["height"] == 224
+    assert out[1]["meta"]["mime"] == "image/png"  # untouched metadata rides along
+    assert out[1]["content"] != b"img-A"  # content replaced by resized bytes
+    # deterministic: same input -> same resized content
+    again = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert bytes(again[1]["content"]) == bytes(out[1]["content"])
+    assert bytes(out[1]["content"]) != bytes(out[2]["content"])
+
+
+def test_sample_frames_grid_and_cap(spark):
+    from service_alerts_connector_spark.sources.multimodal import sample_frames
+
+    media = _media_with_meta(
+        spark,
+        [
+            (1, b"vid-A", {"mime": "video/mp4", "width": None, "height": None,
+                           "duration_ms": 3500, "source_uri": "v1"}),
+            (2, b"vid-B", {"mime": "video/mp4", "width": None, "height": None,
+                           "duration_ms": 500_000, "source_uri": "v2"}),
+            (3, b"img-C", {"mime": "image/png", "width": 8, "height": 8,
+                           "duration_ms": None, "source_uri": "i3"}),
+        ],
+    )
+    out = sample_frames(media, every_ms=1000, max_frames=32).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 3.5 s video at 1 fps -> frames at 0,1000,2000,3000
+    assert sorted(r["frame_ts_ms"] for r in by_id[1]) == [0, 1000, 2000, 3000]
+    # 500 s video capped at max_frames (row-size-bomb discipline)
+    assert len(by_id[2]) == 32
+    # still image (no duration) -> exactly one frame
+    assert len(by_id[3]) == 1 and by_id[3][0]["frame_idx"] == 0
+    for r in by_id[1]:
+        assert abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-5
