@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from service_alerts_connector_spark.operators.chunking import (
     chunk_documents,
+    pack_bins,
     source_quota,
 )
 from service_alerts_connector_spark.operators.tfidf import (
@@ -95,3 +96,59 @@ def test_inverted_index_cap_and_df(spark):
     row = out[0]
     assert row["term"] == "shared" and row["df"] == 30
     assert row["posting_preview"] == ",".join(str(i) for i in range(10))
+
+
+def test_chunking_properties_generated(spark):
+    """Property batch (seeded): for 60 random (n_tokens, chunk, overlap)
+    shapes, the chunk count matches the closed form, windows reconstruct
+    the document exactly, and only the last window may be short."""
+    import random
+
+    import random
+
+    rng = random.Random(7)
+    for chunk, overlap in [(2, 0), (5, 2), (16, 4), (16, 15), (33, 7), (40, 0)]:
+        step = chunk - overlap
+        sizes = {cid: rng.randrange(0, 200) for cid in range(10)}
+        df = spark.createDataFrame(
+            [(cid, _txt(n) if n else "") for cid, n in sizes.items()],
+            "doc_id long, text string",
+        )
+        got: dict[int, list] = {cid: [] for cid in sizes}
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect():
+            got[r["doc_id"]].append(r)
+        for cid, n in sizes.items():
+            rows = sorted(got[cid], key=lambda r: r["chunk_idx"])
+            exp = 0 if n == 0 else (1 if n <= chunk else 1 + -(-(n - chunk) // step))
+            assert len(rows) == exp, (cid, chunk, overlap, n)
+            rebuilt: list[str] = []
+            for r in rows:
+                toks = r["chunk_text"].split(" ")
+                rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+                assert r["n_chunk_tokens"] == len(toks)
+            if rows:
+                assert rebuilt == _txt(n).split(" "), (cid, chunk, overlap, n)
+                for r in rows[:-1]:  # only the last window may be short
+                    assert r["n_chunk_tokens"] == chunk
+
+
+def test_pack_bins_offsets_bounded_property(spark):
+    import random
+
+    rng = random.Random(11)
+    # docs under the capacity: each start advances the running sum by < 256,
+    # so bin indices advance by at most 1 -> contiguity must hold.  (Docs
+    # LONGER than a bin legitimately straddle and may skip bins entirely.)
+    rows = [
+        (i, f"s{rng.randrange(4)}", rng.randrange(0, 256)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = pack_bins(df, capacity=256).collect()
+    assert all(0 <= r["offset_in_bin"] < 256 for r in out)
+    by_shard: dict[str, set] = {}
+    for r in out:
+        by_shard.setdefault(r["source"], set()).add(r["bin_idx"])
+    for shard, bins in by_shard.items():
+        assert bins == set(range(max(bins) + 1)), shard
