@@ -855,11 +855,54 @@ FROM sh
 )
 
 
+# ---------------------------------------------------------------------------
+# JL random projection — dimensionality reduction as exact ± sums
+# ---------------------------------------------------------------------------
+_PROJ_DIM = 8
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First ``_PROJ_DIM`` Johnson–Lindenstrauss components per embedding,
+    surfaced as scalar columns (array columns can't be driver-hashed — a1
+    lesson).  Components are exact left-associated ± sums of elements, so
+    no rounding is needed for cross-engine equality."""
+    from service_alerts_connector_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = project_embeddings(emb, out_dim=_PROJ_DIM, seed=7)
+    return proj.select(
+        "vec_id",
+        *[F.element_at("projected", j + 1).alias(f"p{j}") for j in range(_PROJ_DIM)],
+    )
+
+
+def _sql_embedding_project() -> str:
+    from service_alerts_connector_spark.operators.similarity import (
+        seeded_hyperplanes,
+    )
+
+    planes = seeded_hyperplanes(_PROJ_DIM, 64, seed=7)
+    comps = ",\n       ".join(
+        f"({_sql_proj('v', planes[j])}) AS p{j}" for j in range(_PROJ_DIM)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       {comps}
+FROM base
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
     "text_repetition": q_text_repetition,
     "text_ngram_repetition": q_text_ngram_repetition,
+    "embedding_project": q_embedding_project,
     "text_vocab_topk": q_text_vocab_topk,
     "text_length_histogram": q_text_length_histogram,
     "text_stats": q_text_stats,
@@ -885,6 +928,7 @@ TEXT_ORACLES = {
     "text_boilerplate": SQL_BOILERPLATE,
     "text_repetition": SQL_REPETITION,
     "text_ngram_repetition": SQL_NGRAM_REPETITION,
+    "embedding_project": _sql_embedding_project(),
     "text_vocab_topk": SQL_VOCAB,
     "text_length_histogram": SQL_LENGTH_HIST,
     "text_stats": SQL_TEXT_STATS,

@@ -510,3 +510,37 @@ def cosine_topk_mapinpandas(
     schema = f"{id_col} long, cos double"
     partials = df.select(id_col, vec_col).mapInPandas(part, schema)
     return partials.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Sparse random projection to ``out_dim`` dims (Johnson–Lindenstrauss
+    sketch with the Achlioptas ±1 planes of ``seeded_hyperplanes``):
+    component j = <vec, plane_j>, an exact left-associated ± sum — so the
+    reduced vectors are bit-identical on any engine, unlike a dense
+    Gaussian matmul.  Pairwise distances are preserved within the JL bound
+    (ε ~ sqrt(8 ln n / out_dim)); the reduced table is the cheap input for
+    downstream clustering / ANN when the full dimension is overkill.
+
+    Same codegen discipline as the band expressions: the double-cast is
+    materialized once before the per-plane sums."""
+    dim = _infer_dim(df, vec_col)
+    planes = seeded_hyperplanes(out_dim, dim, seed)
+    casted = df.withColumn("_vd", F.col(vec_col).cast("array<double>"))
+    comps = [
+        projection_expr(F.col("_vd"), planes[j]).alias(f"_p{j}")
+        for j in range(out_dim)
+    ]
+    return (
+        casted.select(F.col(id_col), *comps)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_p{j}") for j in range(out_dim)]).alias(out_col),
+        )
+    )

@@ -103,3 +103,18 @@ def test_bpe_ish_token_count(spark):
     assert got[2] == (4, 2_000_000)
     assert got[3] == (7, 7_000_000)
     assert got[4] == (0, 0)
+
+
+def test_project_embeddings_deterministic_shape(spark):
+    from service_alerts_connector_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: r["projected"] for r in project_embeddings(emb, 16).collect()}
+    b = {r["vec_id"]: r["projected"] for r in project_embeddings(emb, 16).collect()}
+    assert a == b  # bit-deterministic
+    assert all(len(v) == 16 for v in a.values())
+    # different seed -> different projection
+    c = {r["vec_id"]: r["projected"] for r in project_embeddings(emb, 16, seed=8).collect()}
+    assert a != c
