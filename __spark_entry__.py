@@ -34,6 +34,10 @@ from service_alerts_connector_spark.catalog_corpus import (
     CORPUS_ORACLES,
     CORPUS_QUERIES,
 )
+from service_alerts_connector_spark.catalog_events import (
+    EVENTS_ORACLES,
+    EVENTS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
@@ -69,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **GEO_QUERIES,
         **TEMPORAL_QUERIES,
         **CORPUS_QUERIES,
+        **EVENTS_QUERIES,
         **EXTRA_QUERIES,
     }
 
@@ -85,4 +90,5 @@ def oracle_sql() -> dict[str, str]:
         **GEO_ORACLES,
         **TEMPORAL_ORACLES,
         **CORPUS_ORACLES,
+        **EVENTS_ORACLES,
     }

@@ -1,0 +1,190 @@
+"""Catalog — event-analytics surface: in-window throttling, cohort
+retention, funnel conversion.
+
+The queries a product/events team runs daily on a 100 TB event lake; each
+is one or two keyed shuffles (groupBy user / cohort), no self-joins, no
+global windows.  Determinism per catalog.py rules: event timestamps bucket
+via floored epoch arithmetic (Spark's cast floors; DuckDB uses
+epoch()+floor explicitly), every ordering carries the event_id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+
+
+def _epoch_s(col: str) -> F.Column:
+    # Spark timestamp→long cast floors to seconds (CLAUDE.md: DuckDB's
+    # double→bigint CAST rounds, so the oracle uses floor(epoch(...)))
+    return F.col(col).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# In-window event throttle — first event per (user, type, 5-min bucket)
+# ---------------------------------------------------------------------------
+def q_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop repeats of the same event type by the same user within a
+    5-minute tumbling bucket, keeping the earliest (event_id tiebreak) —
+    the alerting/notification rate-limit pattern.  One shuffle on
+    (user, type, bucket); the keep decision is a streaming row_number."""
+    ev = _t(spark, sf_dir, "events")
+    bucketed = ev.withColumn("bucket", _epoch_s("ts") - (_epoch_s("ts") % 300))
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("bucket").alias("bucket_s"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+SQL_EVENT_THROTTLE = """
+WITH bucketed AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 300) AS bucket_s
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type, bucket_s
+    ORDER BY ts ASC, event_id ASC
+  ) AS rn
+  FROM bucketed
+)
+SELECT event_id, user_id, event_type, bucket_s,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — signup-day cohorts × activity-day offsets
+# ---------------------------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_day, day_offset, n_active_users): users cohorted by their
+    FIRST event's day, counted distinct on each subsequent day offset.
+    Two keyed aggregations (user → cohort, then cohort×offset) joined on
+    the user key — never a self-join of raw events."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # no broadcast hint: per-user aggregates can be hundreds of millions of
+    # rows at event-lake scale — AQE broadcasts when actually small
+    joined = days.join(first, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+SQL_COHORT = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+), joined AS (
+  SELECT DISTINCT d.user_id,
+         strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+         datediff('day', f.cohort_day, d.day) AS day_offset
+  FROM days d JOIN first f USING (user_id)
+)
+SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+       count(*) AS n_active_users
+FROM joined GROUP BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — signup → purchase within 7 days, per user
+# ---------------------------------------------------------------------------
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: first signup ts, first purchase ts AFTER that signup, and
+    whether it converted within 7 days.  One aggregation per step keyed on
+    the user (conditional min — no events self-join), then a projection."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", _epoch_s("ts"))
+        ).alias("signup_s"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", _epoch_s("ts").alias("p_s")
+    )
+    first_after = (
+        purchases.join(agg, "user_id")  # AQE decides (per-user table)
+        .where(F.col("p_s") >= F.col("signup_s"))
+        .groupBy("user_id")
+        .agg(
+            F.first("signup_s").alias("signup_s"),
+            F.min("p_s").alias("purchase_s"),
+        )
+    )
+    base = agg.where(F.col("signup_s").isNotNull())
+    return (
+        base.join(
+            first_after.select("user_id", "purchase_s"), "user_id", "left"
+        )
+        .select(
+            "user_id",
+            "signup_s",
+            "purchase_s",
+            (
+                F.col("purchase_s").isNotNull()
+                & (F.col("purchase_s") - F.col("signup_s") <= 7 * 86400)
+            ).alias("converted_7d"),
+        )
+    )
+
+
+SQL_FUNNEL = """
+WITH agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS signup_s
+  FROM events GROUP BY user_id
+), purchases AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_s
+  FROM events WHERE event_type = 'purchase'
+), first_after AS (
+  SELECT p.user_id, min(p.p_s) AS purchase_s
+  FROM purchases p JOIN agg a USING (user_id)
+  WHERE p.p_s >= a.signup_s
+  GROUP BY p.user_id
+)
+SELECT a.user_id, a.signup_s, f.purchase_s,
+       (f.purchase_s IS NOT NULL
+        AND f.purchase_s - a.signup_s <= 7 * 86400) AS converted_7d
+FROM agg a LEFT JOIN first_after f USING (user_id)
+WHERE a.signup_s IS NOT NULL
+"""
+
+
+EVENTS_QUERIES = {
+    "event_throttle": q_event_throttle,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion": q_funnel_conversion,
+}
+
+EVENTS_ORACLES = {
+    "event_throttle": SQL_EVENT_THROTTLE,
+    "cohort_retention": SQL_COHORT,
+    "funnel_conversion": SQL_FUNNEL,
+}

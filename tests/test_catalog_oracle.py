@@ -16,6 +16,10 @@ from service_alerts_connector_spark.catalog_corpus import (
     CORPUS_ORACLES,
     CORPUS_QUERIES,
 )
+from service_alerts_connector_spark.catalog_events import (
+    EVENTS_ORACLES,
+    EVENTS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
@@ -37,12 +41,12 @@ from tests.oracle_util import compare, duck_connection
 CORE_QUERIES = {
     **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
     **ANALYTICS_QUERIES, **GEO_QUERIES, **TEMPORAL_QUERIES,
-    **CORPUS_QUERIES,
+    **CORPUS_QUERIES, **EVENTS_QUERIES,
 }
 CORE_ORACLES = {
     **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
     **ANALYTICS_ORACLES, **GEO_ORACLES, **TEMPORAL_ORACLES,
-    **CORPUS_ORACLES,
+    **CORPUS_ORACLES, **EVENTS_ORACLES,
 }
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")

@@ -22,6 +22,7 @@ def test_no_name_collisions():
         ANALYTICS_QUERIES,
     )
     from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES
+    from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES
     from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
     from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES
     from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
@@ -38,6 +39,7 @@ def test_no_name_collisions():
         GEO_QUERIES,
         TEMPORAL_QUERIES,
         CORPUS_QUERIES,
+        EVENTS_QUERIES,
         EXTRA_QUERIES,
     ]
     total = sum(len(p) for p in parts)
