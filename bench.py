@@ -16,12 +16,13 @@ import time
 from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
 from service_alerts_connector_spark.catalog_analytics import ANALYTICS_QUERIES as _AN
 from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES as _CORP
+from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES as _EV
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_geo import GEO_QUERIES as _GEO
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
-CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP}
+CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV}
 
 HEADLINE = [
     "fixer_chain",
@@ -67,6 +68,10 @@ HEADLINE = [
     "length_outlier_filter",
     "text_ngram_repetition",
     "embedding_center_stats",
+    "embedding_project",
+    "event_throttle",
+    "cohort_retention",
+    "funnel_conversion",
 ]
 
 
