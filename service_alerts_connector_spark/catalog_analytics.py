@@ -386,6 +386,111 @@ FROM assigned a JOIN counts c USING (split)
 """
 
 
+# ---------------------------------------------------------------------------
+# Range-frame rolling aggregate — trailing 1-hour sum per user
+# ---------------------------------------------------------------------------
+def q_rolling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour event-value sum per user (RANGE frame over floored
+    epoch seconds — time-based, not row-based, so gaps behave correctly).
+    Values sum in integer cents (catalog money rule).  One exchange on the
+    user key; the range frame is a streaming scan within each partition."""
+    ev = _t(spark, sf_dir, "events")
+    based = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_s"))
+        .rangeBetween(-3600, 0)
+    )
+    return based.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.sum("cents").over(w).alias("trailing_1h_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
+SQL_ROLLING = """
+WITH based AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_s,
+       sum(cents) OVER w AS trailing_1h_cents,
+       count(*) OVER w AS trailing_1h_events
+FROM based
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_s
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — chosen aggregation levels in one pass
+# ---------------------------------------------------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly the (returnflag, status), (returnflag), and () levels — no
+    cube blow-up — via SQL GROUPING SETS (one Expand, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               count(*) AS n,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       count(*) AS n,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON extraction — events.props is a JSON string column
+# ---------------------------------------------------------------------------
+def q_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the semi-structured ``props`` column into a TYPED struct
+    (from_json with an explicit schema — scan-speed JVM parsing, no UDF)
+    and aggregate on the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+SQL_JSON_TYPED = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hash_split": q_hash_split,
@@ -398,6 +503,9 @@ ANALYTICS_QUERIES = {
     "distinct_agg": q_distinct_agg,
     "lag_rank_window": q_lag_rank_window,
     "percentiles": q_percentiles,
+    "rolling_window_agg": q_rolling_window_agg,
+    "grouping_sets": q_grouping_sets,
+    "json_typed_extract": q_json_typed_extract,
 }
 
 ANALYTICS_ORACLES = {
@@ -412,4 +520,7 @@ ANALYTICS_ORACLES = {
     "distinct_agg": SQL_DISTINCT,
     "lag_rank_window": SQL_LAG_RANK,
     "percentiles": SQL_PERCENTILES,
+    "rolling_window_agg": SQL_ROLLING,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "json_typed_extract": SQL_JSON_TYPED,
 }
