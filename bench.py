@@ -72,6 +72,9 @@ HEADLINE = [
     "event_throttle",
     "cohort_retention",
     "funnel_conversion",
+    "rolling_window_agg",
+    "grouping_sets",
+    "json_typed_extract",
 ]
 
 
