@@ -491,6 +491,54 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group linear trend — OLS slope from exact integer sums
+# ---------------------------------------------------------------------------
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of n_chars over doc_id per source, computed from
+    EXACT bigint sums (Sx, Sy, Sxy, Sxx) in one aggregation — the closed
+    form needs a single double division at the end, the same IEEE op in
+    any engine, so the slope hash-matches at 6 dp without a tolerance.
+    (Built-in regr_slope is avoided: its internal accumulation order is
+    engine-specific.)"""
+    docs = _t(spark, sf_dir, "documents")
+    based = docs.select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("x"),
+        F.col("n_chars").cast("bigint").alias("y"),
+    )
+    agg = based.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    return agg.select(
+        "source",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope6"),
+    )
+
+
+SQL_LINEAR_TREND = """
+WITH agg AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(doc_id AS BIGINT)) AS sx,
+         sum(CAST(n_chars AS BIGINT)) AS sy,
+         sum(CAST(doc_id AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxy,
+         sum(CAST(doc_id AS BIGINT) * CAST(doc_id AS BIGINT)) AS sxx
+  FROM documents GROUP BY source
+)
+SELECT source, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope6
+FROM agg
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hash_split": q_hash_split,
@@ -506,6 +554,7 @@ ANALYTICS_QUERIES = {
     "rolling_window_agg": q_rolling_window_agg,
     "grouping_sets": q_grouping_sets,
     "json_typed_extract": q_json_typed_extract,
+    "linear_trend": q_linear_trend,
 }
 
 ANALYTICS_ORACLES = {
@@ -523,4 +572,5 @@ ANALYTICS_ORACLES = {
     "rolling_window_agg": SQL_ROLLING,
     "grouping_sets": SQL_GROUPING_SETS,
     "json_typed_extract": SQL_JSON_TYPED,
+    "linear_trend": SQL_LINEAR_TREND,
 }
