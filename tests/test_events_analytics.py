@@ -1,0 +1,69 @@
+"""Edge-case semantics for the event-analytics catalog queries (the
+oracle differential proves engine agreement; these pin the INTENDED
+behaviour on adversarial shapes)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write a fixture events.parquet in the shape catalog._events expects:
+    ``ts`` as int64 NANOSECONDS (the driver's table is TIMESTAMP(NANOS),
+    which the reader ingests via nanosAsLong + div)."""
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ts").cast("long") * F.lit(1_000_000_000)).alias("ts"),
+        F.lit(1.0).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_purchase_before_signup_does_not_convert(spark, tmp_path):
+    from service_alerts_connector_spark.catalog_events import (
+        q_funnel_conversion,
+    )
+
+    rows = [
+        # user 1: purchase BEFORE signup only -> not converted
+        (1, 1, "purchase", datetime(2024, 1, 1, 9)),
+        (2, 1, "signup", datetime(2024, 1, 1, 10)),
+        # user 2: signup then purchase within 7d -> converted
+        (3, 2, "signup", datetime(2024, 1, 1, 10)),
+        (4, 2, "purchase", datetime(2024, 1, 3, 10)),
+        # user 3: signup then purchase after 8d -> not converted (too late)
+        (5, 3, "signup", datetime(2024, 1, 1, 10)),
+        (6, 3, "purchase", datetime(2024, 1, 9, 11)),
+        # user 4: purchases only, never signed up -> excluded entirely
+        (7, 4, "purchase", datetime(2024, 1, 2, 10)),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r["converted_7d"]
+        for r in q_funnel_conversion(spark, sf_dir).collect()
+    }
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_event_throttle_keeps_earliest_per_bucket(spark, tmp_path):
+    from service_alerts_connector_spark.catalog_events import q_event_throttle
+
+    rows = [
+        (10, 1, "error", datetime(2024, 1, 1, 10, 0, 30)),
+        (11, 1, "error", datetime(2024, 1, 1, 10, 2, 0)),   # same 5-min bucket
+        (12, 1, "error", datetime(2024, 1, 1, 10, 6, 0)),   # next bucket
+        (13, 1, "signup", datetime(2024, 1, 1, 10, 1, 0)),  # other type kept
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    kept = sorted(
+        r["event_id"] for r in q_event_throttle(spark, sf_dir).collect()
+    )
+    assert kept == [10, 12, 13]
