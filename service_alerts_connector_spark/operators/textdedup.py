@@ -238,10 +238,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Initialization fuses the FIRST propagation round: label = min(self,
+    # neighbors) straight from one groupBy over the edge list — identical to
+    # starting from identity labels and running one message round, but with
+    # no join/union/checkpoint.  Near-clique duplicate clusters then often
+    # converge in a single loop iteration.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
