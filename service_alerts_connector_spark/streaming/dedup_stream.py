@@ -36,3 +36,33 @@ def dedup_by_checksum_stream(
     return stream_df.withWatermark(
         event_time_col, watermark_delay
     ).dropDuplicates([ID_COL, CHECKSUM_COL])
+
+
+def throttle_stream(
+    stream_df: DataFrame,
+    key_cols: list[str] | None = None,
+    event_time_col: str = "ts",
+    bucket_s: int = 300,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Resident-stream analogue of the batch event throttle
+    (catalog_events.q_event_throttle): at most one event per
+    (user, type, tumbling bucket), enforced with
+    ``dropDuplicatesWithinWatermark`` engine state instead of a window
+    rank — state for a bucket ages out ``watermark_delay`` after the
+    bucket's event time passes, so memory is bounded by the live horizon,
+    not the stream's history.
+
+    Semantics note vs the batch form: streaming keeps the FIRST ARRIVAL in
+    each bucket (arrival order), while the batch query keeps the earliest
+    event time; they agree whenever arrival order respects event time
+    within a bucket (the in-order replay the e2e test drives)."""
+    keys = key_cols if key_cols is not None else ["user_id", "event_type"]
+    bucketed = stream_df.withColumn(
+        "bucket_s",
+        F.col(event_time_col).cast("long")
+        - (F.col(event_time_col).cast("long") % bucket_s),
+    )
+    return bucketed.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys + ["bucket_s"]
+    )

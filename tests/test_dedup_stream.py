@@ -47,3 +47,44 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     # exactly one of each distinct (Id, checksum); the unchanged re-delivery
     # in batch 2 was suppressed by engine state
     assert sorted(seen) == [(1, "aaa"), (1, "ccc"), (2, "bbb")]
+
+
+def test_throttle_stream_matches_batch_on_ordered_replay(spark, tmp_path):
+    import json
+
+    from service_alerts_connector_spark.streaming.dedup_stream import (
+        throttle_stream,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    rows = [
+        {"event_id": 10, "user_id": 1, "event_type": "error",
+         "ts": "2024-01-01T10:00:30.000Z"},
+        {"event_id": 11, "user_id": 1, "event_type": "error",
+         "ts": "2024-01-01T10:02:00.000Z"},   # same 5-min bucket -> dropped
+        {"event_id": 12, "user_id": 1, "event_type": "error",
+         "ts": "2024-01-01T10:06:00.000Z"},   # next bucket -> kept
+        {"event_id": 13, "user_id": 1, "event_type": "signup",
+         "ts": "2024-01-01T10:01:00.000Z"},   # other key -> kept
+    ]
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    with open(staged / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .json(str(staged))
+    )
+    out: list = []
+    run_available_now(
+        throttle_stream(stream),
+        lambda df, bid: out.extend(r["event_id"] for r in df.collect()),
+        str(tmp_path / "ckpt"),
+    )
+    assert sorted(out) == [10, 12, 13]
