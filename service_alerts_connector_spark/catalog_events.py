@@ -177,14 +177,90 @@ WHERE a.signup_s IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence — which types appear for the same user
+# ---------------------------------------------------------------------------
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a < type_b, n_users): per-user distinct type sets pair-exploded
+    from a SORTED array (the LSH pair-expansion shape — no self-join of the
+    event table; the per-user array is bounded by the type vocabulary)."""
+    ev = _t(spark, sf_dir, "events")
+    sets = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .where(F.size("types") > 1)
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> "
+                "transform(slice(types, i + 2, size(types) - i - 1), "
+                "y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+SQL_COOCCURRENCE = """
+WITH dt AS (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM dt a JOIN dt b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type transitions — consecutive-pair (Markov) counts per user stream
+# ---------------------------------------------------------------------------
+def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, next_type, n): counts of consecutive event-type pairs in
+    each user's (ts, event_id)-ordered stream — one window shuffle on the
+    user key, then a keyed aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lagged = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    return lagged.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_TRANSITIONS = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
+    "type_cooccurrence": q_type_cooccurrence,
+    "type_transitions": q_type_transitions,
 }
 
 EVENTS_ORACLES = {
     "event_throttle": SQL_EVENT_THROTTLE,
     "cohort_retention": SQL_COHORT,
     "funnel_conversion": SQL_FUNNEL,
+    "type_cooccurrence": SQL_COOCCURRENCE,
+    "type_transitions": SQL_TRANSITIONS,
 }
