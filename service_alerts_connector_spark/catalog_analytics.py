@@ -539,6 +539,33 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering key — write-time locality (Delta OPTIMIZE ZORDER analogue)
+# ---------------------------------------------------------------------------
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (l_partkey, l_suppkey) — the clustering key
+    ``operators/layout.py write_zordered`` sorts by; oracled as pure
+    integer arithmetic (non-negative keys)."""
+    from service_alerts_connector_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+
+
+def _sql_zorder() -> str:
+    from service_alerts_connector_spark.operators.layout import zorder_key_sql
+
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       {zorder_key_sql('l_partkey', 'l_suppkey')} AS zkey
+FROM lineitem WHERE l_orderkey % 100 = 0
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hash_split": q_hash_split,
@@ -555,6 +582,7 @@ ANALYTICS_QUERIES = {
     "grouping_sets": q_grouping_sets,
     "json_typed_extract": q_json_typed_extract,
     "linear_trend": q_linear_trend,
+    "zorder_key": q_zorder_key,
 }
 
 ANALYTICS_ORACLES = {
@@ -573,4 +601,5 @@ ANALYTICS_ORACLES = {
     "grouping_sets": SQL_GROUPING_SETS,
     "json_typed_extract": SQL_JSON_TYPED,
     "linear_trend": SQL_LINEAR_TREND,
+    "zorder_key": _sql_zorder(),
 }
