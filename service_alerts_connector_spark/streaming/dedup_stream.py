@@ -66,3 +66,43 @@ def throttle_stream(
     return bucketed.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys + ["bucket_s"]
     )
+
+
+def run_dedup_ingest(
+    spark,
+    stream_df: DataFrame,
+    state_root: str,
+    admitted_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Resident-stream corpus ingestion with near-dup admission: each
+    micro-batch runs ``incremental_dedup_batch`` (O(batch) signatures + one
+    semi-join against the persistent band store) and appends the admitted
+    docs to a versioned dataset.  The corpus text is never re-read — the
+    only cross-batch state is the band store, so the loop's per-batch cost
+    is flat no matter how large the admitted corpus grows."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        incremental_dedup_batch,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+        write_dataset,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = incremental_dedup_batch(
+            spark, state_root, batch_df, text_col, id_col
+        )
+        try:
+            prev = read_dataset(spark, admitted_root, "admitted_docs")
+            merged = prev.unionByName(admitted)
+        except FileNotFoundError:
+            merged = admitted
+        write_dataset(merged, admitted_root, "admitted_docs")
+
+    run_available_now(stream_df, _step, checkpoint_dir)

@@ -67,3 +67,42 @@ def test_returned_frame_survives_store_overwrite(spark, tmp_path):
     incremental_dedup_batch(spark, root, _docs(spark, [(2, UNIQ.format(2))]))
     # a1 still evaluates correctly post-overwrite
     assert [r["doc_id"] for r in a1.collect()] == [1]
+
+
+def test_streaming_ingest_loop_dedups_across_batches(spark, tmp_path):
+    import json
+
+    from service_alerts_connector_spark.sources.parquet_io import read_dataset
+    from service_alerts_connector_spark.streaming.dedup_stream import (
+        run_dedup_ingest,
+    )
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    batches = [
+        [{"doc_id": 1, "text": UNIQ.format(1)},
+         {"doc_id": 2, "text": UNIQ.format(2)}],
+        [{"doc_id": 10, "text": UNIQ.format(1)},   # dup of stored doc 1
+         {"doc_id": 11, "text": UNIQ.format(3)}],  # fresh
+    ]
+    for b, rows in enumerate(batches):
+        with open(staged / f"b{b}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_dedup_ingest(
+        spark, stream,
+        state_root=str(tmp_path / "state"),
+        admitted_root=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    admitted = sorted(
+        r["doc_id"]
+        for r in read_dataset(spark, str(tmp_path / "out"), "admitted_docs").collect()
+    )
+    assert admitted == [1, 2, 11]  # the re-ingested duplicate never lands
