@@ -575,6 +575,31 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequential id assignment — two-phase bucketed (no global window)
+# ---------------------------------------------------------------------------
+def q_assign_seq_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hash-order ids over documents.  The bucket is the first BYTE
+    of md5(key), so the engine's (bucket, hash, key) order equals the
+    oracle's plain (hash, key) order — one global row_number in DuckDB,
+    256 small windows in Spark."""
+    from service_alerts_connector_spark.operators.chunking import (
+        assign_sequential_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_sequential_ids(docs, "doc_id")
+
+
+SQL_ASSIGN_SEQ = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS seq_id
+FROM documents
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -590,6 +615,7 @@ CORPUS_QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "length_outlier_filter": q_length_outlier_filter,
     "embedding_center_stats": q_embedding_center_stats,
+    "assign_seq_ids": q_assign_seq_ids,
 }
 
 CORPUS_ORACLES = {
@@ -607,4 +633,5 @@ CORPUS_ORACLES = {
     "text_bpe_tokens": SQL_BPE_TOKENS,
     "length_outlier_filter": SQL_LENGTH_OUTLIER,
     "embedding_center_stats": SQL_EMB_CENTER,
+    "assign_seq_ids": SQL_ASSIGN_SEQ,
 }

@@ -118,3 +118,53 @@ def source_quota(
         df.withColumn("quota_rank", F.row_number().over(w))
         .where(F.col("quota_rank") <= quota)
     )
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "seq_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Dense 0-based sequential ids in ``order_col`` order — WITHOUT the
+    single-partition global window the naive ``row_number() OVER (ORDER BY
+    …)`` plans, and without ``monotonically_increasing_id`` (whose values
+    depend on partition layout).
+
+    Two phases: (1) md5-range-bucket every row and count each bucket — one
+    tiny aggregation, ``n_buckets`` rows to the driver (bounded by
+    construction); (2) prefix-sum the counts into per-bucket offsets,
+    broadcast them back, and add a within-bucket row_number.  Every window
+    sorts only ~n/n_buckets rows.  Requires ``order_col`` values unique
+    (ids); ordering is by the md5-bucketed hash order of the key — a
+    STABLE total order reproducible in any engine, not insertion order."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError("n_buckets must be in [1, 256]")
+    h = F.md5(F.col(order_col).cast("string"))
+    # RANGE bucketing on the first hash byte (monotone: byte*n div 256), NOT
+    # modulo — only a monotone bucket keeps (bucket, hash) order equal to
+    # plain hash order, which is what makes the global id sequence a single
+    # ORDER BY md5(key) in the oracle.
+    byte = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    scaled = byte * F.lit(n_buckets)
+    bucket = ((scaled - scaled % 256) / 256).cast("int")
+    bucketed = df.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["n"]
+        for r in bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    offset_expr = F.element_at(
+        F.array(*[F.lit(offsets[b]) for b in range(n_buckets)]), F.col("_b") + 1
+    )
+    w = Window.partitionBy("_b").orderBy(h.asc(), F.col(order_col).asc())
+    return (
+        bucketed.withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + offset_expr).cast("bigint"),
+        )
+        .drop("_b")
+    )

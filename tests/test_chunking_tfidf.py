@@ -104,8 +104,6 @@ def test_chunking_properties_generated(spark):
     the document exactly, and only the last window may be short."""
     import random
 
-    import random
-
     rng = random.Random(7)
     for chunk, overlap in [(2, 0), (5, 2), (16, 4), (16, 15), (33, 7), (40, 0)]:
         step = chunk - overlap
@@ -152,3 +150,50 @@ def test_pack_bins_offsets_bounded_property(spark):
         by_shard.setdefault(r["source"], set()).add(r["bin_idx"])
     for shard, bins in by_shard.items():
         assert bins == set(range(max(bins) + 1)), shard
+
+
+def test_assign_sequential_ids_dense_and_stable(spark):
+    from service_alerts_connector_spark.operators.chunking import (
+        assign_sequential_ids,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = assign_sequential_ids(df, "k", n_buckets=16)
+    ids = sorted(r["seq_id"] for r in out.collect())
+    assert ids == list(range(500))  # dense 0..n-1, no gaps or dups
+    again = sorted(
+        (r["k"], r["seq_id"]) for r in assign_sequential_ids(df, "k", n_buckets=16).collect()
+    )
+    first = sorted((r["k"], r["seq_id"]) for r in out.collect())
+    assert again == first  # stable across runs
+    # repartitioning the input does not change the assignment
+    re = sorted(
+        (r["k"], r["seq_id"])
+        for r in assign_sequential_ids(df.repartition(7), "k", n_buckets=16).collect()
+    )
+    assert re == first
+
+
+def test_assign_sequential_ids_matches_global_hash_order(spark):
+    """With ANY n_buckets, ids must equal the rank in plain global
+    (md5, key) order — the monotone range-bucket invariant."""
+    import hashlib
+
+    from service_alerts_connector_spark.operators.chunking import (
+        assign_sequential_ids,
+    )
+
+    keys = list(range(300))
+    expect = {
+        k: i
+        for i, k in enumerate(
+            sorted(keys, key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
+        )
+    }
+    for nb in (1, 16, 256):
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["seq_id"]
+            for r in assign_sequential_ids(df, "k", n_buckets=nb).collect()
+        }
+        assert got == expect, nb
