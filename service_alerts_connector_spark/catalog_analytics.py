@@ -304,11 +304,20 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct-count estimate of l_partkey per return
     flag (k=64), next to the exact count so the estimate is auditable.
     md5-derived, so DuckDB reproduces the identical estimate — unlike
-    HLL-based approx_count_distinct (engine-specific by construction)."""
+    HLL-based approx_count_distinct (engine-specific by construction).
+
+    Uses the salted two-phase path (``salt_buckets=64``) so the benched
+    plan IS the 100 TB plan: the per-group sort never sees more than
+    salt_buckets × k rows however hot the group, because phase 1 keeps
+    the k smallest per (group, salt) and the global k smallest are a
+    subset of that union (exact prune, not an approximation — which is
+    why the mirrored two-phase DuckDB oracle returns identical values).
+    Pinned by tests/test_plan_shapes.py::test_kmv_salted_window_partitions.
+    """
     from service_alerts_connector_spark.operators.sketches import kmv_distinct
 
     li = _t(spark, sf_dir, "lineitem")
-    est = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64)
+    est = kmv_distinct(li, "l_partkey", ["l_returnflag"], k=64, salt_buckets=64)
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_distinct")
     )
@@ -327,10 +336,22 @@ WITH h AS (
   SELECT DISTINCT l_returnflag AS returnflag,
                   md5(CAST(l_partkey AS VARCHAR)) AS hh
   FROM lineitem
+), p1 AS (
+  -- mirror of the Spark salted phase 1: k smallest per (group, salt);
+  -- an exact prune of the global k smallest, so the estimate is identical
+  SELECT returnflag, hh FROM (
+    SELECT returnflag, hh,
+           row_number() OVER (
+             PARTITION BY returnflag,
+                          ('0x' || substr(hh, 25, 4))::BIGINT % 64
+             ORDER BY hh
+           ) AS rn1
+    FROM h
+  ) WHERE rn1 <= 64
 ), ranked AS (
   SELECT returnflag, hh,
          row_number() OVER (PARTITION BY returnflag ORDER BY hh) AS rn
-  FROM h
+  FROM p1
 ), topk AS (
   SELECT returnflag,
          count(*) AS n_le_k,

@@ -307,20 +307,28 @@ FROM cum
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point estimates for the 10 most frequent tokens, alongside the
     exact counts (est_n ≥ true_n is the sketch's one-sided guarantee,
-    asserted in tests/test_batch_f.py)."""
+    asserted in tests/test_batch_f.py).
+
+    The global top-10 is ``orderBy(...).limit(10)`` — Catalyst plans
+    TakeOrderedAndProject (each partition keeps 10 candidates, driver
+    merges), NOT a single-partition row_number window: at web-corpus
+    scale the vocabulary aggregate has 10⁸+ terms and an unpartitioned
+    WindowExec would sort all of them in one task.  The DuckDB oracle
+    keeps its row_number formulation (fine single-node).  Pinned by
+    tests/test_plan_shapes.py::test_no_unpartitioned_window_in_catalog.
+    """
     from service_alerts_connector_spark.functions.text import tokens
     from service_alerts_connector_spark.operators.sketches import (
         cms_estimate,
         count_min_sketch,
     )
-    from pyspark.sql import Window
+    from service_alerts_connector_spark.operators.topk import top_k
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
     sketch = count_min_sketch(toks, "term", depth=3, width=256)
     true = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
-    w = Window.orderBy(F.desc("true_n"), F.asc("term"))
-    top = true.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10)
+    top = top_k(true, [F.desc("true_n"), F.asc("term")], 10)
     est = cms_estimate(sketch, top.select("term"), "term", depth=3, width=256)
     return top.join(est, "term").select("term", "true_n", "est_n")
 
