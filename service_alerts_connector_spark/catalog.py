@@ -60,15 +60,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
-    refuses by default (PARQUET_TYPE_ILLEGAL).  Read nanos as long and convert
-    to a microsecond TimestampType with exact integer arithmetic — DuckDB
-    truncates to micros the same way, so formatted values agree."""
+    """Read the events table and surface ``ts`` as a session-tz TimestampType
+    regardless of how the generator wrote it.  The column's physical type has
+    varied across driver testdata generations:
+
+    * TIMESTAMP(NANOS) — Spark refuses it by default (PARQUET_TYPE_ILLEGAL);
+      with ``nanosAsLong`` it surfaces as BIGINT nanos, which we convert to
+      micros with exact integer arithmetic (DuckDB truncates the same way);
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — surfaces as TIMESTAMP_NTZ;
+      cast to TIMESTAMP (session tz is pinned to UTC by ``_t``, so the wall
+      clock is preserved and matches DuckDB's naive reading).
+
+    Adapting on the observed dtype keeps every catalog query working across
+    regenerations without re-plumbing."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

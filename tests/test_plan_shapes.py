@@ -138,6 +138,65 @@ def test_pack_bins_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
+def _iter_logical_nodes(jplan):
+    yield jplan
+    it = jplan.children().iterator()
+    while it.hasNext():
+        yield from _iter_logical_nodes(it.next())
+
+
+def test_kmv_salted_window_partitions(spark):
+    """q_kmv_distinct's benched plan must be the 100 TB plan: phase 1's
+    window partitions on (group, _salt) so no sort partition ever exceeds
+    salt_buckets × k rows, and the phase-2 window (per group only) exists
+    exactly once downstream of that prune."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_kmv_distinct,
+    )
+
+    df = q_kmv_distinct(spark, SF_DIR)
+    windows = [
+        n
+        for n in _iter_logical_nodes(df._jdf.queryExecution().optimizedPlan())
+        if n.getClass().getSimpleName() == "Window"
+    ]
+    assert len(windows) == 2
+    specs = []
+    for n in windows:
+        it = n.partitionSpec().iterator()
+        cols = []
+        while it.hasNext():
+            cols.append(it.next().toString().split("#")[0])
+        specs.append(cols)
+    salted = [s for s in specs if "_salt" in s]
+    assert len(salted) == 1, specs  # phase 1 partitions on (group, _salt)
+    assert "l_returnflag" in salted[0], specs
+    unsalted = [s for s in specs if "_salt" not in s]
+    assert unsalted == [["l_returnflag"]], specs  # phase 2: group only
+
+
+def test_no_unpartitioned_window_in_catalog(spark):
+    """No catalog query may plan an unpartitioned Window: a global
+    row_number/rank sorts the ENTIRE input in one task at scale.  Global
+    top-k must be orderBy().limit() (TakeOrderedAndProject) instead — the
+    fix applied to q_cms_heavy_hitters.  Sweeps every registered query's
+    optimized logical plan."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        for n in _iter_logical_nodes(plan):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+            ):
+                offenders.setdefault(name, []).append(
+                    n.toString().splitlines()[0][:120]
+                )
+    assert not offenders, offenders
+
+
 def test_tfidf_df_join_is_broadcast(spark):
     """The document-frequency lookup joins broadcast at runtime (AQE sees
     the tiny aggregate; a web-scale vocab would legitimately shuffle — the
