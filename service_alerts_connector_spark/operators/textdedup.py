@@ -221,8 +221,13 @@ def connected_components(
     neighbours; converges in O(cluster diameter) rounds (duplicate clusters
     are near-cliques, so typically 2-4).  Each round localCheckpoints
     (eager) to truncate lineage — without it the plan doubles per round.
-    The per-round convergence probe is one driver-side scalar count,
-    bounded by ``max_iterations``; raises if not converged rather than
+    Convergence detection is piggybacked on the label aggregation itself:
+    the groupBy carries the previous label alongside the new min, so each
+    round is ONE substantive pass (the eager checkpoint) — the probe is a
+    limit-1 ``isEmpty`` over the just-materialized blocks, not a second
+    join+count recompute (asserted by
+    tests/test_text_dedup.py::test_connected_components_one_pass_per_round).
+    Bounded by ``max_iterations``; raises if not converged rather than
     returning a partial clustering.
 
     At 100 TB: rounds are shuffle-on-id joins (AQE handles skewed hub
@@ -251,22 +256,31 @@ def connected_components(
     for _ in range(max_iterations):
         msgs = (
             edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), F.col("component"))
+            .select(
+                F.col("dst").alias("id"),
+                F.col("component"),
+                # null of the component's own type (ids may be string/long)
+                F.when(F.lit(False), F.col("component")).alias("_old"),
+            )
         )
+        # Carry the previous label through the same aggregation that
+        # computes the new one (min ignores the nulls on message rows), so
+        # "did anything change" is answered from the aggregate's own output
+        # instead of a separate join+count pass over both label sets.
         new_labels = (
-            labels.unionByName(msgs)
+            labels.select(
+                "id", "component", F.col("component").alias("_old")
+            )
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                (F.min("component") < F.min("_old")).alias("_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("id", "component")
+        if new_labels.where(F.col("_changed")).isEmpty():
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"

@@ -361,6 +361,43 @@ def test_connected_components_matches_union_find(spark):
     assert got == truth
 
 
+def test_connected_components_one_pass_per_round(spark, monkeypatch):
+    """Each propagation round must cost ONE substantive action (the eager
+    localCheckpoint that materializes the new labels) plus a limit-1
+    isEmpty probe over those materialized blocks — never a second
+    join+count recompute (the convergence check is piggybacked on the
+    label aggregation itself)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+    )
+
+    calls = {"localCheckpoint": 0, "isEmpty": 0, "count": 0}
+    for name in list(calls):
+        orig = getattr(ClassicDF, name)
+
+        def wrapper(self, *a, _n=name, _o=orig, **k):
+            calls[_n] += 1
+            return _o(self, *a, **k)
+
+        monkeypatch.setattr(ClassicDF, name, wrapper)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    rounds = calls["isEmpty"]
+    assert rounds >= 1
+    # init checkpoints edges + fused-first-round labels; then one
+    # checkpoint per round and zero driver-side counts anywhere.
+    assert calls["localCheckpoint"] == rounds + 2
+    assert calls["count"] == 0
+
+
 def test_connected_components_empty(spark):
     from service_alerts_connector_spark.operators.textdedup import (
         connected_components,
