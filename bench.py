@@ -94,18 +94,31 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
-    # best-of-2 per query: the first run pays one-time plan compilation and
-    # whole-stage-codegen JIT; the best run reflects the steady-state query
-    # time a resident engine serves (the quantity comparable across rounds).
+    # best-of-n per query (default 5, override $SPARK_GRAFT_BENCH_N): the
+    # first ("cold") run pays one-time plan compilation and whole-stage-
+    # codegen JIT; the best warm run reflects the steady-state query time a
+    # resident engine serves — the quantity comparable across rounds.  The
+    # per-query cold time and warm spread are emitted alongside so round-
+    # over-round deltas can be told apart from harness noise (a real plan
+    # regression moves `best`; GC/JIT/sandbox pressure moves `spread`).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = CORE_QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+        warm = runs[1:] or runs
+        best = min(warm)
         timings[name] = round(best, 3)
+        stats[name] = {
+            "cold": round(runs[0], 3),
+            "median_warm": round(sorted(warm)[len(warm) // 2], 3),
+            "spread": round((max(warm) - best) / best, 3) if best else 0.0,
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -116,6 +129,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "bench_meta": {"n_runs": n_runs, "timing": "best_warm"},
+                "query_stats": stats,
             }
         )
     )
