@@ -38,7 +38,10 @@ from service_alerts_connector_spark.catalog_events import (
     EVENTS_ORACLES,
     EVENTS_QUERIES,
 )
-from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES
+from service_alerts_connector_spark.catalog_extras import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+)
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
@@ -79,9 +82,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query.  EXTRA_QUERIES
-    (stubbed enrichment / multimodal / planar-geometry ops) intentionally
-    have no oracle — the driver records the weaker rows-only check."""
+    """DuckDB-runnable ANSI SQL equivalent for each query.  Most
+    EXTRA_QUERIES (stubbed enrichment / planar-geometry ops) intentionally
+    have no oracle — the driver records the weaker rows-only check — but
+    the multimodal decode/resize pair is oracled via its closed-form pixel
+    recipe."""
     return {
         **CORE_ORACLES,
         **TEXT_ORACLES,
@@ -91,4 +96,5 @@ def oracle_sql() -> dict[str, str]:
         **TEMPORAL_ORACLES,
         **CORPUS_ORACLES,
         **EVENTS_ORACLES,
+        **EXTRA_ORACLES,
     }

@@ -1,11 +1,17 @@
-"""Catalog entries for genuinely non-SQL-expressible operators.
+"""Catalog entries for enrichment/multimodal/planar-geometry operators.
 
-These run in the driver harness as rows-only checks (no ``oracle_sql``
-entry): enrichment stages with injectable stub clients (X1/X3), multimodal
-decode plumbing, and pure-Python spatial overlay — operators whose semantics
-live outside ANSI SQL (stateful external calls, binary decode, planar
-geometry).  All are deterministic via stub clients and synthesized inputs,
-so row counts and schemas are stable run-to-run.
+Most run in the driver harness as rows-only checks (no ``oracle_sql``
+entry): enrichment stages with injectable stub clients (X1/X3) and
+pure-Python spatial overlay — semantics outside ANSI SQL (stateful
+external calls, planar geometry).  All are deterministic via stub clients
+and synthesized inputs, so row counts and schemas are stable run-to-run.
+
+The multimodal decode/resize queries ARE oracled (``EXTRA_ORACLES``): the
+BMP pixels are synthesized from a closed-form integer recipe
+(``synth_bmp_media``), so while Spark round-trips genuine encoded bytes
+through the stdlib codec, DuckDB reproduces every decoded stat (dims,
+luma sum, histogram) from arithmetic alone — a real-decode differential
+with no codec dependency.
 """
 
 from __future__ import annotations
@@ -22,7 +28,12 @@ from service_alerts_connector_spark.enrichment.llm import (
     draft_posts,
 )
 from service_alerts_connector_spark.operators.spatial import overlay_inference
-from service_alerts_connector_spark.sources.multimodal import media_features
+from service_alerts_connector_spark.sources.multimodal import (
+    media_decode_stats,
+    media_features,
+    resize_images,
+    synth_bmp_media,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,22 +111,119 @@ def q_x2_stub_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing — binary media column (synthesized from text
-    bytes) through the Arrow-batched decode-stub feature extractor."""
-    media = (
-        _docs(spark, sf_dir)
-        .where(F.col("doc_id") < 50)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.encode(F.col("text"), "utf-8").alias("content"),
-        )
+    """Multimodal feature extraction over REAL encoded images: synthesized
+    BMP content through the Arrow-batched extractor's genuine decode path
+    (histogram features), digests from the actual bytes.  Rows-only (the
+    sha256 of the encoded stream has no SQL equivalent); the decode math
+    itself is oracled by `multimodal_decode`/`multimodal_resize`."""
+    out = media_features(
+        _synth_media(spark, sf_dir).where(F.col("media_id") < 50)
     )
-    out = media_features(media)
     return out.select(
         "media_id",
         F.size("feature").alias("feature_dim"),
         "content_sha256",
     ).orderBy("media_id")
+
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_bmp_media(
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("media_id"), F.col("n_chars").alias("seed")),
+        seed_col="seed",
+        width=16,
+        height=16,
+    )
+
+
+def _decode_stats_csv(stats: DataFrame) -> DataFrame:
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "gray_sum",
+        F.array_join("hist", ",").alias("hist_csv"),
+    ).orderBy("media_id")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, differentially tested: per doc a genuine 16×16
+    BMP is encoded (pixel luma = (n_chars*31 + p*7) % 256), parsed back by
+    the stdlib codec, and reduced to integer stats.  DuckDB reproduces the
+    same stats closed-form from the pixel recipe — the decode itself is
+    what's under test, since any header/stride/row-order bug skews every
+    value."""
+    return _decode_stats_csv(media_decode_stats(_synth_media(spark, sf_dir)))
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         (d.n_chars * 31 + t.p * 7) % 256 AS gray
+  FROM documents d, range(256) t(p)
+  WHERE d.doc_id < 64
+), cnt AS (
+  SELECT media_id, gray // 16 AS bin, count(*) AS c
+  FROM px GROUP BY media_id, bin
+), grid AS (
+  SELECT i.media_id, b.bin
+  FROM (SELECT DISTINCT media_id FROM px) i, range(16) b(bin)
+), hist AS (
+  SELECT g.media_id,
+         string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY g.bin)
+           AS hist_csv
+  FROM grid g
+  LEFT JOIN cnt c ON c.media_id = g.media_id AND c.bin = g.bin
+  GROUP BY g.media_id
+)
+SELECT s.media_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(sum(s.gray) AS BIGINT) AS gray_sum, h.hist_csv
+FROM px s JOIN hist h USING (media_id)
+GROUP BY s.media_id, h.hist_csv
+ORDER BY s.media_id
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: the synthesized 16×16 BMPs run decode →
+    nearest-neighbor 8×8 → re-encode → decode again, so the stats cover
+    the full binary round trip.  The oracle maps each target pixel to its
+    integer source index (p = 32*(tp//8) + 2*(tp%8)) and recomputes the
+    same luma recipe."""
+    small = resize_images(
+        _synth_media(spark, sf_dir), target_w=8, target_h=8
+    )
+    return _decode_stats_csv(media_decode_stats(small))
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         (d.n_chars * 31 + (32 * (t.tp // 8) + 2 * (t.tp % 8)) * 7) % 256
+           AS gray
+  FROM documents d, range(64) t(tp)
+  WHERE d.doc_id < 64
+), cnt AS (
+  SELECT media_id, gray // 16 AS bin, count(*) AS c
+  FROM px GROUP BY media_id, bin
+), grid AS (
+  SELECT i.media_id, b.bin
+  FROM (SELECT DISTINCT media_id FROM px) i, range(16) b(bin)
+), hist AS (
+  SELECT g.media_id,
+         string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY g.bin)
+           AS hist_csv
+  FROM grid g
+  LEFT JOIN cnt c ON c.media_id = g.media_id AND c.bin = g.bin
+  GROUP BY g.media_id
+)
+SELECT s.media_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(sum(s.gray) AS BIGINT) AS gray_sum, h.hist_csv
+FROM px s JOIN hist h USING (media_id)
+GROUP BY s.media_id, h.hist_csv
+ORDER BY s.media_id
+"""
 
 
 def q_geo_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +295,15 @@ EXTRA_QUERIES = {
     "x2_stub_locations": q_x2_stub_locations,
     "x3_stub_geocode": q_x3_stub_geocode,
     "multimodal_features": q_multimodal_features,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
+}
+
+# The decode/resize pair is oracled (closed-form pixel recipe); the rest of
+# EXTRA_QUERIES stay rows-only by design.
+EXTRA_ORACLES = {
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }

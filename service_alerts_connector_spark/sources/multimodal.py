@@ -54,10 +54,17 @@ FEATURE_DIM = 16
 def _decode_image(content: bytes) -> list[float]:
     """Decode + feature-extract one image.
 
-    STUB: the container has no image codecs.  The real implementation
-    (PIL/torchvision) is import-gated below; the fake derives a
-    deterministic unit-norm feature vector from the content hash so every
-    downstream stage (similarity, dedup, joins) exercises real data flow.
+    REAL path: 24-bit uncompressed BMP decodes via the stdlib codec
+    (``media/bmp.py``) — the feature vector is the FEATURE_DIM-bin
+    grayscale histogram as exact pixel-count fractions (L1-normalized;
+    count/total is float-exact for power-of-two pixel counts, which is
+    what makes the SQL oracle able to reproduce it bit-for-bit).
+
+    Compressed formats (PNG/JPEG/...) need a codec library that is not in
+    this container: the PIL gate below is where it wires in; until then
+    non-BMP content falls back to a deterministic content-hash fake so
+    downstream stages (similarity, dedup, joins) still exercise real data
+    flow.
     """
     try:  # pragma: no cover — not installed in this environment
         from PIL import Image  # noqa: F401
@@ -67,6 +74,13 @@ def _decode_image(content: bytes) -> list[float]:
         )
     except ImportError:
         pass
+    if content[:2] == b"BM":
+        from service_alerts_connector_spark.media import bmp
+
+        w, h, px = bmp.decode_bmp24(bytes(content))
+        counts = bmp.gray_histogram(px, bins=FEATURE_DIM)
+        total = float(w * h)
+        return [c / total for c in counts]
     h = hashlib.sha256(content or b"").digest()
     raw = [b / 255.0 - 0.5 for b in h[:FEATURE_DIM]]
     norm = sum(x * x for x in raw) ** 0.5 or 1.0
@@ -105,6 +119,96 @@ def media_features(
     )
 
 
+def synth_bmp_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """Synthesize a REAL 16×16 grayscale BMP per row: pixel p's luma is
+    ``(seed*31 + p*7) % 256`` with r=g=b — a closed-form recipe a SQL
+    oracle reproduces without ever touching bytes, while the Spark side
+    encodes genuine BMP streams for the decode stages to parse back.
+    Output: (id, content binary, meta struct) in MEDIA_SCHEMA shape."""
+    from service_alerts_connector_spark.media import bmp
+
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row[seed_col])
+                px = bytearray(n_px * 3)
+                for p in range(n_px):
+                    g = (seed * 31 + p * 7) % 256
+                    px[p * 3 : p * 3 + 3] = bytes((g, g, g))
+                ids.append(row[id_col])
+                blobs.append(bmp.encode_bmp24(width, height, bytes(px)))
+                metas.append(
+                    {
+                        "mime": "image/bmp",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "source_uri": f"synth://bmp/{row[id_col]}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_decode_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    bins: int = FEATURE_DIM,
+) -> DataFrame:
+    """REAL decode → integer stats: (id, width, height, gray_sum,
+    hist array<int>).  Every value is integer-exact (luma = (r+g+b)//3,
+    bin = luma*bins//256), so a SQL oracle can assert each one; non-BMP
+    rows surface null dims rather than fake numbers."""
+    from service_alerts_connector_spark.media import bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, hists = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                content = bytes(row[content_col] or b"")
+                ids.append(row[id_col])
+                try:
+                    w, h, px = bmp.decode_bmp24(content)
+                except ValueError:
+                    ws.append(None); hs.append(None)
+                    sums.append(None); hists.append(None)
+                    continue
+                grays = bmp.gray_values(px)
+                ws.append(w); hs.append(h)
+                sums.append(sum(grays))
+                hists.append(bmp.gray_histogram(px, bins=bins))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "gray_sum": pd.Series(sums, dtype="Int64"),
+                    "hist": hists,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        f"{id_col} long, width int, height int, gray_sum long, hist array<int>",
+    )
+
+
 def exact_media_dedup(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Exact media dedup by content digest (JVM-side sha2 on the binary
     column — no Python for the pure-dedup case)."""
@@ -128,11 +232,15 @@ def resize_images(
     """Resize stage: (media_id, content, meta) → same shape with meta dims
     rewritten to the target and content replaced by the resized bytes.
 
-    STUB kernel (import-gated like ``_decode_image``): the fake "resize"
-    re-digests the content salted with the target dims — deterministic,
-    content-addressed, and size-plausible — while the Spark plumbing
-    (binary-in/binary-out mapInPandas, struct metadata rewrite, Arrow batch
-    shape) is the real contract a PIL/torchvision kernel drops into."""
+    REAL kernel for BMP content: stdlib decode → nearest-neighbor
+    resample (``media/bmp.py``, integer index map ``x*w//tw``) → re-encode
+    as BMP, so the output of this stage feeds straight back into any
+    decode stage.  Compressed formats still await a codec build (PIL gate,
+    import-gated like ``_decode_image``) and fall back to a deterministic
+    content-hash fake; either way the Spark plumbing (binary-in/binary-out
+    mapInPandas, struct metadata rewrite, Arrow batch shape) is the real
+    contract a PIL/torchvision kernel drops into."""
+    from service_alerts_connector_spark.media import bmp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -147,13 +255,18 @@ def resize_images(
                     )
                 except ImportError:
                     pass
-                fake = hashlib.sha256(
-                    content + f":{target_w}x{target_h}".encode()
-                ).digest()
+                if content[:2] == b"BM":
+                    w, h, px = bmp.decode_bmp24(content)
+                    resized = bmp.resize_nearest(w, h, px, target_w, target_h)
+                    blob = bmp.encode_bmp24(target_w, target_h, resized)
+                else:
+                    blob = hashlib.sha256(
+                        content + f":{target_w}x{target_h}".encode()
+                    ).digest()
                 meta = dict(row[meta_col] or {})
                 meta["width"], meta["height"] = target_w, target_h
                 ids.append(row[id_col])
-                blobs.append(fake)
+                blobs.append(blob)
                 metas.append(meta)
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"), content_col: blobs,

@@ -20,6 +20,10 @@ from service_alerts_connector_spark.catalog_events import (
     EVENTS_ORACLES,
     EVENTS_QUERIES,
 )
+from service_alerts_connector_spark.catalog_extras import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+)
 from service_alerts_connector_spark.catalog_fixer import (
     FIXER_ORACLES,
     FIXER_QUERIES,
@@ -42,11 +46,13 @@ CORE_QUERIES = {
     **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
     **ANALYTICS_QUERIES, **GEO_QUERIES, **TEMPORAL_QUERIES,
     **CORPUS_QUERIES, **EVENTS_QUERIES,
+    # only the oracled subset of EXTRA_QUERIES (the rest are rows-only)
+    **{k: EXTRA_QUERIES[k] for k in EXTRA_ORACLES},
 }
 CORE_ORACLES = {
     **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
     **ANALYTICS_ORACLES, **GEO_ORACLES, **TEMPORAL_ORACLES,
-    **CORPUS_ORACLES, **EVENTS_ORACLES,
+    **CORPUS_ORACLES, **EVENTS_ORACLES, **EXTRA_ORACLES,
 }
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,161 @@
+"""Unit + property tests for the stdlib BMP codec and the real decode /
+resize kernels in sources/multimodal.py."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from service_alerts_connector_spark.media import bmp
+
+
+def _px(vals):
+    return bytes(vals)
+
+
+def test_roundtrip_simple():
+    # 2x2, distinct BGR triples, width*3=6 -> 2 pad bytes per row
+    pixels = _px([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    data = bmp.encode_bmp24(2, 2, pixels)
+    assert data[:2] == b"BM"
+    w, h, out = bmp.decode_bmp24(data)
+    assert (w, h) == (2, 2)
+    assert out == pixels
+
+
+def test_stride_padding_rows_are_4_byte_aligned():
+    # width 3 -> row bytes 9 -> stride 12
+    pixels = bytes(range(27))
+    data = bmp.encode_bmp24(3, 3, pixels)
+    assert (len(data) - 54) == 12 * 3
+    assert bmp.decode_bmp24(data)[2] == pixels
+
+
+def test_top_down_negative_height_decodes():
+    import struct
+
+    pixels = _px([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    data = bytearray(bmp.encode_bmp24(2, 2, pixels))
+    # rewrite height to -2 and flip the row order to top-down
+    struct.pack_into("<i", data, 22, -2)
+    stride = 8
+    body = bytes(data[54:])
+    data[54:] = body[stride:] + body[:stride]
+    w, h, out = bmp.decode_bmp24(bytes(data))
+    assert (w, h) == (2, 2)
+    assert out == pixels
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",
+        b"BM",
+        b"PNG" + b"\x00" * 60,
+        bmp.encode_bmp24(1, 1, b"\x00\x00\x00")[:30],  # truncated
+    ],
+)
+def test_decode_rejects_non_bmp(bad):
+    with pytest.raises(ValueError):
+        bmp.decode_bmp24(bad)
+
+
+def test_resize_nearest_index_map():
+    # 4x2 -> 2x1: target (tx,ty)=(0,0)->src(0,0), (1,0)->src(2,0)
+    pixels = bytes(
+        [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3,
+         4, 4, 4, 5, 5, 5, 6, 6, 6, 7, 7, 7]
+    )
+    out = bmp.resize_nearest(4, 2, pixels, 2, 1)
+    assert out == bytes([0, 0, 0, 2, 2, 2])
+
+
+def test_resize_identity():
+    pixels = bytes(range(12))
+    assert bmp.resize_nearest(2, 2, pixels, 2, 2) == pixels
+
+
+def test_gray_histogram_bins():
+    # lumas 0, 15 -> bin 0; 16 -> bin 1; 255 -> bin 15
+    pixels = _px([0, 0, 0, 15, 15, 15, 16, 16, 16, 255, 255, 255])
+    hist = bmp.gray_histogram(pixels, bins=16)
+    assert hist[0] == 2 and hist[1] == 1 and hist[15] == 1
+    assert sum(hist) == 4
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, data):
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert bmp.decode_bmp24(bmp.encode_bmp24(w, h, pixels)) == (w, h, pixels)
+
+
+def test_media_features_real_decode_path(spark):
+    """BMP content through media_features must produce the exact histogram
+    fractions of the decoded pixels — not the hash fallback."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        media_features,
+    )
+
+    # 2x2 with lumas 0,0,128,255 -> bins {0: 2, 8: 1, 15: 1}
+    pixels = _px([0, 0, 0, 0, 0, 0, 128, 128, 128, 255, 255, 255])
+    blob = bmp.encode_bmp24(2, 2, pixels)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    row = media_features(df).collect()[0]
+    feats = list(row["feature"])
+    expect = [0.0] * 16
+    expect[0], expect[8], expect[15] = 0.5, 0.25, 0.25
+    assert feats == pytest.approx(expect)
+
+
+def test_resize_images_real_bmp_roundtrip(spark):
+    """resize_images on BMP content must emit decodable BMP bytes of the
+    target dims whose pixels follow the nearest-neighbor index map."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        resize_images,
+    )
+
+    n = 16 * 16
+    px = bytearray(n * 3)
+    for p in range(n):
+        g = (p * 7) % 256
+        px[p * 3 : p * 3 + 3] = bytes((g, g, g))
+    blob = bmp.encode_bmp24(16, 16, bytes(px))
+    df = spark.createDataFrame(
+        [
+            (
+                7,
+                bytearray(blob),
+                {
+                    "mime": "image/bmp",
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": None,
+                    "source_uri": "synth://7",
+                },
+            )
+        ],
+        "media_id long, content binary, "
+        "meta struct<mime string, width int, height int, duration_ms long, "
+        "source_uri string>",
+    )
+    row = resize_images(df, target_w=8, target_h=8).collect()[0]
+    assert row["meta"]["width"] == 8 and row["meta"]["height"] == 8
+    w, h, out = bmp.decode_bmp24(bytes(row["content"]))
+    assert (w, h) == (8, 8)
+    for tp in range(64):
+        src = 32 * (tp // 8) + 2 * (tp % 8)
+        assert out[tp * 3] == (src * 7) % 256
