@@ -102,9 +102,18 @@ def main() -> None:
     # over-round deltas can be told apart from harness noise (a real plan
     # regression moves `best`; GC/JIT/sandbox pressure moves `spread`).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
+    # optional subset filter (comma-separated names): lets round-over-round
+    # investigations re-run an earlier round's exact headline set in an
+    # otherwise identical session
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q for q in HEADLINE if q in set(subset.split(","))]
+        if subset
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = CORE_QUERIES[name]
         runs = []
         for _ in range(n_runs):
