@@ -587,6 +587,97 @@ FROM lineitem WHERE l_orderkey % 100 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning — broadcast bitmap instead of a shuffle
+# ---------------------------------------------------------------------------
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join: a 16 Kbit / k=3 filter built over the
+    BUILDING-segment customer keys, probed by every order — per status,
+    how many orders pass the filter, how many are true members, and the
+    false-positive remainder (no false negatives, ever: n_true equals the
+    exact semi-join count by construction).
+
+    Scale story: the probe side is a zero-shuffle narrow pipeline (three
+    chained broadcast joins against the ≤512-row bitmap + a scalar
+    filter); only the ~KB bitmap moves.  At 100 TB this prunes the fact
+    table BEFORE the expensive exact join — the DataFrame analogue of
+    Spark's runtime-filter/DPP bloom pushdown, but engine-portable and
+    differentially testable (md5 bit math reproduced by DuckDB).
+    Pinned by tests/test_plan_shapes.py::test_bloom_probe_zero_shuffle.
+    """
+    from service_alerts_connector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_bits, k = 1 << 14, 3
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    bloom = bloom_build(keys, "c_custkey", m_bits=m_bits, k=k)
+    passed = bloom_probe(
+        _t(spark, sf_dir, "orders"), bloom, "o_custkey", m_bits=m_bits, k=k
+    )
+    truth = keys.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_true")
+    )
+    return (
+        passed.join(F.broadcast(truth), "o_custkey", "left")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(0))).alias("n_true"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+            ).alias("n_false_pos"),
+        )
+        .orderBy("status")
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), cells AS (
+  SELECT (('0x' || substr(md5('bf' || CAST(j.j AS VARCHAR) || ':'
+            || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 16384) AS pos
+  FROM keys, range(3) j(j)
+), bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM cells GROUP BY word
+), probe AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey,
+         (('0x' || substr(md5('bf' || CAST(j.j AS VARCHAR) || ':'
+            || CAST(o.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 16384) AS pos
+  FROM orders o, range(3) j(j)
+), verdicts AS (
+  SELECT p.o_orderkey, p.o_orderstatus, p.o_custkey,
+         min(CASE WHEN (coalesce(b.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
+                       <> 0
+             THEN 1 ELSE 0 END) AS ok
+  FROM probe p LEFT JOIN bloom b ON b.word = p.pos // 32
+  GROUP BY p.o_orderkey, p.o_orderstatus, p.o_custkey
+)
+SELECT v.o_orderstatus AS status,
+       count(*) AS n_bloom_pass,
+       CAST(sum(CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(count(*) - sum(CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM verdicts v
+LEFT JOIN keys k ON k.c_custkey = v.o_custkey
+WHERE v.ok = 1
+GROUP BY v.o_orderstatus
+ORDER BY status
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hash_split": q_hash_split,
@@ -604,6 +695,7 @@ ANALYTICS_QUERIES = {
     "json_typed_extract": q_json_typed_extract,
     "linear_trend": q_linear_trend,
     "zorder_key": q_zorder_key,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 ANALYTICS_ORACLES = {
@@ -623,4 +715,5 @@ ANALYTICS_ORACLES = {
     "json_typed_extract": SQL_JSON_TYPED,
     "linear_trend": SQL_LINEAR_TREND,
     "zorder_key": _sql_zorder(),
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }

@@ -252,6 +252,127 @@ def cms_estimate(
     )
 
 
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a SPARSE (word, bits)
+    bitmap table — 32-bit words so every mask stays far from BIGINT
+    overflow in any engine.
+
+    Hashing is the repo's portable md5 recipe (``bf{j}:`` salt per hash
+    function), so DuckDB reproduces the identical bitmap bit-for-bit.
+    Build cost: one narrow explode (k cells/row) + groupBy(word) with
+    map-side combine — the shuffle carries at most m_bits/32 rows
+    regardless of input size, and two filters merge by OR-ing words.
+
+    False-positive rate ≈ (1 − e^(−k·n/m))^k; size m for the build-side
+    cardinality, not the probe side.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"bf{j}:"),
+                                        F.col(key_col).cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % m_bits
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        cells.select(
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "_m"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Filter ``df`` to rows whose key passes the Bloom filter (supersets
+    the exact semi-join by the filter's false-positive rate).
+
+    Scale shape: k chained BROADCAST joins against the ≤ m_bits/32-row
+    bitmap plus a scalar filter — the fact side is never exploded,
+    shuffled, or aggregated, so this is a zero-shuffle narrow pipeline
+    over the probe table (the whole point of Bloom-pruning a semi-join
+    at 100 TB: ship KBs of bitmap instead of shuffling the fact rows).
+    Pinned by tests/test_plan_shapes.py::test_bloom_probe_zero_shuffle.
+
+    Catalyst re-plans the ``bloom`` subtree once per chained join; when
+    the build side is itself expensive, ``bloom.cache()`` (or persist the
+    bitmap table) before probing so the build runs once.
+    """
+    out = df
+    pass_cond = F.lit(True)
+    for j in range(k):
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}:"), F.col(key_col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        out = (
+            out.withColumn(f"_p{j}", pos)
+            .withColumn(f"_w{j}", (F.col(f"_p{j}") / 32).cast("long"))
+            .withColumn(
+                f"_m{j}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(_p{j} % 32 AS INT))"
+                ),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word").alias(f"_w{j}"),
+                        F.col("bits").alias(f"_b{j}"),
+                    )
+                ),
+                f"_w{j}",
+                "left",
+            )
+        )
+        pass_cond = pass_cond & (
+            F.coalesce(F.col(f"_b{j}"), F.lit(0)).bitwiseAND(F.col(f"_m{j}"))
+            != 0
+        )
+    drop = [c for j in range(k) for c in (f"_p{j}", f"_w{j}", f"_m{j}", f"_b{j}")]
+    return out.where(pass_cond).drop(*drop)
+
+
 def source_mixing(
     df: DataFrame,
     config: DataFrame,

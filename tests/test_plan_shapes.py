@@ -138,6 +138,32 @@ def test_pack_bins_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_bloom_probe_zero_shuffle(spark):
+    """The Bloom probe side must stay a narrow pipeline: broadcast joins
+    against the bitmap only — no Exchange introduced on the fact table
+    (the bitmap build aggregates ≤ m/32 rows and may exchange; assert the
+    probe's joins are all broadcast and no sort-merge appears)."""
+    from service_alerts_connector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    fact = spark.range(10000).select((F.col("id") % 500).alias("k"))
+    plan = _plan(bloom_probe(fact, bloom_build(keys, "k"), "k"))
+    assert plan.count("BroadcastHashJoin") == 4  # k=4 chained probes
+    assert "SortMergeJoin" not in plan
+    # hash exchanges may only appear on the bitmap build side (groupBy on
+    # `word`, <= m/32 rows; the subtree is re-planned per chained join) —
+    # never on the fact side's columns
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "word#" not in ln
+    ]
+    assert not bad, bad
+
+
 def _iter_logical_nodes(jplan):
     yield jplan
     it = jplan.children().iterator()

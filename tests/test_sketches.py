@@ -89,3 +89,61 @@ def test_split_bounds_cumulative():
     assert [b for _, b in bounds] == [52428, 58982, 65536]
     names = [n for n, _ in bounds]
     assert names == ["train", "val", "test"]
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member must pass the filter regardless of sizing."""
+    from service_alerts_connector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.range(0, 300, 3).select(F.col("id").alias("k"))  # 0,3,6,...
+    bloom = bloom_build(keys, "k", m_bits=1 << 10, k=4)
+    fact = spark.range(600).select(F.col("id").alias("k"))
+    passed = {r["k"] for r in bloom_probe(fact, bloom, "k", m_bits=1 << 10, k=4).collect()}
+    members = set(range(0, 300, 3))
+    assert members <= passed  # zero false negatives
+    # and with 100 keys in 1024 bits the filter must actually prune
+    assert len(passed) < 600
+
+
+def test_bloom_fp_rate_in_expected_band(spark):
+    """m=4096, k=3, n=200 -> theoretical fp ~ (1-e^(-3*200/4096))^3 ~ 0.25%;
+    assert the observed rate over 5000 non-members stays well under 5%."""
+    from service_alerts_connector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keys = spark.range(200).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=4096, k=3)
+    nonmembers = spark.range(10_000, 15_000).select(F.col("id").alias("k"))
+    n_fp = bloom_probe(nonmembers, bloom, "k", m_bits=4096, k=3).count()
+    assert n_fp / 5000 < 0.05
+
+
+def test_bloom_filters_merge_by_or(spark):
+    """Two independently built filters OR-merged must behave like the
+    filter of the union key set (the mergeability 100 TB streams rely on)."""
+    from service_alerts_connector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = bloom_build(spark.range(50).select(F.col("id").alias("k")), "k")
+    b = bloom_build(
+        spark.range(1000, 1050).select(F.col("id").alias("k")), "k"
+    )
+    merged = (
+        a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    both = bloom_build(
+        spark.range(50).select(F.col("id").alias("k")).unionByName(
+            spark.range(1000, 1050).select(F.col("id").alias("k"))
+        ),
+        "k",
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in both.collect()
+    }
