@@ -608,6 +608,34 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Log-bucket quantile sketch — bounded-state length percentiles per language
+# ---------------------------------------------------------------------------
+def q_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 doc-length estimates per language from the mergeable
+    log₂-bucket histogram (≤64 cells per group however many documents —
+    the bounded-shuffle alternative to exact per-group sorts; ≤2×
+    overestimate by construction, asserted vs exact percentiles in
+    tests/test_sketches.py)."""
+    from service_alerts_connector_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_quantiles(docs, "n_chars", ["lang"]).orderBy("lang")
+
+
+def _sql_length_quantiles() -> str:
+    from service_alerts_connector_spark.operators.sketches import (
+        histogram_quantiles_sql,
+    )
+
+    return (
+        histogram_quantiles_sql("documents", "n_chars", ["lang"])
+        + " ORDER BY lang"
+    )
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -624,6 +652,7 @@ CORPUS_QUERIES = {
     "length_outlier_filter": q_length_outlier_filter,
     "embedding_center_stats": q_embedding_center_stats,
     "assign_seq_ids": q_assign_seq_ids,
+    "length_quantile_sketch": q_length_quantile_sketch,
 }
 
 CORPUS_ORACLES = {
@@ -642,4 +671,5 @@ CORPUS_ORACLES = {
     "length_outlier_filter": SQL_LENGTH_OUTLIER,
     "embedding_center_stats": SQL_EMB_CENTER,
     "assign_seq_ids": SQL_ASSIGN_SEQ,
+    "length_quantile_sketch": _sql_length_quantiles(),
 }

@@ -89,6 +89,90 @@ def kmv_distinct(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs_mille: Sequence[int] = (500, 900, 990),
+) -> DataFrame:
+    """Mergeable log₂-bucket quantile estimates for a non-negative integer
+    measure (doc lengths, token counts, payload sizes).
+
+    Bucket = bit length of the value (``length(bin(v))`` — identical in
+    Spark and DuckDB, so the sketch is engine-portable), giving ≤64 cells
+    per group however large the group: phase 1 is a groupBy((group,
+    bucket)) count whose shuffle carries a BOUNDED number of rows, cells
+    merge by adding counts (cross-day/cross-shard rollups are free), and
+    phase 2 walks the ≤64-row cumulative histogram per group.  The
+    p-quantile estimate is the upper bound of the first bucket whose
+    cumulative count reaches ``ceil(p·n)`` — an overestimate by at most
+    2× (one bucket), the resolution/state trade every log-histogram
+    sketch (HdrHistogram, DDSketch with γ=2) makes.
+
+    ``probs_mille`` are integer per-mille probabilities so the threshold
+    compare (``cum·1000 ≥ p·n``) stays in exact integer arithmetic on
+    both engines.  Output: group cols + ``n`` + one ``q{p}`` column per
+    requested quantile (bigint upper-bound estimates).
+    """
+    groups = [F.col(c) for c in group_cols]
+    cells = (
+        df.where(F.col(value_col) >= 0)
+        .select(
+            *groups,
+            F.length(F.bin(F.col(value_col).cast("long"))).alias("_bucket"),
+        )
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*group_cols))
+    )
+    upper = F.expr("shiftleft(CAST(1 AS BIGINT), _bucket) - 1")
+    aggs = [F.max("_n").alias("n")] + [
+        F.min(
+            F.when(F.col("_cum") * 1000 >= F.lit(p) * F.col("_n"), upper)
+        ).alias(f"q{p}")
+        for p in probs_mille
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    table_expr: str,
+    value_sql: str,
+    group_sql: Sequence[str],
+    probs_mille: Sequence[int] = (500, 900, 990),
+) -> str:
+    """DuckDB mirror of ``histogram_quantiles`` (same buckets, same
+    integer threshold compare) for oracle construction."""
+    g = ", ".join(group_sql)
+    qcols = ", ".join(
+        f"min(CASE WHEN _cum * 1000 >= {p} * _n "
+        f"THEN (CAST(1 AS BIGINT) << _bucket) - 1 END) AS q{p}"
+        for p in probs_mille
+    )
+    return f"""
+WITH cells AS (
+  SELECT {g}, length(bin(CAST({value_sql} AS BIGINT))) AS _bucket,
+         count(*) AS _c
+  FROM {table_expr} WHERE {value_sql} >= 0
+  GROUP BY {g}, _bucket
+), cum AS (
+  SELECT {g}, _bucket, _c,
+         sum(_c) OVER (PARTITION BY {g} ORDER BY _bucket) AS _cum,
+         sum(_c) OVER (PARTITION BY {g}) AS _n
+  FROM cells
+)
+SELECT {g}, CAST(max(_n) AS BIGINT) AS n, {qcols}
+FROM cum GROUP BY {g}
+"""
+
+
 DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
     ("train", 0.8),
     ("val", 0.1),
