@@ -897,6 +897,48 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — int8 embedding compression, bit-exact oracle
+# ---------------------------------------------------------------------------
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SQ8 codes + scale.  Every arithmetic step is one
+    exactly-rounded IEEE op, so the int codes and the double scale match
+    DuckDB bit-for-bit with zero rounding concessions; codes surface
+    comma-joined (array cells can't be driver-hashed — a1 lesson)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_sq8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+    )
+
+
+SQL_EMBEDDING_SQ8 = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM base
+)
+SELECT vec_id, scale,
+       array_to_string(
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0)
+              ELSE list_transform(
+                     v, x -> CAST(floor(x / scale * 127 + 0.5) AS INTEGER))
+         END, ',') AS codes_csv
+FROM scaled
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -921,9 +963,11 @@ TEXT_QUERIES = {
     "ann_bucketed": q_ann_bucketed,
     "ann_ivf_fixed": q_ann_ivf_fixed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "embedding_sq8": q_embedding_sq8,
 }
 
 TEXT_ORACLES = {
+    "embedding_sq8": SQL_EMBEDDING_SQ8,
     "text_pii_redact": SQL_PII,
     "text_boilerplate": SQL_BOILERPLATE,
     "text_repetition": SQL_REPETITION,

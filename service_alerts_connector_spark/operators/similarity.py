@@ -512,6 +512,58 @@ def cosine_topk_mapinpandas(
     return partials.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def quantize_embeddings_sq8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (SQ8): scale =
+    max|x|, code_i = floor(x_i/scale·127 + 0.5) ∈ [−127, 127] — 4×
+    smaller vectors for the memory-bound stages of 100 TB ANN (store/
+    shuffle codes + one double, dequantize on the fly; reconstruction
+    error ≤ scale/254 per component, asserted in tests).
+
+    Engine-portable BY CONSTRUCTION: every step (float32→double widen,
+    abs, max, one divide, one multiply, one add, floor) is a single
+    exactly-rounded IEEE-754 operation, so the codes and the scale are
+    bit-identical in any engine — no rounding fuzz in the oracle.
+
+    Zero-shuffle narrow projection; the double-cast and the scale are
+    materialized once before the per-element lambda (codegen discipline
+    of the band expressions above)."""
+    casted = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd")
+    )
+    with_scale = casted.withColumn(
+        "_s", F.array_max(F.transform("_vd", lambda x: F.abs(x)))
+    )
+    codes = F.when(
+        F.col("_s") == 0.0,
+        F.transform("_vd", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "_vd",
+            lambda x: F.floor(x / F.col("_s") * F.lit(127.0) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return with_scale.select(
+        F.col(id_col), F.col("_s").alias("scale"), codes.alias(out_col)
+    )
+
+
+def dequantize_sq8(
+    codes_col: Column, scale_col: Column
+) -> Column:
+    """Inverse of ``quantize_embeddings_sq8``: x̂_i = code_i·scale/127
+    (array<double>)."""
+    return F.transform(
+        codes_col, lambda c: c.cast("double") * scale_col / F.lit(127.0)
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     out_dim: int = 16,

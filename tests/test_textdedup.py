@@ -441,3 +441,46 @@ def test_cross_corpus_contamination(spark):
     )
     assert 1 in flagged       # identical doc must flag
     assert 2 not in flagged   # unrelated doc must not
+
+
+def test_sq8_reconstruction_bound(spark):
+    """Dequantized vectors must sit within scale/254 of the original per
+    component, and cosine to the original must stay near 1."""
+    from service_alerts_connector_spark.operators.similarity import (
+        dequantize_sq8,
+        quantize_embeddings_sq8,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings_sq8(df)
+    joined = q.join(df, "vec_id").select(
+        "vec_id",
+        "scale",
+        F.col("embedding").cast("array<double>").alias("x"),
+        dequantize_sq8(F.col("codes"), F.col("scale")).alias("xh"),
+    )
+    checked = joined.select(
+        "vec_id",
+        (
+            F.array_max(
+                F.zip_with("x", "xh", lambda a, b: F.abs(a - b))
+            )
+            <= F.col("scale") / 254.0 + 1e-12
+        ).alias("ok"),
+    )
+    assert checked.where(~F.col("ok")).isEmpty()
+
+
+def test_sq8_codes_in_range_and_zero_vector(spark):
+    from service_alerts_connector_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_sq8(df).collect()}
+    assert rows[1]["codes"] == [64, -127, 32]  # round(0.5/1*127)=63.5->64
+    assert rows[1]["scale"] == 1.0
+    assert rows[2]["codes"] == [0, 0, 0] and rows[2]["scale"] == 0.0
