@@ -939,6 +939,54 @@ FROM scaled
 """
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 served from the SQ8 codes alone (integer dot products;
+    the per-vector scales cancel in the cosine).  The driver-side query
+    quantization uses the identical IEEE recipe, so Spark and DuckDB
+    produce the same codes, the same exact integer dots, and hence the
+    same rounded scores."""
+    from service_alerts_connector_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+        sq8_cosine_topk,
+        sq8_quantize_vec,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    quant = quantize_embeddings_sq8(emb)
+    return sq8_cosine_topk(quant, sq8_quantize_vec(qvec), k=10)
+
+
+SQL_ANN_SQ8 = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM base
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(v, x -> floor(x / scale * 127 + 0.5))
+         END AS c
+  FROM scaled
+), q AS (
+  SELECT c AS qc FROM codes WHERE vec_id = 0
+)
+SELECT codes.vec_id,
+       round(list_dot_product(c, qc)
+             / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qc, qc))),
+             6) AS qcos
+FROM codes, q
+WHERE list_dot_product(c, c) > 0
+ORDER BY qcos DESC, codes.vec_id ASC
+LIMIT 10
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -964,10 +1012,12 @@ TEXT_QUERIES = {
     "ann_ivf_fixed": q_ann_ivf_fixed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_sq8": q_embedding_sq8,
+    "ann_sq8": q_ann_sq8,
 }
 
 TEXT_ORACLES = {
     "embedding_sq8": SQL_EMBEDDING_SQ8,
+    "ann_sq8": SQL_ANN_SQ8,
     "text_pii_redact": SQL_PII,
     "text_boilerplate": SQL_BOILERPLATE,
     "text_repetition": SQL_REPETITION,

@@ -564,6 +564,66 @@ def dequantize_sq8(
     )
 
 
+def sq8_quantize_vec(vec: Sequence[float]) -> list[int]:
+    """Driver-side SQ8 of a query vector with the EXACT engine recipe
+    (Python floats are IEEE doubles, so floor(x/scale·127 + 0.5) matches
+    the column expression bit-for-bit)."""
+    import math
+
+    scale = max((abs(float(x)) for x in vec), default=0.0)
+    if scale == 0.0:
+        return [0 for _ in vec]
+    return [int(math.floor(float(x) / scale * 127.0 + 0.5)) for x in vec]
+
+
+def sq8_cosine_topk(
+    quantized: DataFrame,
+    query_codes: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    out_col: str = "qcos",
+) -> DataFrame:
+    """ANN top-k served ENTIRELY from SQ8 codes: cosine of the
+    dequantized vectors equals dot(c_x, c_q) / (‖c_x‖·‖c_q‖) — the two
+    scale factors cancel — so scoring is integer dot products over the
+    4×-compressed representation; the float32 originals are never read.
+
+    Exactness: integer dots are ≤ 127²·dim ≪ 2⁵³, so accumulating them
+    in doubles is exact in any engine (no summation-order fuzz), and the
+    final divide/sqrt/round are single IEEE ops — the oracle needs no
+    tolerance.  Plan: narrow projection → TakeOrderedAndProject (each
+    partition keeps k); zero-norm codes are filtered (undefined cosine).
+    """
+    qarr = F.array(*[F.lit(int(c)).cast("long") for c in query_codes])
+    qq = sum(int(c) * int(c) for c in query_codes)
+    dot_cq = F.aggregate(
+        F.zip_with(F.col(codes_col), qarr, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dot_cc = F.aggregate(
+        F.transform(F.col(codes_col), lambda a: a.cast("long") * a.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = quantized.select(
+        F.col(id_col),
+        dot_cq.alias("_cq"),
+        dot_cc.alias("_cc"),
+    ).where(F.col("_cc") > 0)
+    cos = F.round(
+        F.col("_cq")
+        / (F.sqrt(F.col("_cc").cast("double")) * F.sqrt(F.lit(float(qq)))),
+        6,
+    )
+    return (
+        scored.select(F.col(id_col), cos.alias(out_col))
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     out_dim: int = 16,

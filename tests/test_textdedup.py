@@ -484,3 +484,25 @@ def test_sq8_codes_in_range_and_zero_vector(spark):
     assert rows[1]["codes"] == [64, -127, 32]  # round(0.5/1*127)=63.5->64
     assert rows[1]["scale"] == 1.0
     assert rows[2]["codes"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_sq8_ann_recall_vs_exact(spark):
+    """Top-10 by quantized cosine must keep most of the exact top-10
+    (int8 cosine distortion is ~1e-3 on unit-ish vectors), rank the
+    query's own vector first, and plan a TakeOrderedAndProject."""
+    from service_alerts_connector_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+        sq8_cosine_topk,
+        sq8_quantize_vec,
+    )
+
+    df, _ = _planted_corpus(spark, n=80)
+    qrow = df.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(df, list(qrow), 10).collect()]
+    quant = quantize_embeddings_sq8(df)
+    top = sq8_cosine_topk(quant, sq8_quantize_vec(list(qrow)), k=10)
+    approx = [r["vec_id"] for r in top.collect()]
+    assert approx[0] == 3
+    assert len(set(exact) & set(approx)) >= 8
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
