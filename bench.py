@@ -17,12 +17,15 @@ from service_alerts_connector_spark.catalog import CORE_QUERIES as _CORE
 from service_alerts_connector_spark.catalog_analytics import ANALYTICS_QUERIES as _AN
 from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES as _CORP
 from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES as _EV
+from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES as _EX
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_geo import GEO_QUERIES as _GEO
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
-CORE_QUERIES = {**_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV}
+CORE_QUERIES = {
+    **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX,
+}
 
 HEADLINE = [
     "fixer_chain",
@@ -75,6 +78,14 @@ HEADLINE = [
     "rolling_window_agg",
     "grouping_sets",
     "json_typed_extract",
+    # round-4 additions: bloom pruning, sketch quantiles, SQ8 tier, and the
+    # real-decode multimodal pipeline
+    "bloom_semi_join",
+    "length_quantile_sketch",
+    "embedding_sq8",
+    "ann_sq8",
+    "multimodal_decode",
+    "multimodal_resize",
 ]
 
 
