@@ -71,3 +71,46 @@ def test_similarity_on_empty_pairs_and_scd(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="cannot infer dim"):
         embedding_near_dup_pairs(emb)  # explicit error, not a silent crash
+
+
+def test_round4_operators_on_empty_input(spark):
+    from service_alerts_connector_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        histogram_quantiles,
+    )
+    from service_alerts_connector_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+        sq8_cosine_topk,
+    )
+    from service_alerts_connector_spark.sources.multimodal import (
+        media_decode_stats,
+        synth_bmp_media,
+    )
+
+    # empty key set -> empty bitmap -> probe admits NOTHING (empty-set
+    # semantics, not pass-through)
+    keys = spark.createDataFrame([], "k long")
+    bloom = bloom_build(keys, "k")
+    assert bloom.count() == 0
+    fact = spark.range(100).select(F.col("id").alias("k"))
+    assert bloom_probe(fact, bloom, "k").count() == 0
+
+    vals = spark.createDataFrame([], "g string, v long")
+    assert histogram_quantiles(vals, "v", ["g"]).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = quantize_embeddings_sq8(emb)
+    assert q.count() == 0
+    assert sq8_cosine_topk(q, [1, 2, 3], k=5).count() == 0
+
+    media = spark.createDataFrame([], "media_id long, seed long")
+    synth = synth_bmp_media(media, seed_col="seed")
+    assert synth.count() == 0
+    assert media_decode_stats(synth).count() == 0
+    # non-BMP content -> null stats row, not an exception
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not an image"))], "media_id long, content binary"
+    )
+    row = media_decode_stats(junk).collect()[0]
+    assert row["width"] is None and row["hist"] is None
