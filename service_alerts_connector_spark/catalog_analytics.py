@@ -617,6 +617,10 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .distinct()
     )
+    # NOT cached: Catalyst re-plans the tiny build per chained probe join,
+    # but re-aggregating <=512 rows three times beats cache management for
+    # a repeatedly-invoked query (each invocation would pin a fresh copy);
+    # cache per the operator docstring only when the build side is big.
     bloom = bloom_build(keys, "c_custkey", m_bits=m_bits, k=k)
     passed = bloom_probe(
         _t(spark, sf_dir, "orders"), bloom, "o_custkey", m_bits=m_bits, k=k
