@@ -457,6 +457,71 @@ def bloom_probe(
     return out.where(pass_cond).drop(*drop)
 
 
+BLOOM_STORE = "bloom_seen"
+
+
+def incremental_bloom_screen(
+    spark,
+    root: str,
+    batch: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """O(batch) duplicate pre-screen for a streaming ingest loop: probe the
+    arriving batch against a PERSISTENT versioned Bloom bitmap of every key
+    ever admitted, then merge the batch's bits in (snapshot-write-last).
+
+    Returns ``(definitely_new, maybe_dup)``:
+
+    * ``definitely_new`` — rows whose key does NOT pass the filter.  The
+      no-false-negative guarantee makes this exact: these keys have never
+      been seen, so they skip the expensive exact-store check entirely.
+    * ``maybe_dup`` — rows that pass (true repeats + the filter's fp rate).
+      Only this residue needs the exact semi-join against the full key
+      store — at ingest workloads where most keys are new, the expensive
+      path shrinks from O(batch) to O(dups + fp·batch).
+
+    Same store discipline as ``textdedup.incremental_dedup_batch``: the
+    previous bitmap is read PINNED to its immutable version directory so
+    the returned lazy frames survive the store overwrite, and the merge is
+    a bit_or over ≤ m/32 word rows — the store never grows with corpus
+    size, only saturates (re-shard to a larger ``m`` when the fill rate
+    approaches the fp budget; fill is auditable as sum(bit_count(bits))).
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    versions = list_versions(root, BLOOM_STORE)
+    prev = (
+        read_dataset(spark, root, BLOOM_STORE, version=versions[-1])
+        if versions
+        else None
+    )
+    empty_bloom = prev is None
+    if empty_bloom:
+        prev = bloom_build(batch.limit(0), key_col, m_bits=m_bits, k=k)
+
+    maybe_dup = bloom_probe(batch, prev, key_col, m_bits=m_bits, k=k)
+    definitely_new = batch.join(
+        maybe_dup.select(key_col).distinct(), key_col, "left_anti"
+    )
+
+    batch_bits = bloom_build(batch, key_col, m_bits=m_bits, k=k)
+    merged = (
+        batch_bits
+        if empty_bloom
+        else prev.unionByName(batch_bits)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    write_dataset(merged, root, BLOOM_STORE)
+    return definitely_new, maybe_dup
+
+
 def source_mixing(
     df: DataFrame,
     config: DataFrame,

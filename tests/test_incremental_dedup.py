@@ -106,3 +106,52 @@ def test_streaming_ingest_loop_dedups_across_batches(spark, tmp_path):
         for r in read_dataset(spark, str(tmp_path / "out"), "admitted_docs").collect()
     )
     assert admitted == [1, 2, 11]  # the re-ingested duplicate never lands
+
+
+def test_incremental_bloom_screen_routes_batches(spark, tmp_path):
+    """Persistent Bloom pre-screen: keys seen in ANY earlier batch must
+    land in maybe_dup (no false negatives ever), definitely_new must be
+    truly new, and the bitmap store must saturate — not grow — across
+    batches."""
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.operators.sketches import (
+        BLOOM_STORE,
+        incremental_bloom_screen,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+
+    def keys(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    new1, dup1 = incremental_bloom_screen(spark, root, keys(0, 200), "k")
+    assert dup1.count() == 0  # empty store -> nothing can be a dup
+    assert new1.count() == 200
+
+    # batch 2 overlaps 100..199 with batch 1
+    new2, dup2 = incremental_bloom_screen(spark, root, keys(100, 300), "k")
+    seen = set(range(100, 200))
+    got_dup = {r["k"] for r in dup2.collect()}
+    got_new = {r["k"] for r in new2.collect()}
+    assert seen <= got_dup  # every true repeat flagged (no false negatives)
+    assert got_new.isdisjoint(seen)  # definitely_new is exact
+    assert got_new | got_dup == set(range(100, 300))
+
+    # batch 3: all repeats -> nothing definitely new
+    new3, dup3 = incremental_bloom_screen(spark, root, keys(0, 300), "k")
+    assert new3.count() == 0
+    assert dup3.count() == 300
+
+    # the store saturates by OR, never grows beyond m/32 word rows
+    versions = list_versions(root, BLOOM_STORE)
+    assert len(versions) == 3
+    sizes = [
+        read_dataset(spark, root, BLOOM_STORE, version=v).count()
+        for v in versions
+    ]
+    assert sizes[0] <= sizes[1] <= sizes[2] <= (1 << 20) // 32
