@@ -268,6 +268,34 @@ def q_geo_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: deterministic per-subspace lite-kmeans
+    codebooks (8×16, ~32× compression), NumPy encode, asymmetric-distance
+    top-10 by pure LUT lookup.  Iterative codebook training is not
+    SQL-expressible → rows-only check (same rationale as ann_ivf);
+    recall and determinism pinned in tests/test_textdedup.py."""
+    from service_alerts_connector_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from service_alerts_connector_spark.shipping import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, n_sub=8, k_cent=16)
+    enc = pq_encode(emb, books)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return pq_adc_topk(enc, books, q, k=10)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic lite-kmeans cells, probe the 2 nearest of 4
     cells with exact cosine top-k.  Iterative training (Lloyd steps) is not
@@ -299,6 +327,7 @@ EXTRA_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
 }
 
 # The decode/resize pair is oracled (closed-form pixel recipe); the rest of

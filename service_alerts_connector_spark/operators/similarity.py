@@ -297,6 +297,126 @@ def ivf_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    n_sub: int = 8,
+    k_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 256,
+    iterations: int = 3,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: split the dimension
+    into ``n_sub`` subspaces and run a lite k-means per subspace on the
+    lowest-id ``sample`` vectors (driver-side NumPy; same bounded-sample
+    discipline as ``train_centroids_kmeanspp_lite`` — no RNG, so retrains
+    reproduce bit-identical codebooks).  A production index trains
+    offline (MLlib / faiss) and ships codebooks the same way: a tiny
+    broadcast list."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    x = np.array([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        c = xs[:k_cent].copy()
+        for _ in range(iterations):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(k_cent):
+                if (assign == j).any():
+                    c[j] = xs[assign == j].mean(0)
+        books.append(c.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``n_sub`` centroid ids — with 16 centroids a
+    64-dim float32 vector compresses 256 B → 8 nibbles (~32×), which is
+    what lets a 10⁹-vector index live in cluster RAM.  NumPy per Arrow
+    batch (narrow, zero shuffle); output (id, pq_codes array<int>)."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), len(books)), dtype=np.int32)
+            for s, c in enumerate(books):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pq_codes": list(codes.tolist())}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, pq_codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per subspace precompute
+    LUT[s][c] = <query_s, centroid_c> and the centroid norms, then a
+    candidate's approximate cosine is pure table lookup — the float
+    vectors are never touched at query time.  Per-partition partial top-k
+    → global merge (same contract as ``cosine_topk_mapinpandas``)."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    q = np.asarray(query_vec, dtype=np.float64)
+    dsub = books[0].shape[1]
+    lut = np.stack(
+        [books[s] @ q[s * dsub : (s + 1) * dsub] for s in range(len(books))]
+    )  # (n_sub, k_cent) dot tables
+    n2 = np.stack([(b * b).sum(1) for b in books])  # centroid norm² tables
+    qn = float(np.sqrt((q * q).sum()))
+    sub_idx = np.arange(len(books))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            dots = lut[sub_idx, codes].sum(1)
+            norms = np.sqrt(n2[sub_idx, codes].sum(1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round(dots / (norms * qn), 6)
+            cand = pd.DataFrame({id_col: pdf[id_col], "pq_cos": cos}).dropna()
+            best = cand if best is None else pd.concat([best, cand])
+            best = best.sort_values(
+                ["pq_cos", id_col], ascending=[False, True]
+            ).head(k)
+        if best is not None:
+            yield best
+
+    partials = encoded.select(id_col, "pq_codes").mapInPandas(
+        part, f"{id_col} long, pq_cos double"
+    )
+    return partials.orderBy(F.desc("pq_cos"), F.asc(id_col)).limit(k)
+
+
 def banded_bucket_cols(
     vec_col: Column,
     planes: Sequence[Sequence[float]],

@@ -506,3 +506,28 @@ def test_sq8_ann_recall_vs_exact(spark):
     assert len(set(exact) & set(approx)) >= 8
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """PQ (8 subspaces x 16 centroids, ~32x compression) must rank the
+    query first, surface its planted near-dup in the top-2, keep >=5/10
+    overlap with exact top-10, and retrain/re-encode bit-identically."""
+    from service_alerts_connector_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    df, _ = _planted_corpus(spark, n=100)
+    books = train_pq_codebooks(df, n_sub=8, k_cent=16)
+    assert books == train_pq_codebooks(df, n_sub=8, k_cent=16)
+    enc = pq_encode(df, books)
+    q = df.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(df, list(q), 10).collect()]
+    approx = [r["vec_id"] for r in pq_adc_topk(enc, books, list(q), 10).collect()]
+    assert approx[0] == 3 and approx[1] == 1003  # self + planted near-dup
+    assert len(set(exact) & set(approx)) >= 5
+    # codes really are n_sub small ints
+    row = enc.where(F.col("vec_id") == 3).collect()[0]
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
