@@ -13,6 +13,7 @@ EXPECTED_ROWS_ONLY = {
     "multimodal_features",
     "geo_overlay",
     "ann_ivf",
+    "ann_pq",  # iterative codebook training — not SQL-expressible
 }
 
 
