@@ -68,3 +68,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Pre-shuffle ONCE at write time: hash-bucket the table on its join
+    key so every later join between same-bucketed tables is exchange-free
+    — the scan itself reports HashPartitioning(bucket key, n), and with
+    ``sort_cols`` the per-bucket sort is on disk too, so a sort-merge
+    join needs neither Exchange nor (when sorted) Sort.  This is how a
+    lake co-locates its fact↔fact joins at 100 TB: the shuffle is paid
+    once per table rewrite, not once per query.
+
+    Registered as an EXTERNAL table at ``path`` (bucket metadata lives in
+    the session catalog — Spark's bucketing, unlike partitioning, is not
+    self-describing in the files; production lakes keep it in the
+    metastore the same way).  Read back with ``spark.table(table)``.
+    Pinned by tests/test_layout.py::test_bucketed_join_is_exchange_free.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer.saveAsTable(table)

@@ -52,3 +52,49 @@ def test_write_zordered_files_and_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2000
     assert set(back.columns) == {"id", "x", "y"}  # key column dropped
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    sort-merge join with ZERO Exchange (and zero Sort when sortBy matches
+    the join key) — the write-once-shuffle-never contract; results must
+    equal the plain join."""
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+    )
+    write_bucketed(li, "li_b", str(tmp_path / "li"), ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, "ord_b", str(tmp_path / "ord"), ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: the shuffle was paid at write
+        n_bucketed = joined.count()
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        n_plain = li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert n_bucketed == n_plain and n_plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
