@@ -86,6 +86,7 @@ HEADLINE = [
     "ann_sq8",
     "multimodal_decode",
     "multimodal_resize",
+    "passage_dedup",
 ]
 
 

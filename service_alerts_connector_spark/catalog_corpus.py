@@ -636,6 +636,56 @@ def _sql_length_quantiles() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Passage-level dedup — sub-document first-occurrence-wins
+# ---------------------------------------------------------------------------
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage dedup (8-token windows): every distinct passage
+    survives exactly once — at its lowest (doc_id, chunk_idx) — and docs
+    are reassembled from their surviving passages
+    (`operators/textdedup.py passage_dedup`)."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        passage_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_dedup(docs, passage_tokens=8)
+
+
+SQL_PASSAGE_DEDUP = f"""
+WITH sized AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), counted AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 8 THEN 1
+              ELSE 1 + CAST(ceil(CAST(n - 8 AS DOUBLE) / 8) AS INTEGER)
+         END AS n_chunks
+  FROM sized
+), exploded AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM counted
+), passages AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         array_to_string(
+           list_slice(toks, chunk_idx * 8 + 1, chunk_idx * 8 + 8), ' '
+         ) AS chunk_text
+  FROM exploded
+), first_occ AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         row_number() OVER (
+           PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM passages
+)
+SELECT doc_id,
+       string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_passages_kept
+FROM first_occ WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -653,6 +703,7 @@ CORPUS_QUERIES = {
     "embedding_center_stats": q_embedding_center_stats,
     "assign_seq_ids": q_assign_seq_ids,
     "length_quantile_sketch": q_length_quantile_sketch,
+    "passage_dedup": q_passage_dedup,
 }
 
 CORPUS_ORACLES = {
@@ -672,4 +723,5 @@ CORPUS_ORACLES = {
     "embedding_center_stats": SQL_EMB_CENTER,
     "assign_seq_ids": SQL_ASSIGN_SEQ,
     "length_quantile_sketch": _sql_length_quantiles(),
+    "passage_dedup": SQL_PASSAGE_DEDUP,
 }

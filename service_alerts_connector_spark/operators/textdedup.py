@@ -21,7 +21,7 @@ LSH-surviving pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from service_alerts_connector_spark.functions.text import (
@@ -284,6 +284,55 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 8,
+) -> DataFrame:
+    """Sub-document dedup at passage granularity (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" move, at
+    fixed token windows instead of suffix-array substrings): split every
+    document into non-overlapping ``passage_tokens`` windows, keep only
+    the FIRST corpus-wide occurrence of each distinct passage (ordered by
+    (doc_id, chunk_idx) — deterministic), and reassemble each document
+    from its surviving passages.  Documents whose every passage already
+    appeared elsewhere vanish entirely (they contribute nothing new).
+
+    Scale shape: explode is O(total_tokens / passage_tokens) narrow rows;
+    first-occurrence is ONE window partitioned by the passage hash (group
+    size = that passage's duplicate count — bounded, never a global
+    sort); reassembly is one groupBy(doc).  Output: (id, text,
+    n_passages_kept).
+    """
+    from service_alerts_connector_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    ch = chunk_documents(
+        df, id_col, text_col,
+        chunk_tokens=passage_tokens, overlap_tokens=0,
+    )
+    w = Window.partitionBy("_h").orderBy(id_col, "chunk_idx")
+    kept = (
+        ch.withColumn("_h", F.md5(F.col("chunk_text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_passages_kept"),
     )
 
 

@@ -531,3 +531,28 @@ def test_pq_adc_recall_and_determinism(spark):
     row = enc.where(F.col("vec_id") == 3).collect()[0]
     assert len(row["pq_codes"]) == 8
     assert all(0 <= c < 16 for c in row["pq_codes"])
+
+
+def test_passage_dedup_semantics(spark):
+    """First occurrence of each passage wins corpus-wide; later repeats
+    drop out of their documents; fully-duplicate documents vanish."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        passage_dedup,
+    )
+
+    p1 = "a b c d"   # 4 tokens = one 4-token passage
+    p2 = "e f g h"
+    p3 = "i j k l"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),        # both passages first seen here
+            (2, f"{p2} {p3}"),        # p2 is a repeat -> only p3 survives
+            (3, f"{p1} {p2}"),        # nothing new -> doc vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_passages_kept"])
+        for r in passage_dedup(docs, passage_tokens=4).collect()
+    }
+    assert out == {1: (f"{p1} {p2}", 2), 2: (p3, 1)}
