@@ -87,6 +87,7 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "passage_dedup",
+    "ann_batch",
 ]
 
 

@@ -987,6 +987,48 @@ LIMIT 10
 """
 
 
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving: exact top-5 for five query vectors in one corpus
+    scan, per-query ranking via the salted two-phase prune (no
+    corpus-sized window group — same discipline as kmv_distinct)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    return batch_cosine_topk(emb, qs, k=5)
+
+
+# The oracle mirrors the exact math (cast to double, dot/norms, round 6)
+# but ranks with a single window per query — fine single-node; the salted
+# phase is an exact prune so results agree.
+SQL_ANN_BATCH = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM base b, q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos FROM ranked WHERE rn <= 5
+ORDER BY query_id, cos DESC, vec_id ASC
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -1013,9 +1055,11 @@ TEXT_QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_sq8": q_embedding_sq8,
     "ann_sq8": q_ann_sq8,
+    "ann_batch": q_ann_batch,
 }
 
 TEXT_ORACLES = {
+    "ann_batch": SQL_ANN_BATCH,
     "embedding_sq8": SQL_EMBEDDING_SQ8,
     "ann_sq8": SQL_ANN_SQ8,
     "text_pii_redact": SQL_PII,

@@ -49,7 +49,7 @@ from typing import Iterator, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -295,6 +295,78 @@ def ivf_topk(
     assigned = ivf_assign(df, centroids, vec_col)
     candidates = assigned.where(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
+def batch_cosine_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in ONE corpus scan — the
+    serving shape a retrieval stage actually runs (a microbatch of
+    queries against the corpus), not a driver round-trip per query.
+
+    The query batch is an inline literal array: each corpus row explodes
+    into |Q| scored rows (|Q| small — tens), cosine folds as expressions.
+    The per-query top-k uses the salted two-phase prune (same shape as
+    ``kmv_distinct``): phase 1 keeps k per (query, salt-from-id) so no
+    sort partition ever sees more than corpus/salt_buckets rows, phase 2
+    ranks the surviving salt_buckets×k rows per query — an exact prune,
+    never a corpus-sized window group.
+
+    Output: (query_id, vec_id, cos) with ≤k rows per query, ordered by
+    (query_id, cos desc, vec_id).
+    """
+    qrows = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in vec])
+                .cast("array<double>")
+                .alias("qv"),
+            )
+            for qid, vec in queries
+        ]
+    )
+    casted = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd")
+    ).withColumn("_vn", _norm(F.col("_vd")))
+    exploded = casted.select(
+        id_col, "_vd", "_vn", F.explode(qrows).alias("_q")
+    )
+    cos = F.round(
+        _dot(F.col("_vd"), F.col("_q.qv"))
+        / (F.col("_vn") * _norm(F.col("_q.qv"))),
+        6,
+    )
+    scored = exploded.select(
+        F.col("_q.query_id").alias("query_id"), F.col(id_col), cos.alias("cos")
+    )
+    salt = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 25, 4), 16, 10
+        ).cast("long")
+        % salt_buckets
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    pruned = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("cos"), F.asc(id_col))
+    )
 
 
 def train_pq_codebooks(

@@ -556,3 +556,29 @@ def test_passage_dedup_semantics(spark):
         for r in passage_dedup(docs, passage_tokens=4).collect()
     }
     assert out == {1: (f"{p1} {p2}", 2), 2: (p3, 1)}
+
+
+def test_batch_cosine_topk_matches_per_query(spark):
+    """One-scan batch top-k must equal running cosine_topk per query, and
+    the salted phase-1 window must partition on (query_id, _salt)."""
+    df, _ = _planted_corpus(spark, n=50)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in df.where(F.col("vec_id").isin(1, 2, 3)).collect()
+    ]
+    from service_alerts_connector_spark.operators.similarity import (
+        batch_cosine_topk,
+    )
+
+    out = batch_cosine_topk(df, qs, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for qid, vec in qs:
+        single = [
+            (r["vec_id"], r["cos"]) for r in cosine_topk(df, vec, 5).collect()
+        ]
+        assert got[qid] == single, qid
+    # plan: no unpartitioned window; phase 1 carries the salt
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
