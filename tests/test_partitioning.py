@@ -36,3 +36,39 @@ def test_partitioned_gold_prunes(spark, tmp_path):
     # and only the matching month's rows come back (inputFiles() reports the
     # pre-pruning relation listing, so the plan + count are the evidence)
     assert pruned.count() == len([r for r in rows if r[1].month == 3])
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A filter on a DIMENSION must prune the partitioned FACT at runtime
+    (Spark DPP: the dim-side subquery becomes a dynamicpruning partition
+    filter on the fact scan) — the plan shape that keeps a 100 TB
+    partitioned fact from full-scanning on every dim-filtered join."""
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(i, i % 12, float(i)) for i in range(2000)],
+        "k long, part_key int, v double",
+    )
+    fact.write.mode("overwrite").partitionBy("part_key").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.createDataFrame(
+        [(m, "keep" if m == 3 else "drop") for m in range(12)],
+        "part_key int, tag string",
+    )
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+        )
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        joined = f.join(dim.where(F.col("tag") == "keep"), "part_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        expected = sum(1 for i in range(2000) if i % 12 == 3)
+        assert joined.count() == expected  # only partition 3's rows
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
