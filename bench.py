@@ -88,6 +88,7 @@ HEADLINE = [
     "multimodal_resize",
     "passage_dedup",
     "ann_batch",
+    "event_value_quantiles",
 ]
 
 

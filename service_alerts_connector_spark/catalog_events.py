@@ -249,12 +249,55 @@ GROUP BY prev_type, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-day value quantiles via the mergeable log2-bucket sketch
+# ---------------------------------------------------------------------------
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99 of the event value (integer cents) per event
+    type, computed by the bounded-state histogram sketch — the
+    composition a metrics pipeline runs at 100 TB: ≤64 mergeable cells
+    per (type, day) however many events land in it, and yesterday's
+    cells merge with today's by addition (no raw re-scan).  Epoch math
+    follows the catalog determinism rules (Spark cast floors; DuckDB
+    floor(epoch()))."""
+    from service_alerts_connector_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    measured = ev.select(
+        "event_type",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return histogram_quantiles(measured, "cents", ["event_type", "day"]).orderBy(
+        "event_type", "day"
+    )
+
+
+def _sql_event_value_quantiles() -> str:
+    from service_alerts_connector_spark.operators.sketches import (
+        histogram_quantiles_sql,
+    )
+
+    inner = (
+        "(SELECT event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, "
+        "CAST(floor(value * 100) AS BIGINT) AS cents FROM events) t"
+    )
+    return (
+        histogram_quantiles_sql(inner, "cents", ["event_type", "day"])
+        + " ORDER BY event_type, day"
+    )
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
     "type_cooccurrence": q_type_cooccurrence,
     "type_transitions": q_type_transitions,
+    "event_value_quantiles": q_event_value_quantiles,
 }
 
 EVENTS_ORACLES = {
@@ -263,4 +306,5 @@ EVENTS_ORACLES = {
     "funnel_conversion": SQL_FUNNEL,
     "type_cooccurrence": SQL_COOCCURRENCE,
     "type_transitions": SQL_TRANSITIONS,
+    "event_value_quantiles": _sql_event_value_quantiles(),
 }
