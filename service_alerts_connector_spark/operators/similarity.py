@@ -789,6 +789,8 @@ def sq8_cosine_topk(
     """
     qarr = F.array(*[F.lit(int(c)).cast("long") for c in query_codes])
     qq = sum(int(c) * int(c) for c in query_codes)
+    if qq == 0:
+        raise ValueError("zero query vector: cosine undefined")
     dot_cq = F.aggregate(
         F.zip_with(F.col(codes_col), qarr, lambda a, b: a.cast("long") * b),
         F.lit(0).cast("long"),

@@ -582,3 +582,18 @@ def test_batch_cosine_topk_matches_per_query(spark):
     # plan: no unpartitioned window; phase 1 carries the salt
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_sq8_ann_rejects_zero_query(spark):
+    import pytest as _pytest
+
+    from service_alerts_connector_spark.operators.similarity import (
+        quantize_embeddings_sq8,
+        sq8_cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="zero query"):
+        sq8_cosine_topk(quantize_embeddings_sq8(df), [0, 0], k=1)
