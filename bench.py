@@ -95,6 +95,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # validate the subset filter BEFORE paying session startup: a typo'd
+    # name must fail loudly, not silently shrink the bench run
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        requested = [s for s in subset.split(",") if s]
+        unknown = sorted(set(requested) - set(HEADLINE))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in HEADLINE: {unknown}"
+                f" (valid: {sorted(HEADLINE)})"
+            )
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -119,7 +130,6 @@ def main() -> None:
     # optional subset filter (comma-separated names): lets round-over-round
     # investigations re-run an earlier round's exact headline set in an
     # otherwise identical session
-    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = (
         [q for q in HEADLINE if q in set(subset.split(","))]
         if subset

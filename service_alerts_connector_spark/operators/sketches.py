@@ -477,7 +477,11 @@ def incremental_bloom_screen(
     * ``definitely_new`` — rows whose key does NOT pass the filter.  The
       no-false-negative guarantee makes this exact: these keys have never
       been seen, so they skip the expensive exact-store check entirely.
-    * ``maybe_dup`` — rows that pass (true repeats + the filter's fp rate).
+    * ``maybe_dup`` — rows that pass (true repeats + the filter's fp rate),
+      plus every row of any key that occurs more than once WITHIN the
+      batch (the bitmap merges only after routing, so intra-batch repeats
+      are flagged by a separate O(batch) count — keeping the exactness
+      claim above true even for self-duplicating batches).
       Only this residue needs the exact semi-join against the full key
       store — at ingest workloads where most keys are new, the expensive
       path shrinks from O(batch) to O(dups + fp·batch).
@@ -505,10 +509,22 @@ def incremental_bloom_screen(
     if empty_bloom:
         prev = bloom_build(batch.limit(0), key_col, m_bits=m_bits, k=k)
 
-    maybe_dup = bloom_probe(batch, prev, key_col, m_bits=m_bits, k=k)
-    definitely_new = batch.join(
-        maybe_dup.select(key_col).distinct(), key_col, "left_anti"
+    bloom_hits = bloom_probe(batch, prev, key_col, m_bits=m_bits, k=k)
+    # intra-batch repeats must also land in maybe_dup: the bitmap only
+    # merges AFTER routing, so without this a key arriving twice in one
+    # batch would sail through definitely_new twice and break the
+    # "never been seen" exactness claim.  One O(batch) groupBy count.
+    repeat_keys = (
+        batch.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select(key_col)
     )
+    flagged = (
+        bloom_hits.select(key_col).unionByName(repeat_keys).distinct()
+    )
+    maybe_dup = batch.join(flagged, key_col, "left_semi")
+    definitely_new = batch.join(flagged, key_col, "left_anti")
 
     batch_bits = bloom_build(batch, key_col, m_bits=m_bits, k=k)
     merged = (

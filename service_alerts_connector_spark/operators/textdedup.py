@@ -226,7 +226,7 @@ def connected_components(
     round is ONE substantive pass (the eager checkpoint) — the probe is a
     limit-1 ``isEmpty`` over the just-materialized blocks, not a second
     join+count recompute (asserted by
-    tests/test_text_dedup.py::test_connected_components_one_pass_per_round).
+    tests/test_textdedup.py::test_connected_components_one_pass_per_round).
     Bounded by ``max_iterations``; raises if not converged rather than
     returning a partial clustering.
 

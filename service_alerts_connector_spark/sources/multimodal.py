@@ -77,10 +77,16 @@ def _decode_image(content: bytes) -> list[float]:
     if content[:2] == b"BM":
         from service_alerts_connector_spark.media import bmp
 
-        w, h, px = bmp.decode_bmp24(bytes(content))
-        counts = bmp.gray_histogram(px, bins=FEATURE_DIM)
-        total = float(w * h)
-        return [c / total for c in counts]
+        try:
+            w, h, px = bmp.decode_bmp24(bytes(content))
+            counts = bmp.gray_histogram(px, bins=FEATURE_DIM)
+            total = float(w * h)
+            return [c / total for c in counts]
+        except ValueError:
+            # truncated/corrupt blob with a 'BM' magic: fall through to
+            # the hash fake rather than failing the whole Arrow batch
+            # (media_decode_stats makes the same call and emits nulls)
+            pass
     h = hashlib.sha256(content or b"").digest()
     raw = [b / 255.0 - 0.5 for b in h[:FEATURE_DIM]]
     norm = sum(x * x for x in raw) ** 0.5 or 1.0
@@ -255,11 +261,19 @@ def resize_images(
                     )
                 except ImportError:
                     pass
+                blob = None
                 if content[:2] == b"BM":
-                    w, h, px = bmp.decode_bmp24(content)
-                    resized = bmp.resize_nearest(w, h, px, target_w, target_h)
-                    blob = bmp.encode_bmp24(target_w, target_h, resized)
-                else:
+                    try:
+                        w, h, px = bmp.decode_bmp24(content)
+                        resized = bmp.resize_nearest(
+                            w, h, px, target_w, target_h
+                        )
+                        blob = bmp.encode_bmp24(target_w, target_h, resized)
+                    except ValueError:
+                        # corrupt 'BM'-magic blob: degrade to the hash
+                        # fake instead of failing the whole stage
+                        blob = None
+                if blob is None:
                     blob = hashlib.sha256(
                         content + f":{target_w}x{target_h}".encode()
                     ).digest()

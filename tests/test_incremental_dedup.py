@@ -155,3 +155,32 @@ def test_incremental_bloom_screen_routes_batches(spark, tmp_path):
         for v in versions
     ]
     assert sizes[0] <= sizes[1] <= sizes[2] <= (1 << 20) // 32
+
+
+def test_incremental_bloom_screen_intra_batch_repeat(spark, tmp_path):
+    """A key arriving twice WITHIN one batch must route to maybe_dup, not
+    definitely_new: the bitmap merges only after routing, so without the
+    intra-batch repeat check both copies would be declared never-seen."""
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.operators.sketches import (
+        incremental_bloom_screen,
+    )
+
+    batch = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"))
+        .unionAll(spark.range(3, 5).select(F.col("id").alias("k")))
+    )  # keys 3 and 4 appear twice
+    new, dup = incremental_bloom_screen(spark, str(tmp_path), batch, "k")
+    got_dup = sorted(r["k"] for r in dup.collect())
+    got_new = sorted(r["k"] for r in new.collect())
+    assert got_dup == [3, 3, 4, 4]  # both copies of each repeat flagged
+    assert got_new == [0, 1, 2, 5, 6, 7, 8, 9]
+
+    # a later batch still sees the repeats as known keys
+    new2, dup2 = incremental_bloom_screen(
+        spark, str(tmp_path), spark.range(3, 5).select(F.col("id").alias("k")), "k"
+    )
+    assert new2.count() == 0
+    assert dup2.count() == 2

@@ -159,3 +159,37 @@ def test_resize_images_real_bmp_roundtrip(spark):
     for tp in range(64):
         src = 32 * (tp // 8) + 2 * (tp % 8)
         assert out[tp * 3] == (src * 7) % 256
+
+
+def test_corrupt_bm_magic_degrades_not_fails(spark):
+    """A truncated blob whose first two bytes are 'BM' must degrade to the
+    deterministic hash fallback — not raise inside the mapInPandas kernel
+    and fail the whole stage (decode and resize paths both)."""
+    import hashlib
+
+    from service_alerts_connector_spark.sources.multimodal import (
+        media_features,
+        resize_images,
+    )
+
+    junk = b"BM\x01\x02\x03"  # BMP magic, garbage body
+    df = spark.createDataFrame(
+        [(1, bytearray(junk))], "media_id long, content binary"
+    )
+    row = media_features(df).collect()[0]
+    h = hashlib.sha256(junk).digest()
+    raw = [b / 255.0 - 0.5 for b in h[:16]]
+    norm = sum(x * x for x in raw) ** 0.5
+    assert list(row["feature"]) == pytest.approx([x / norm for x in raw])
+
+    rdf = spark.createDataFrame(
+        [(1, bytearray(junk), {"mime": "image/bmp", "width": None,
+                               "height": None, "duration_ms": None,
+                               "source_uri": "synth://bad"})],
+        "media_id long, content binary, "
+        "meta struct<mime string, width int, height int, duration_ms long, "
+        "source_uri string>",
+    )
+    out = resize_images(rdf, target_w=4, target_h=4).collect()[0]
+    assert bytes(out["content"]) == hashlib.sha256(junk + b":4x4").digest()
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
