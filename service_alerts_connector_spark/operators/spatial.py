@@ -1,15 +1,19 @@
 """Spatial operators (SURVEY J4-J7, A6, F19-F20) — Sedona-shaped semantics
 on the pure-Python geo fallback.
 
-Execution model: GIS layers are small dimensions (suburbs/wards/regions —
-thousands of polygons).  They broadcast to every executor as plain Python
-lists; the alert side streams through ``mapInPandas`` in Arrow batches.  No
-shuffle is introduced: each output row keys back to the alert ``Id``, and
-downstream aggregation (collect_list of inferred areas) groups on that key.
+Execution model: the overlay (J5/J6) is a **grid-keyed equi-join** — both
+the GIS layer and the alert footprints stay DataFrames end-to-end, exploded
+to covered grid cells and joined on the cell key, with the exact planar
+kernels (``geo/ops.py``) running per joined pair inside Arrow batches.
+Nothing is collected to the driver, so a country-scale layer shuffles like
+any other fact-fact join instead of OOMing.  Name-keyed lookups (J4) and
+the fuzzy street dimension (J7) remain broadcast joins — genuinely small
+dimensions.
 
-At 100 TB-scale layers (e.g. planet-wide parcels) this swaps for Sedona's
-spatially-partitioned joins; the operator signatures are deliberately
-join-shaped so the swap is local to this module.
+With Apache Sedona installed the overlay compiles to ST_* expression range
+joins instead (spatially partitioned by Sedona's optimizer); the operator
+signatures are deliberately join-shaped so that swap is local to this
+module.
 """
 
 from __future__ import annotations
@@ -130,6 +134,45 @@ def overlay_inference_sedona(
     return alerts.join(inferred, ID_COL, "left")
 
 
+def _bbox_prep(
+    df: DataFrame,
+    key_cols: list[str],
+    wkt_col: str,
+    out_schema: str,
+) -> DataFrame:
+    """Parse WKT per row → (key cols..., wkt, minx, miny, maxx, maxy, area).
+
+    Pure-Python parse inside Arrow batches; rows with null/unparseable WKT
+    are dropped (same gate the closure-broadcast overlay applied).  Narrow
+    in, narrow out — geometry never leaves as anything but its WKT string,
+    so the downstream cell-join shuffles strings, not Python objects.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            keys = list(zip(*(pdf[k].tolist() for k in key_cols)))
+            for key_tup, wkt_str in zip(keys, pdf[wkt_col].tolist()):
+                if wkt_str is None or (
+                    isinstance(wkt_str, float) and pd.isna(wkt_str)
+                ):
+                    continue
+                try:
+                    polys = _to_polys(wkt_str)
+                except ValueError:
+                    continue
+                box = G.merge_bboxes([G.bbox(p[0]) for p in polys if p])
+                if box is None:
+                    continue
+                area = sum(G.polygon_area(p) for p in polys)
+                rows.append(key_tup + (wkt_str, *box, area))
+            cols = key_cols + [wkt_col, "_minx", "_miny", "_maxx", "_maxy",
+                               "_area"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(*key_cols, wkt_col).mapInPandas(run, out_schema)
+
+
 def overlay_inference(
     alerts: DataFrame,
     layer: DataFrame,
@@ -146,18 +189,36 @@ def overlay_inference(
     covers >``min_overlap`` of either geometry (the reference's 5% rule,
     ServiceAlertAugmenter.py:649-681), as a sorted array in ``out_col``.
 
-    The layer is collected (small dimension) and broadcast via closure;
-    alerts stream through mapInPandas.  Output joins back on Id — the base
-    DataFrame is never widened row-by-row (J9 → join semantics).
+    Fallback execution (no Sedona) is a **grid-keyed equi-join** — the
+    layer is a full DataFrame participant, never collected to the driver:
 
-    Candidate pruning: each task builds a uniform-grid index over the layer
-    features' bboxes once (``geo.ops.GridIndex``), so per alert only the
-    features in bbox-overlapping grid cells reach the exact intersection —
-    sub-quadratic in layer size instead of the naive O(alerts × features)
-    scan (the reference gets the same pruning from geopandas' R-tree,
-    ServiceAlertAugmenter.py:649-681).  At truly large layers the Sedona
-    branch (``overlay_inference_sedona``, auto-selected when Sedona
-    imports) replaces the broadcast-collect wholesale.
+    1. both sides get WKT-parsed bbox+area columns via ``mapInPandas``
+       (``_bbox_prep`` — narrow, no shuffle);
+    2. a uniform grid is sized from a one-row layer-extent aggregate
+       (same ``sqrt(n)``-per-axis heuristic as ``geo.ops.GridIndex``,
+       ≤256 cells/axis — the only driver-side value is 7 scalars);
+    3. each side explodes to its covered ``(cell_x, cell_y)`` keys
+       JVM-side (``sequence`` + ``explode`` over floor-clamped bbox
+       cells) and the candidate join is a plain shuffle equi-join on the
+       cell key — Spark distributes it like any other join, AQE handles
+       hot cells;
+    4. a pair surviving the bbox-overlap filter is kept only in its
+       **canonical cell** (the cell of the overlap region's min corner),
+       so multi-cell pairs dedup without a ``distinct`` shuffle;
+    5. the exact Sutherland–Hodgman intersection + 5% rule runs per
+       joined pair in one Arrow-batched kernel, and hits aggregate with
+       ``collect_set`` per alert Id.
+
+    This is the same candidate pruning the closure-broadcast version got
+    from ``geo.ops.GridIndex`` (and the reference from geopandas' R-tree,
+    ServiceAlertAugmenter.py:649-681), but expressed as data — a
+    country-scale layer shuffles instead of OOMing the driver.  With
+    Sedona present the ST_Intersects range join takes over wholesale
+    (``overlay_inference_sedona``).
+
+    Cost: the layer is scanned twice (extent agg + join side); both scans
+    are embarrassingly parallel and shuffle-free, which is the right trade
+    against materializing a parsed copy.
     """
     if use_sedona is None:
         use_sedona = HAVE_SEDONA
@@ -166,12 +227,6 @@ def overlay_inference(
             alerts, layer, out_col, footprint_col,
             layer_name_col, layer_wkt_col, min_overlap,
         )
-    layer_rows = [
-        (r[layer_name_col], _to_polys(r[layer_wkt_col]))
-        for r in layer.select(layer_name_col, layer_wkt_col).collect()
-    ]
-    spark = alerts.sparkSession
-    blayer = spark.sparkContext.broadcast(layer_rows)
 
     # CPU-bound Python stage: a small-file scan arrives in one partition
     # and would run the whole overlay on one worker — rebalance up to the
@@ -181,63 +236,135 @@ def overlay_inference(
 
     alerts = _spread(alerts)
 
-    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        feats = blayer.value
-        feat_areas = [
-            sum(G.polygon_area(p) for p in polys) for _, polys in feats
-        ]
-        feat_bboxes = [
-            G.merge_bboxes([G.bbox(p[0]) for p in polys if p])
-            for _, polys in feats
-        ]
-        grid = G.GridIndex(feat_bboxes)
+    feats = _bbox_prep(
+        layer,
+        [layer_name_col],
+        layer_wkt_col,
+        f"`{layer_name_col}` string, `{layer_wkt_col}` string, "
+        "_minx double, _miny double, _maxx double, _maxy double, "
+        "_area double",
+    )
+
+    # grid sizing: one-row aggregate over layer bboxes (7 scalars to the
+    # driver — the "tiny agg anchor" class, O(1) at any layer size)
+    ext = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_minx").alias("minx"), F.min("_miny").alias("miny"),
+        F.max("_maxx").alias("maxx"), F.max("_maxy").alias("maxy"),
+    ).first()
+    null_out = alerts.withColumn(
+        out_col, F.lit(None).cast("array<string>")
+    )
+    if not ext or not ext["n"]:
+        return null_out
+    n_axis = max(1, min(256, int(ext["n"] ** 0.5)))
+    sx = ((ext["maxx"] - ext["minx"]) / n_axis) or 1.0
+    sy = ((ext["maxy"] - ext["miny"]) / n_axis) or 1.0
+
+    def cell(v, lo: float, step: float):
+        return F.least(
+            F.lit(n_axis - 1),
+            F.greatest(
+                F.lit(0), F.floor((v - F.lit(lo)) / F.lit(step)).cast("int")
+            ),
+        )
+
+    def with_cells(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    cell(F.col("_minx"), ext["minx"], sx),
+                    cell(F.col("_maxx"), ext["minx"], sx),
+                )
+            ),
+        ).withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    cell(F.col("_miny"), ext["miny"], sy),
+                    cell(F.col("_maxy"), ext["miny"], sy),
+                )
+            ),
+        )
+
+    aprep = _bbox_prep(
+        alerts,
+        [ID_COL],
+        footprint_col,
+        f"{ID_COL} long, `{footprint_col}` string, "
+        "_minx double, _miny double, _maxx double, _maxy double, "
+        "_area double",
+    )
+    a_cells = with_cells(aprep).select(
+        ID_COL, footprint_col, "_cx", "_cy",
+        F.col("_minx").alias("_aminx"), F.col("_miny").alias("_aminy"),
+        F.col("_maxx").alias("_amaxx"), F.col("_maxy").alias("_amaxy"),
+        F.col("_area").alias("_aarea"),
+    )
+    f_cells = with_cells(feats).select(
+        F.col(layer_name_col).alias("_fname"),
+        F.col(layer_wkt_col).alias("_fwkt"),
+        "_cx", "_cy",
+        F.col("_minx").alias("_fminx"), F.col("_miny").alias("_fminy"),
+        F.col("_maxx").alias("_fmaxx"), F.col("_maxy").alias("_fmaxy"),
+        F.col("_area").alias("_farea"),
+    )
+
+    pairs = (
+        a_cells.join(f_cells, ["_cx", "_cy"])
+        .where(
+            (F.col("_aminx") <= F.col("_fmaxx"))
+            & (F.col("_fminx") <= F.col("_amaxx"))
+            & (F.col("_aminy") <= F.col("_fmaxy"))
+            & (F.col("_fminy") <= F.col("_amaxy"))
+        )
+        # canonical-cell dedup: the overlap region's min corner lies in
+        # exactly one shared cell, so each surviving pair is kept once —
+        # no distinct shuffle
+        .where(
+            (F.col("_cx")
+             == cell(F.greatest("_aminx", "_fminx"), ext["minx"], sx))
+            & (F.col("_cy")
+               == cell(F.greatest("_aminy", "_fminy"), ext["miny"], sy))
+        )
+        .select(ID_COL, footprint_col, "_aarea", "_fname", "_fwkt", "_farea")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, names = [], []
-            for alert_id, wkt_str in zip(
-                pdf[ID_COL].tolist(), pdf[footprint_col].tolist()
+            for alert_id, awkt, aarea, fname, fwkt, farea in zip(
+                pdf[ID_COL].tolist(), pdf[footprint_col].tolist(),
+                pdf["_aarea"].tolist(), pdf["_fname"].tolist(),
+                pdf["_fwkt"].tolist(), pdf["_farea"].tolist(),
             ):
-                if wkt_str is None or (
-                    isinstance(wkt_str, float) and pd.isna(wkt_str)
-                ):
-                    continue
                 try:
-                    fp = _to_polys(wkt_str)
+                    fp = _to_polys(awkt)
+                    fpolys = _to_polys(fwkt)
                 except ValueError:
                     continue
-                fp_area = sum(G.polygon_area(p) for p in fp)
-                fp_bbox = G.merge_bboxes([G.bbox(p[0]) for p in fp if p])
-                if fp_bbox is None:
+                inter = 0.0
+                for a in fp:
+                    for b in fpolys:
+                        inter += G.intersection_area(a, b)
+                if inter <= 0:
                     continue
-                hits = []
-                for fi in grid.candidates(fp_bbox):
-                    fbox = feat_bboxes[fi]
-                    if fbox is None or not G.bboxes_overlap(fp_bbox, fbox):
-                        continue
-                    fname, fpolys = feats[fi]
-                    farea = feat_areas[fi]
-                    inter = 0.0
-                    for a in fp:
-                        for b in fpolys:
-                            inter += G.intersection_area(a, b)
-                    if inter <= 0:
-                        continue
-                    if (farea > 0 and inter / farea > min_overlap) or (
-                        fp_area > 0 and inter / fp_area > min_overlap
-                    ):
-                        hits.append(str(fname))
-                if hits:
+                if (farea > 0 and inter / farea > min_overlap) or (
+                    aarea > 0 and inter / aarea > min_overlap
+                ):
                     ids.append(alert_id)
-                    names.append(sorted(set(hits)))
+                    names.append(str(fname))
             yield pd.DataFrame(
                 {
                     ID_COL: pd.Series(ids, dtype="int64"),
-                    # object dtype: Arrow rejects numpy-converted list columns
-                    out_col: pd.Series(names, dtype="object"),
+                    "_hit": pd.Series(names, dtype="object"),
                 }
             )
 
-    inferred = alerts.select(ID_COL, footprint_col).mapInPandas(
-        infer, f"{ID_COL} long, {out_col} array<string>"
+    hits = pairs.mapInPandas(score, f"{ID_COL} long, _hit string")
+    inferred = hits.groupBy(ID_COL).agg(
+        F.sort_array(F.collect_set("_hit")).alias(out_col)
     )
     return alerts.join(inferred, ID_COL, "left")
 

@@ -223,6 +223,38 @@ def test_no_unpartitioned_window_in_catalog(spark):
     assert not offenders, offenders
 
 
+def test_overlay_layer_is_join_side_not_driver_collect(spark, tmp_path):
+    """The planar overlay fallback must keep the GIS layer IN the plan as
+    a join side — not collect it to the driver and broadcast via closure.
+    Pin: the layer's parquet path appears as a scan in the overlay's
+    physical plan, the candidate join is on the grid-cell key, and the
+    per-alert aggregation is the collect_set objectHashAggregate."""
+    from service_alerts_connector_spark.operators.spatial import (
+        overlay_inference,
+    )
+
+    layer_path = str(tmp_path / "layer.parquet")
+    spark.createDataFrame(
+        [("A", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         ("B", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")],
+        "name string, WKT string",
+    ).write.parquet(layer_path)
+    layer = spark.read.parquet(layer_path)
+    alerts = spark.createDataFrame(
+        [(1, "POLYGON ((1 1, 5 1, 5 5, 1 5, 1 1))")],
+        "Id long, geospatial_footprint string",
+    )
+    out = overlay_inference(alerts, layer, "zones", use_sedona=False)
+    plan = _plan(out)
+    # the layer is a plan participant: its parquet scan (full path is
+    # truncated in toString, but the pruned read schema is unique to it)
+    assert "ReadSchema: struct<name:string,WKT:string>" in plan
+    assert "_cx" in plan and "_cy" in plan  # grid-cell equi-join keys
+    # and the result is still correct
+    rows = {r["Id"]: r["zones"] for r in out.collect()}
+    assert rows == {1: ["A"]}
+
+
 def test_tfidf_df_join_is_broadcast(spark):
     """The document-frequency lookup joins broadcast at runtime (AQE sees
     the tiny aggregate; a web-scale vocab would legitimately shuffle — the
