@@ -273,7 +273,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks (8×16, ~32× compression), NumPy encode, asymmetric-distance
     top-10 by pure LUT lookup.  Iterative codebook training is not
     SQL-expressible → rows-only check (same rationale as ann_ivf);
-    recall and determinism pinned in tests/test_textdedup.py."""
+    recall and determinism pinned in tests/test_textdedup.py.  The
+    encode+ADC kernels themselves ARE oracled via ``ann_pq_fixed``
+    (catalog_text.py) with pinned integer codebooks."""
     from service_alerts_connector_spark.operators.similarity import (
         pq_adc_topk,
         pq_encode,

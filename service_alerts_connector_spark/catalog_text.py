@@ -532,6 +532,104 @@ SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN with *fixed* codebooks over SQ8 integer codes — the
+    oracled complement of the rows-only ``ann_pq`` (whose lite-kmeans
+    training is iterative).  Codebooks are pinned to data DuckDB can
+    reproduce: centroid c of subspace s is the SQ8 code subvector
+    [s·8, s·8+8) of vec_id c+1 (16 centroids × 8 subspaces), and the
+    query is the SQ8-quantized embedding of vec_id 0.
+
+    This composition exercises the REAL NumPy kernels (``pq_encode``
+    argmin assignment, ``pq_adc_topk`` LUT scoring) while making every
+    accumulation engine-exact: SQ8 codes are integers in [−127, 127], so
+    all squared distances, LUT dots and norm² sums are integer-valued
+    doubles ≪ 2⁵³ — exact under ANY summation order, immune to the
+    NumPy-vs-sequential associativity fuzz that keeps the float-trained
+    path rows-only (CLAUDE.md float-sum rules; same discipline as
+    ``ann_sq8``)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        quantize_embeddings_sq8,
+        sq8_quantize_vec,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = quantize_embeddings_sq8(emb)  # (vec_id, scale, codes)
+    cb_rows = (
+        sq.where(F.col("vec_id").between(1, 16))
+        .orderBy("vec_id")
+        .select("codes")
+        .collect()
+    )
+    books = [
+        [[float(r["codes"][s * 8 + i]) for i in range(8)] for r in cb_rows]
+        for s in range(8)
+    ]
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    q = [float(c) for c in sq8_quantize_vec(qvec)]
+    enc = pq_encode(sq, books, vec_col="codes")
+    return pq_adc_topk(enc, books, q, k=10)
+
+
+SQL_ANN_PQ_FIXED = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM base
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(v, x -> floor(x / scale * 127 + 0.5))
+         END AS c
+  FROM scaled
+), cb AS (
+  SELECT vec_id - 1 AS cent, t.x AS sub,
+         c[t.x * 8 + 1 : t.x * 8 + 8] AS cv
+  FROM codes, range(0, 8) t(x)
+  WHERE vec_id BETWEEN 1 AND 16
+), vsub AS (
+  SELECT vec_id, t.x AS sub, c[t.x * 8 + 1 : t.x * 8 + 8] AS xv
+  FROM codes, range(0, 8) t(x)
+), assigned AS (
+  SELECT vec_id, sub, cent, cv,
+         row_number() OVER (
+           PARTITION BY vec_id, sub
+           ORDER BY list_dot_product(xv, xv) - 2 * list_dot_product(xv, cv)
+                    + list_dot_product(cv, cv) ASC,
+                    cent ASC
+         ) AS rn
+  FROM vsub JOIN cb USING (sub)
+), q AS (
+  SELECT c AS qc FROM codes WHERE vec_id = 0
+), qsub AS (
+  SELECT t.x AS sub, qc[t.x * 8 + 1 : t.x * 8 + 8] AS qv
+  FROM q, range(0, 8) t(x)
+), qn AS (
+  SELECT sqrt(list_dot_product(qc, qc)) AS qn FROM q
+), scored AS (
+  SELECT a.vec_id,
+         sum(list_dot_product(s.qv, a.cv)) AS dots,
+         sum(list_dot_product(a.cv, a.cv)) AS n2
+  FROM assigned a JOIN qsub s USING (sub)
+  WHERE a.rn = 1
+  GROUP BY a.vec_id
+)
+SELECT s.vec_id,
+       round(CAST(dots AS DOUBLE)
+             / (sqrt(CAST(n2 AS DOUBLE)) * qn.qn), 6) AS pq_cos
+FROM scored s, qn
+WHERE n2 > 0
+ORDER BY pq_cos DESC, vec_id ASC LIMIT 10
+"""
+
+
 _NDUP_PLANES = seeded_hyperplanes(32, 64, seed=7)
 _NDUP_BANDS = 4
 _NDUP_SHIFT = 10_000_000  # > any vec_id at any scale factor
@@ -1052,6 +1150,7 @@ TEXT_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
     "ann_ivf_fixed": q_ann_ivf_fixed,
+    "ann_pq_fixed": q_ann_pq_fixed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "embedding_sq8": q_embedding_sq8,
     "ann_sq8": q_ann_sq8,
@@ -1084,5 +1183,6 @@ TEXT_ORACLES = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,
     "ann_ivf_fixed": SQL_ANN_IVF_FIXED,
+    "ann_pq_fixed": SQL_ANN_PQ_FIXED,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
 }
