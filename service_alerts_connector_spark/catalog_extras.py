@@ -33,6 +33,7 @@ from service_alerts_connector_spark.sources.multimodal import (
     media_features,
     resize_images,
     synth_bmp_media,
+    synth_png_media,
 )
 
 
@@ -185,6 +186,37 @@ ORDER BY s.media_id
 """
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed-format** decode, differentially tested: per doc a
+    genuine 8-bit RGB PNG is encoded — zlib DEFLATE, CRC-framed chunks,
+    scanline filters cycling None/Sub/Up/Average/Paeth — then parsed back
+    by the stdlib codec (``media/png.py``) and reduced to integer stats.
+    The oracle reproduces the stats closed-form from the pixel recipe, so
+    any inflate/unfilter/channel-order bug skews every value.  Covers the
+    format gap that kept compressed media behind a PIL gate."""
+    return _decode_stats_csv(
+        media_decode_stats(
+            synth_png_media(
+                _docs(spark, sf_dir)
+                .where(F.col("doc_id") < 64)
+                .select(
+                    F.col("doc_id").alias("media_id"),
+                    F.col("n_chars").alias("seed"),
+                ),
+                seed_col="seed",
+                width=16,
+                height=16,
+            )
+        )
+    )
+
+
+# identical stats recipe to SQL_MULTIMODAL_DECODE: the decoded pixels are
+# the same closed-form lumas — what differs is the Spark-side byte path
+# (PNG inflate+unfilter instead of BMP row parse), which is the point.
+SQL_MULTIMODAL_DECODE_PNG = SQL_MULTIMODAL_DECODE
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize: the synthesized 16×16 BMPs run decode →
     nearest-neighbor 8×8 → re-encode → decode again, so the stats cover
@@ -326,6 +358,7 @@ EXTRA_QUERIES = {
     "x3_stub_geocode": q_x3_stub_geocode,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_resize": q_multimodal_resize,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
@@ -336,5 +369,6 @@ EXTRA_QUERIES = {
 # EXTRA_QUERIES stay rows-only by design.
 EXTRA_ORACLES = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }

@@ -1,3 +1,21 @@
 """Stdlib-only media codecs: real binary decode paths that run in a
 container with no PIL/ffmpeg, so the multimodal operators exercise actual
 encode → bytes → decode round trips instead of hash stubs."""
+
+from __future__ import annotations
+
+
+def decode_auto(content: bytes) -> tuple[int, int, bytes]:
+    """Magic-dispatched decode → (width, height, top-down BGR bytes).
+
+    Covers the two real codecs (24-bit BMP, 8-bit PNG); raises ValueError
+    for anything else so callers keep their existing degrade-to-fallback
+    behavior regardless of which codec rejected the bytes.
+    """
+    from service_alerts_connector_spark.media import bmp, png
+
+    if content[:2] == b"BM":
+        return bmp.decode_bmp24(content)
+    if content[: len(png.SIGNATURE)] == png.SIGNATURE:
+        return png.decode_png(content)
+    raise ValueError("no codec for content magic")

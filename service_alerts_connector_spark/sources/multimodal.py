@@ -74,19 +74,19 @@ def _decode_image(content: bytes) -> list[float]:
         )
     except ImportError:
         pass
-    if content[:2] == b"BM":
-        from service_alerts_connector_spark.media import bmp
+    from service_alerts_connector_spark import media
+    from service_alerts_connector_spark.media import bmp
 
-        try:
-            w, h, px = bmp.decode_bmp24(bytes(content))
-            counts = bmp.gray_histogram(px, bins=FEATURE_DIM)
-            total = float(w * h)
-            return [c / total for c in counts]
-        except ValueError:
-            # truncated/corrupt blob with a 'BM' magic: fall through to
-            # the hash fake rather than failing the whole Arrow batch
-            # (media_decode_stats makes the same call and emits nulls)
-            pass
+    try:
+        w, h, px = media.decode_auto(bytes(content))
+        counts = bmp.gray_histogram(px, bins=FEATURE_DIM)
+        total = float(w * h)
+        return [c / total for c in counts]
+    except ValueError:
+        # unknown magic OR truncated/corrupt blob behind a real magic:
+        # fall through to the hash fake rather than failing the whole
+        # Arrow batch (media_decode_stats makes the same call, emits nulls)
+        pass
     h = hashlib.sha256(content or b"").digest()
     raw = [b / 255.0 - 0.5 for b in h[:FEATURE_DIM]]
     norm = sum(x * x for x in raw) ** 0.5 or 1.0
@@ -171,6 +171,57 @@ def synth_bmp_media(
     ).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_png_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """PNG twin of ``synth_bmp_media``: same closed-form pixel recipe
+    (luma = (seed*31 + p*7) % 256, r=g=b) serialized as a REAL 8-bit RGB
+    PNG — DEFLATE via zlib, CRC-framed chunks — with the scanline filter
+    cycling y % 5, so decoding exercises every unfilter path
+    (None/Sub/Up/Average/Paeth) on genuine bytes.  A SQL oracle reproduces
+    the decoded stats from the recipe without touching bytes, which makes
+    the *decoder* the thing under differential test."""
+    from service_alerts_connector_spark.media import png
+
+    n_px = width * height
+    filters = [y % 5 for y in range(height)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row[seed_col])
+                px = bytearray(n_px * 3)
+                for p in range(n_px):
+                    g = (seed * 31 + p * 7) % 256
+                    px[p * 3 : p * 3 + 3] = bytes((g, g, g))
+                ids.append(row[id_col])
+                blobs.append(
+                    png.encode_png(width, height, bytes(px), filters=filters)
+                )
+                metas.append(
+                    {
+                        "mime": "image/png",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "source_uri": f"synth://png/{row[id_col]}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def media_decode_stats(
     df: DataFrame,
     id_col: str = "media_id",
@@ -179,8 +230,10 @@ def media_decode_stats(
 ) -> DataFrame:
     """REAL decode → integer stats: (id, width, height, gray_sum,
     hist array<int>).  Every value is integer-exact (luma = (r+g+b)//3,
-    bin = luma*bins//256), so a SQL oracle can assert each one; non-BMP
-    rows surface null dims rather than fake numbers."""
+    bin = luma*bins//256), so a SQL oracle can assert each one; rows no
+    codec accepts (magic-dispatched BMP/PNG) surface null dims rather
+    than fake numbers."""
+    from service_alerts_connector_spark import media
     from service_alerts_connector_spark.media import bmp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,7 +243,7 @@ def media_decode_stats(
                 content = bytes(row[content_col] or b"")
                 ids.append(row[id_col])
                 try:
-                    w, h, px = bmp.decode_bmp24(content)
+                    w, h, px = media.decode_auto(content)
                 except ValueError:
                     ws.append(None); hs.append(None)
                     sums.append(None); hists.append(None)
@@ -238,15 +291,17 @@ def resize_images(
     """Resize stage: (media_id, content, meta) → same shape with meta dims
     rewritten to the target and content replaced by the resized bytes.
 
-    REAL kernel for BMP content: stdlib decode → nearest-neighbor
-    resample (``media/bmp.py``, integer index map ``x*w//tw``) → re-encode
-    as BMP, so the output of this stage feeds straight back into any
-    decode stage.  Compressed formats still await a codec build (PIL gate,
+    REAL kernel for BMP *and PNG* content: magic-dispatched stdlib decode
+    (``media.decode_auto``) → nearest-neighbor resample (integer index
+    map ``x*w//tw``) → re-encode in the source format, so the output of
+    this stage feeds straight back into any decode stage.  Other
+    compressed formats (JPEG/WebP) still await a codec build (PIL gate,
     import-gated like ``_decode_image``) and fall back to a deterministic
     content-hash fake; either way the Spark plumbing (binary-in/binary-out
     mapInPandas, struct metadata rewrite, Arrow batch shape) is the real
     contract a PIL/torchvision kernel drops into."""
-    from service_alerts_connector_spark.media import bmp
+    from service_alerts_connector_spark import media
+    from service_alerts_connector_spark.media import bmp, png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -262,17 +317,23 @@ def resize_images(
                 except ImportError:
                     pass
                 blob = None
-                if content[:2] == b"BM":
-                    try:
-                        w, h, px = bmp.decode_bmp24(content)
-                        resized = bmp.resize_nearest(
-                            w, h, px, target_w, target_h
+                try:
+                    w, h, px = media.decode_auto(content)
+                    resized = bmp.resize_nearest(
+                        w, h, px, target_w, target_h
+                    )
+                    # re-encode in the source format so the output feeds
+                    # straight back into any decode stage
+                    if content[:2] == b"BM":
+                        blob = bmp.encode_bmp24(
+                            target_w, target_h, resized
                         )
-                        blob = bmp.encode_bmp24(target_w, target_h, resized)
-                    except ValueError:
-                        # corrupt 'BM'-magic blob: degrade to the hash
-                        # fake instead of failing the whole stage
-                        blob = None
+                    else:
+                        blob = png.encode_png(target_w, target_h, resized)
+                except ValueError:
+                    # unknown magic or corrupt blob: degrade to the hash
+                    # fake instead of failing the whole stage
+                    blob = None
                 if blob is None:
                     blob = hashlib.sha256(
                         content + f":{target_w}x{target_h}".encode()

@@ -7,11 +7,94 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from service_alerts_connector_spark.media import bmp
+from service_alerts_connector_spark.media import bmp, decode_auto, png
 
 
 def _px(vals):
     return bytes(vals)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (media/png.py)
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_every_filter_type():
+    """Each scanline filter (None/Sub/Up/Average/Paeth) must survive a
+    full encode → inflate → unfilter round trip."""
+    px = bytes((i * 37 + 11) % 256 for i in range(5 * 7 * 3))
+    for f in range(5):
+        blob = png.encode_png(5, 7, px, filters=[f] * 7)
+        assert png.decode_png(blob) == (5, 7, px), f"filter {f}"
+    # mixed per-row plan (the synth media uses y % 5)
+    blob = png.encode_png(5, 7, px, filters=[y % 5 for y in range(7)])
+    assert png.decode_png(blob) == (5, 7, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_png_roundtrip_property(data):
+    w = data.draw(st.integers(1, 8))
+    h = data.draw(st.integers(1, 8))
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    assert png.decode_png(png.encode_png(w, h, px, filters=filters)) == (
+        w, h, px,
+    )
+
+
+def test_png_grayscale_and_rgba_decode():
+    """Color types 0 (gray → r=g=b) and 6 (RGBA → alpha dropped) decode;
+    hand-built chunk streams since encode_png only writes RGB."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 grayscale, filter 0 rows: lumas 10,20 / 30,40
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 10, 20, 0, 30, 40])
+    blob = (png.SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert png.decode_png(blob) == (
+        2, 2, _px([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+    )
+
+    # 1x2 RGBA: (R=1,G=2,B=3,A=9), (R=4,G=5,B=6,A=0) -> BGR, alpha gone
+    ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0)
+    raw = bytes([0, 1, 2, 3, 9, 0, 4, 5, 6, 0])
+    blob = (png.SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert png.decode_png(blob) == (1, 2, _px([3, 2, 1, 6, 5, 4]))
+
+
+def test_png_corruption_raises_value_error():
+    blob = bytearray(png.encode_png(3, 2, bytes(18)))
+    blob[20] ^= 0xFF  # flip a bit inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError):
+        png.decode_png(bytes(blob))
+    with pytest.raises(ValueError):
+        png.decode_png(png.SIGNATURE + b"\x00\x00")  # truncated
+    with pytest.raises(ValueError):
+        png.decode_png(b"\x89PNX" + bytes(20))  # wrong magic
+
+
+def test_decode_auto_dispatches_by_magic():
+    px = _px([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+    assert decode_auto(bmp.encode_bmp24(2, 2, px)) == (2, 2, px)
+    assert decode_auto(png.encode_png(2, 2, px)) == (2, 2, px)
+    with pytest.raises(ValueError):
+        decode_auto(b"GIF89a junk")
 
 
 def test_roundtrip_simple():
@@ -155,6 +238,37 @@ def test_resize_images_real_bmp_roundtrip(spark):
     row = resize_images(df, target_w=8, target_h=8).collect()[0]
     assert row["meta"]["width"] == 8 and row["meta"]["height"] == 8
     w, h, out = bmp.decode_bmp24(bytes(row["content"]))
+    assert (w, h) == (8, 8)
+    for tp in range(64):
+        src = 32 * (tp // 8) + 2 * (tp % 8)
+        assert out[tp * 3] == (src * 7) % 256
+
+
+def test_resize_images_png_roundtrip(spark):
+    """PNG content through resize_images must decode → resample →
+    re-encode AS PNG, with pixels following the nearest-neighbor map."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        resize_images,
+    )
+
+    n = 16 * 16
+    px = bytearray(n * 3)
+    for p in range(n):
+        g = (p * 7) % 256
+        px[p * 3 : p * 3 + 3] = bytes((g, g, g))
+    blob = png.encode_png(16, 16, bytes(px), filters=[y % 5 for y in range(16)])
+    df = spark.createDataFrame(
+        [(7, bytearray(blob), {"mime": "image/png", "width": 16,
+                               "height": 16, "duration_ms": None,
+                               "source_uri": "synth://7"})],
+        "media_id long, content binary, "
+        "meta struct<mime string, width int, height int, duration_ms long, "
+        "source_uri string>",
+    )
+    row = resize_images(df, target_w=8, target_h=8).collect()[0]
+    out_blob = bytes(row["content"])
+    assert out_blob[:8] == png.SIGNATURE  # stays PNG
+    w, h, out = png.decode_png(out_blob)
     assert (w, h) == (8, 8)
     for tp in range(64):
         src = 32 * (tp // 8) + 2 * (tp % 8)
