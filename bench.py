@@ -89,6 +89,10 @@ HEADLINE = [
     "passage_dedup",
     "ann_batch",
     "event_value_quantiles",
+    # round-5 additions
+    "attribution_join",
+    "multimodal_decode_png",
+    "ann_pq_fixed",
 ]
 
 

@@ -291,8 +291,62 @@ def _sql_event_value_quantiles() -> str:
     )
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream attribution join
+    (``streaming/joins.py attribution_join`` — commit b8df54b): views are
+    the impression stream, clicks the follow-up stream, keyed by user,
+    attributed within a 30-minute window.  The SAME operator definition
+    runs here on static frames (watermarks are no-ops), which is exactly
+    the batch-backfill/stream-serving equivalence the module promises —
+    and this entry gives the join a driver-checked correctness surface.
+    Timestamps format to strings and the delay is floored-epoch integer
+    seconds per the catalog determinism rules."""
+    from service_alerts_connector_spark.streaming.joins import (
+        attribution_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    imps = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("ad_id"), F.col("ts").alias("imp_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ad_id"), F.col("ts").alias("click_ts")
+    )
+    out = attribution_join(imps, clicks, max_delay="30 minutes")
+    return out.select(
+        "ad_id",
+        F.date_format("imp_ts", "yyyy-MM-dd HH:mm:ss").alias("imp_ts_str"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "click_ts_str"
+        ),
+        "delay_s",
+    ).orderBy("ad_id", "imp_ts_str", "click_ts_str")
+
+
+SQL_ATTRIBUTION_JOIN = """
+WITH imps AS (
+  SELECT user_id AS ad_id, ts AS imp_ts FROM events
+  WHERE event_type = 'view'
+), clicks AS (
+  SELECT user_id AS ad_id, ts AS click_ts FROM events
+  WHERE event_type = 'click'
+)
+SELECT i.ad_id,
+       strftime(i.imp_ts, '%Y-%m-%d %H:%M:%S') AS imp_ts_str,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str,
+       CAST(floor(epoch(c.click_ts)) AS BIGINT)
+         - CAST(floor(epoch(i.imp_ts)) AS BIGINT) AS delay_s
+FROM imps i JOIN clicks c
+  ON i.ad_id = c.ad_id
+ AND c.click_ts >= i.imp_ts
+ AND c.click_ts <= i.imp_ts + INTERVAL 30 MINUTE
+ORDER BY i.ad_id, imp_ts_str, click_ts_str
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
+    "attribution_join": q_attribution_join,
     "cohort_retention": q_cohort_retention,
     "funnel_conversion": q_funnel_conversion,
     "type_cooccurrence": q_type_cooccurrence,
@@ -302,6 +356,7 @@ EVENTS_QUERIES = {
 
 EVENTS_ORACLES = {
     "event_throttle": SQL_EVENT_THROTTLE,
+    "attribution_join": SQL_ATTRIBUTION_JOIN,
     "cohort_retention": SQL_COHORT,
     "funnel_conversion": SQL_FUNNEL,
     "type_cooccurrence": SQL_COOCCURRENCE,
