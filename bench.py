@@ -93,6 +93,7 @@ HEADLINE = [
     "attribution_join",
     "multimodal_decode_png",
     "ann_pq_fixed",
+    "config_fanout_1k",
 ]
 
 

@@ -943,6 +943,82 @@ WHERE o_orderkey % 40 = 0
 """
 
 
+def q_config_fanout_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emailer's config-as-data fan-out at PRODUCTION config
+    cardinality: 1 000 synthetic configs generated as a DataFrame (never a
+    driver-side literal list), theta-joined to orders under the same
+    nullable-predicate shape as ``config_join_fanout``.  Proves the
+    SCALE.md claim that the fan-out stays ONE broadcast join regardless of
+    config count — the fact side never shuffles, each order row evaluates
+    the broadcast predicate table in place (plan-pinned by
+    tests/test_plan_shapes.py::test_config_fanout_single_broadcast).
+    ~1/6 of configs match each order → a genuine row explosion, priced in
+    the bench."""
+    orders = _t(spark, sf_dir, "orders")
+    pr = F.array(
+        F.lit("1-URGENT"), F.lit("2-HIGH"), F.lit("3-MEDIUM"),
+        F.lit("4-NOT SPECIFIED"), F.lit("5-LOW"),
+    )
+    st = F.array(F.lit("O"), F.lit("F"), F.lit("P"))
+    configs = spark.range(1000).select(
+        F.concat(F.lit("cfg-"), F.col("id")).alias("config_name"),
+        F.when(
+            F.col("id") % 6 < 5,
+            F.element_at(pr, (F.col("id") % 6 + 1).cast("int")),
+        ).alias("want_priority"),
+        F.when(
+            F.col("id") % 4 < 3,
+            F.element_at(st, (F.col("id") % 4 + 1).cast("int")),
+        ).alias("want_status"),
+    )
+    cond = (
+        configs["want_priority"].isNull()
+        | (orders["o_orderpriority"] == configs["want_priority"])
+    ) & (
+        configs["want_status"].isNull()
+        | (orders["o_orderstatus"] == configs["want_status"])
+    )
+    return (
+        orders.where(F.col("o_orderkey") % 400 == 0)
+        .join(F.broadcast(configs), cond)
+        .select(
+            F.col("config_name"),
+            F.col("o_orderkey").alias("id"),
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    F.col("config_name"),
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                ),
+                256,
+            ).alias("delivery_key"),
+        )
+    )
+
+
+SQL_CONFIG_FANOUT_1K = """
+WITH configs AS (
+  SELECT 'cfg-' || CAST(i AS VARCHAR) AS config_name,
+         CASE WHEN i % 6 < 5 THEN
+           (['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'])
+             [CAST(i % 6 AS INT) + 1]
+         END AS want_priority,
+         CASE WHEN i % 4 < 3 THEN
+           (['O','F','P'])[CAST(i % 4 AS INT) + 1]
+         END AS want_status
+  FROM range(1000) t(i)
+)
+SELECT config_name, o_orderkey AS id,
+       sha256(config_name || '|' || CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus)
+         AS delivery_key
+FROM orders JOIN configs
+  ON (want_priority IS NULL OR o_orderpriority = want_priority)
+ AND (want_status IS NULL OR o_orderstatus = want_status)
+WHERE o_orderkey % 400 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # W5 — event-time tumbling-window aggregation (the streaming-agg shape, run
 # batch here; streaming variant with watermark in streaming/windows.py)
@@ -1062,6 +1138,7 @@ CORE_QUERIES: dict[str, QueryFn] = {
     "u2_difference_by_key": q_u2_difference_by_key,
     "f17_array_ops": q_f17_array_ops,
     "config_join_fanout": q_config_join_fanout,
+    "config_fanout_1k": q_config_fanout_1k,
     "w5_windowed_agg": q_w5_windowed_agg,
     "j4_composite_lookup": q_j4_composite_lookup,
 }
@@ -1093,6 +1170,7 @@ CORE_ORACLES: dict[str, str] = {
     "u2_difference_by_key": SQL_U2,
     "f17_array_ops": SQL_F17,
     "config_join_fanout": SQL_CONFIG_FANOUT,
+    "config_fanout_1k": SQL_CONFIG_FANOUT_1K,
     "w5_windowed_agg": SQL_W5,
     "j4_composite_lookup": SQL_J4,
 }

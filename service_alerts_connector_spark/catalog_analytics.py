@@ -621,6 +621,11 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but re-aggregating <=512 rows three times beats cache management for
     # a repeatedly-invoked query (each invocation would pin a fresh copy);
     # cache per the operator docstring only when the build side is big.
+    # Round-5 A/B (sf0.1, local[32], alternating 4x4 runs): an eager
+    # localCheckpoint of the bitmap measured 1.25 s vs 1.29 s best-warm —
+    # a ~3% noise-level delta that doesn't buy the downside (eager
+    # checkpointing runs a JOB at plan-construction time, breaking the
+    # lazy entry()/plan-shape contract).  Decision: keep the re-aggregate.
     bloom = bloom_build(keys, "c_custkey", m_bits=m_bits, k=k)
     passed = bloom_probe(
         _t(spark, sf_dir, "orders"), bloom, "o_custkey", m_bits=m_bits, k=k

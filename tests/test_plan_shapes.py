@@ -223,6 +223,19 @@ def test_no_unpartitioned_window_in_catalog(spark):
     assert not offenders, offenders
 
 
+def test_config_fanout_single_broadcast(spark):
+    """1 000 configs must still be ONE broadcast join (SCALE.md claim):
+    the fact side never exchanges, the predicate table broadcasts once,
+    nothing sort-merges regardless of config cardinality."""
+    from service_alerts_connector_spark.catalog import q_config_fanout_1k
+
+    plan = _plan(q_config_fanout_1k(spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the broadcast of the config table itself
+    assert plan.count("Exchange") == plan.count("BroadcastExchange") == 1
+
+
 def test_overlay_layer_is_join_side_not_driver_collect(spark, tmp_path):
     """The planar overlay fallback must keep the GIS layer IN the plan as
     a join side — not collect it to the driver and broadcast via closure.
