@@ -687,8 +687,125 @@ ORDER BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch — register-based, mergeable, portable
+# ---------------------------------------------------------------------------
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (m=256 registers,
+    md5-derived) next to the exact count.  Complements `kmv_distinct`: HLL
+    registers are fixed-size and merge by element-wise max (the shape a
+    100 TB rollup tree wants — per-partition register pages OR-merge up the
+    tree with no re-scan), where KMV keeps k hashes.  Raw estimate only;
+    zero_registers column audits the regime (see hll_estimate docstring for
+    why linear counting is deliberately left out: ln() is not
+    exactly-rounded cross-engine).
+    """
+    from service_alerts_connector_spark.catalog import _events
+    from service_alerts_connector_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, on="event_type", how="inner").select(
+        "event_type", "hll_estimate", "zero_registers", "exact_distinct"
+    )
+
+
+def _sql_hll() -> str:
+    from service_alerts_connector_spark.operators.sketches import (
+        HLL_BUCKET_HEX,
+        HLL_M,
+        HLL_NUMERATOR,
+        HLL_TAIL_BITS,
+    )
+
+    tail_hex_len = HLL_TAIL_BITS // 4
+    rho_max = HLL_TAIL_BITS + 1
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM events
+), mapped AS (
+  SELECT event_type,
+         ('0x' || substr(hh, 1, {HLL_BUCKET_HEX}))::BIGINT AS bucket,
+         {rho_max} - (CASE WHEN ('0x' || substr(hh, {HLL_BUCKET_HEX + 1},
+                                               {tail_hex_len}))::BIGINT = 0
+                           THEN 0
+                           ELSE length(bin(('0x' || substr(hh, {HLL_BUCKET_HEX + 1},
+                                                           {tail_hex_len}))::BIGINT))
+                      END) AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS rho
+  FROM mapped GROUP BY event_type, bucket
+), agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << ({rho_max} - rho)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         CAST(floor(CAST({HLL_NUMERATOR!r} AS DOUBLE) /
+                    CAST(s_present + ({HLL_M} - n_present) *
+                         (1::BIGINT << {rho_max}) AS DOUBLE)) AS BIGINT)
+           AS hll_estimate,
+         CAST({HLL_M} - n_present AS BIGINT) AS zero_registers
+  FROM agg
+)
+SELECT e.event_type, e.hll_estimate, e.zero_registers, x.exact_distinct
+FROM est e
+JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type) x USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase aggregation — hot-key groupBy without a hot reducer
+# ---------------------------------------------------------------------------
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event count + value total per event type via ``salted_aggregate``
+    (operators/skew.py): phase 1 aggregates on (key, salt∈[0,16)), phase 2
+    merges the ≤16 partials — so a key holding 30% of a 100 TB corpus
+    spreads over 16 reducers instead of melting one.  The salt is
+    ``rand``-derived (engine-private), but both aggregates are algebraic,
+    so the merged result equals the plain GROUP BY the oracle runs — that
+    equality IS the correctness claim.  Money in integer cents per the
+    catalog determinism rules (double sums are order-sensitive)."""
+    from service_alerts_connector_spark.catalog import _events
+    from service_alerts_connector_spark.operators.skew import salted_aggregate
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("value_cents")],
+        [
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        ],
+        salt_buckets=16,
+    )
+
+
+SQL_SKEW_SALTED = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
+    "hll_distinct": q_hll_distinct,
+    "skew_salted_agg": q_skew_salted_agg,
     "hash_split": q_hash_split,
     "cube_grouping": q_cube_grouping,
     "stratified_sample": q_stratified_sample,
@@ -709,6 +826,8 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "kmv_distinct": SQL_KMV,
+    "hll_distinct": _sql_hll(),
+    "skew_salted_agg": SQL_SKEW_SALTED,
     "hash_split": _sql_hash_split(),
     "cube_grouping": SQL_CUBE,
     "stratified_sample": SQL_STRATIFIED,

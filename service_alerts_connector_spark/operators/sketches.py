@@ -564,3 +564,84 @@ def source_mixing(
         .where(F.col("_h16") < F.col("keep_per_65536"))
         .drop("_h16")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable, md5-derived)
+# ---------------------------------------------------------------------------
+HLL_BUCKET_HEX = 2          # 2 hex chars → m = 256 registers
+HLL_M = 16 ** HLL_BUCKET_HEX
+HLL_TAIL_BITS = 40          # 10 hex chars of tail; rho ∈ [1, 41]
+# alpha_m · m² · 2^41 — folded once in Python so Spark and DuckDB divide by
+# the SAME double constant (literal-typing differs between engines: DuckDB
+# parses bare decimals as DECIMAL, Spark as double).
+HLL_NUMERATOR = (
+    0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << (HLL_TAIL_BITS + 1))
+)
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: Sequence[str]
+) -> DataFrame:
+    """Per-group HyperLogLog register table (Flajolet et al. 2007): bucket =
+    first ``HLL_BUCKET_HEX`` hex chars of md5(key), rho = 1 + count of
+    leading zero bits in the next ``HLL_TAIL_BITS`` bits.
+
+    Built from md5 so any engine reproduces the registers bit-for-bit —
+    Spark's native ``approx_count_distinct`` is also HLL but its estimate is
+    engine-private and can't be differentially tested (see module
+    docstring).  Leading-zero count avoids float log2 (which can be off by
+    one ulp at exact powers of two in either engine): ``conv(hex, 16, 2)``
+    / DuckDB ``bin()`` both render minimal binary digits, so bit-length is
+    just ``length()`` of that string.
+
+    One shuffle of ≤ groups × m register rows (map-side-combined max); no
+    ``distinct`` pass needed — duplicate keys hit the same register with
+    the same rho.  Registers merge across corpus shards by groupBy-max,
+    pinned in tests/test_sketches.py.
+
+    Output: group cols + ``bucket`` (int) + ``rho`` (int).
+    """
+    groups = [F.col(c) for c in group_cols]
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, HLL_BUCKET_HEX), 16, 10).cast("int")
+    tail_hex = F.substring(h, HLL_BUCKET_HEX + 1, HLL_TAIL_BITS // 4)
+    tail_bin = F.conv(tail_hex, 16, 2)
+    bitlen = F.when(tail_bin == "0", F.lit(0)).otherwise(F.length(tail_bin))
+    rho = (F.lit(HLL_TAIL_BITS + 1) - bitlen).cast("int")
+    return (
+        df.select(*groups, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Raw HLL estimate from a register table: alpha·m²/Σ2^-rho, with the
+    harmonic sum carried as an exact integer ``Σ 2^(41-rho)`` (each term
+    ≤ 2^40, ≤ m terms → < 2^49: exact in bigint AND in the one double cast
+    that follows), so the only float ops are one exactly-rounded division
+    — bit-identical across engines.  Empty registers contribute 2^41 each.
+
+    Raw estimate only (no linear-counting small-range correction: that
+    needs ln(), which is NOT exactly-rounded libm and may differ by an ulp
+    between engines — callers in the linear regime should use KMV instead;
+    ``zero_registers`` is emitted so the regime is auditable).
+
+    Output: group cols + ``hll_estimate`` (floored bigint),
+    ``zero_registers`` (bigint).
+    """
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_TAIL_BITS + 1} - rho)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    empty_term = F.lit(1 << (HLL_TAIL_BITS + 1)).cast("long")
+    s_total = F.col("_s_present") + (F.lit(HLL_M) - F.col("_n_present")) * empty_term
+    return agg.select(
+        *group_cols,
+        F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double"))
+        .cast("long")
+        .alias("hll_estimate"),
+        (F.lit(HLL_M) - F.col("_n_present")).cast("long").alias("zero_registers"),
+    )

@@ -188,3 +188,64 @@ def test_histogram_quantiles_cells_merge(spark):
     # same value -> same bucket regardless of which shard it arrived in
     again = histogram_quantiles(b.unionByName(a), "v", ["g"]).collect()[0]
     assert tuple(union_est) == tuple(again)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+def test_hll_estimate_within_tolerance(spark):
+    # 20k distinct keys >> 2.5·m (m=256): raw-HLL regime, no zero registers;
+    # standard error ~1.04/sqrt(256) ≈ 6.5%, assert a lenient 3-sigma band.
+    from service_alerts_connector_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    regs = hll_registers(df, "k", ["g"])
+    [row] = hll_estimate(regs, ["g"]).collect()
+    assert row["zero_registers"] == 0
+    assert abs(row["hll_estimate"] - 20_000) / 20_000 < 0.20
+
+
+def test_hll_registers_merge_by_max(spark):
+    # registers built on shards and max-merged == registers on the union:
+    # the property that lets a 100 TB rollup tree combine per-partition
+    # register pages without re-scanning.
+    from service_alerts_connector_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(5_000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    left = df.where(F.col("k") % 2 == 0)
+    right = df.where(F.col("k") % 2 == 1)
+    merged = (
+        hll_registers(left, "k", ["g"])
+        .unionByName(hll_registers(right, "k", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df, "k", ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # and the merged estimate equals the whole-corpus estimate exactly
+    assert (
+        hll_estimate(merged, ["g"]).collect()
+        == hll_estimate(whole, ["g"]).collect()
+    )
+
+
+def test_hll_duplicate_insensitive(spark):
+    # HLL needs no distinct pre-pass: duplicates hit the same register with
+    # the same rho, so a 100×-duplicated corpus yields identical registers.
+    from service_alerts_connector_spark.operators.sketches import hll_registers
+
+    base = spark.range(1_000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    dup = base.unionByName(base).unionByName(base)
+    assert sorted(map(tuple, hll_registers(dup, "k", ["g"]).collect())) == sorted(
+        map(tuple, hll_registers(base, "k", ["g"]).collect())
+    )
