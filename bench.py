@@ -94,6 +94,9 @@ HEADLINE = [
     "multimodal_decode_png",
     "ann_pq_fixed",
     "config_fanout_1k",
+    "hll_distinct",
+    "skew_salted_agg",
+    "dedup_prefix_filter",
 ]
 
 

@@ -337,6 +337,70 @@ ORDER BY a.doc_id
 )
 
 
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS set-similarity self-join: every pair with distinct-token
+    Jaccard ≥ 4/5 via PPJoin-style prefix filtering (rarest-θ-quantile
+    tokens only hit the join) — the exact-recall counterpart to the
+    probabilistic MinHash/SimHash candidate generators.  Integer-rational
+    threshold and per-mille output per the catalog determinism rules.
+    Sliced to doc_id < 250 like `dedup_jaccard`: the synthetic corpus is
+    pathologically self-similar (74% of ALL pairs clear Jaccard ≥ 1/2), so
+    the TRUE result is quadratic on the full table — a filter problem, not
+    a candidate-generation one."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    return prefix_filter_pairs(docs, theta_num=4, theta_den=5)
+
+
+SQL_PREFIX_FILTER = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []
+                       ELSE string_split_regex(trim(lower(text)), '\s+')
+                  END) AS t
+    FROM documents WHERE doc_id < 250)
+), freq AS (
+  SELECT t, count(*) AS df_t FROM tok GROUP BY t
+), ordered AS (
+  SELECT tok.doc_id, tok.t,
+         row_number() OVER (PARTITION BY tok.doc_id
+                            ORDER BY f.df_t, tok.t) AS pos,
+         count(*) OVER (PARTITION BY tok.doc_id) AS n
+  FROM tok JOIN freq f USING (t)
+), prefix AS (
+  SELECT doc_id, t, n FROM ordered
+  WHERE pos <= n - floor((4 * n + 5 - 1) / 5) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.t = b.t AND a.doc_id < b.doc_id
+   AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.id_a
+  JOIN tok tb ON tb.doc_id = c.id_b AND tb.t = ta.t
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT i.id_a, i.id_b, i.n_inter,
+         sa.n + sb.n - i.n_inter AS n_union
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(floor((1000 * n_inter) / n_union) AS BIGINT) AS jaccard_pm
+FROM verified WHERE 5 * n_inter >= 4 * n_union
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return jaccard_pairs(docs, shingle_k=3, threshold=0.2)
@@ -1146,6 +1210,7 @@ TEXT_QUERIES = {
     "contamination": q_contamination,
     "corpus_curation": q_corpus_curation,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
@@ -1179,6 +1244,7 @@ TEXT_ORACLES = {
     "contamination": SQL_CONTAMINATION,
     "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_jaccard": SQL_JACCARD,
+    "dedup_prefix_filter": SQL_PREFIX_FILTER,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,

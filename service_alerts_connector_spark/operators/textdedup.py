@@ -660,3 +660,98 @@ def incremental_dedup_batch(
     )
     write_dataset(merged, root, BAND_STORE)
     return admitted
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    theta_num: int = 1,
+    theta_den: int = 2,
+) -> DataFrame:
+    """EXACT token-Jaccard ≥ theta_num/theta_den pairs via prefix filtering
+    (Chaudhuri et al., "A primitive operator for similarity joins", ICDE'06;
+    PPJoin's prefix+size filters without positional filtering).
+
+    A third candidate-generation strategy next to MinHash-LSH (probabilistic
+    recall) and SimHash (Hamming): prefix filtering is LOSSLESS — two sets
+    with Jaccard ≥ θ MUST share a token within each other's first
+    ℓ = n − ⌈θ·n⌉ + 1 tokens when every doc orders its tokens by ascending
+    global document frequency, so joining on prefix tokens alone generates
+    a candidate superset of the true result (completeness pinned against
+    brute force in tests/test_textdedup.py).  Rare-token-first ordering
+    keeps prefix buckets small: the hottest token in any prefix is the
+    θ-quantile-rarest of its doc, so candidate expansion concentrates where
+    matches actually are, not on stopwords.
+
+    Scale shape: one vocab-keyed join for document frequencies (AQE decides
+    broadcast — a web-scale vocab must shuffle, a dimension-sized one
+    broadcasts), one per-doc window (partition = one doc's tokens, bounded
+    by doc length), one equi-join on prefix tokens, then exact verification
+    on candidate pairs only.  θ is an integer rational so prefix lengths
+    and the final Jaccard gate use pure integer arithmetic — no float
+    compare can disagree between engines.
+
+    Output: ``id_a < id_b``, ``n_inter``, ``n_union``, ``jaccard_pm``
+    (floored per-mille, integer).
+    """
+    from service_alerts_connector_spark.functions.text import tokens
+
+    p, q = theta_num, theta_den
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    w = Window.partitionBy(id_col).orderBy("df_t", "t")
+    ordered = (
+        tok.join(freq, "t")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # ℓ = n − ⌈p·n/q⌉ + 1, ceil as (p·n + q − 1) div q (positive operands:
+    # Spark div ≡ DuckDB // — see CLAUDE.md negative-division rule)
+    prefix = ordered.where(
+        F.col("pos") <= F.col("n") - F.floor((p * F.col("n") + q - 1) / q) + 1
+    ).select(F.col(id_col).alias("_id"), "t", "n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size filter: J ≤ min/max, so J ≥ p/q needs q·min ≥ p·max
+            & (
+                q * F.least(F.col("a.n"), F.col("b.n"))
+                >= p * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    arrays = tok.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("t")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    aa = arrays.select(
+        F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"), F.col("n").alias("na")
+    )
+    ab = arrays.select(
+        F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
+        .withColumn("n_union", (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long"))
+        .where(q * F.col("n_inter") >= p * F.col("n_union"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        F.floor(1000 * F.col("n_inter") / F.col("n_union")).cast("long").alias("jaccard_pm"),
+    )

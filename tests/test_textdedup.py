@@ -597,3 +597,92 @@ def test_sq8_ann_rejects_zero_query(spark):
     )
     with _pytest.raises(ValueError, match="zero query"):
         sq8_cosine_topk(quantize_embeddings_sq8(df), [0, 0], k=1)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join
+# ---------------------------------------------------------------------------
+def test_prefix_filter_complete_vs_brute_force(spark):
+    # prefix filtering is LOSSLESS: its verified pairs must equal the
+    # brute-force all-pairs token-Jaccard >= theta result exactly.
+    from service_alerts_connector_spark.functions.text import tokens
+    from service_alerts_connector_spark.operators.textdedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p, q = 4, 5
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(docs, theta_num=p, theta_den=q).collect()
+    }
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    brute = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .where(q * F.col("ni") >= p * (F.col("na") + F.col("nb") - F.col("ni")))
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want
+    assert len(want) > 0  # the corpus does contain >=0.8-Jaccard pairs
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # the point of the prefix: pairs sharing a PREFIX token must be far
+    # fewer than pairs sharing ANY token.  Constructed corpus: 5 universal
+    # stopwords connect EVERY pair in the unfiltered token join (quadratic),
+    # while each doc's 20 body tokens are unique to it except for 3 planted
+    # near-dup pairs — rare-token-first prefixes must ignore the stopwords
+    # and touch only the planted pairs' neighborhoods.  (The sf* documents
+    # corpus can't show this: it is pathologically self-similar, so even
+    # the TRUE >=0.8-Jaccard result is near-quadratic there.)
+    from pyspark.sql import Window
+    from service_alerts_connector_spark.functions.text import tokens
+
+    stop = "the a and of to"
+    rows = []
+    for i in range(200):
+        body = " ".join(f"tok{i}_{j}" for j in range(20))
+        rows.append((i, f"{stop} {body}"))
+    for k, i in enumerate((0, 1, 2)):  # near-dup partner: 19/20 body overlap
+        body = " ".join(f"tok{i}_{j}" for j in range(19)) + f" alt{k}"
+        rows.append((1000 + i, f"{stop} {body}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    w = Window.partitionBy("doc_id").orderBy("df_t", "t")
+    ordered = (
+        tok.join(freq, "t")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    p, q = 4, 5
+    prefix = ordered.where(
+        F.col("pos") <= F.col("n") - F.floor((p * F.col("n") + q - 1) / q) + 1
+    )
+
+    def n_pairs(side):
+        a, b = side.alias("a"), side.alias("b")
+        return (
+            a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    n_prefix = n_pairs(prefix.select("doc_id", "t"))
+    n_any = n_pairs(tok)
+    assert n_any == 203 * 202 // 2  # stopwords connect every pair
+    assert n_prefix <= 10  # prefixes touch only the planted near-dups
