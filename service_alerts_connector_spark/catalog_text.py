@@ -337,6 +337,48 @@ ORDER BY a.doc_id
 )
 
 
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-overlap scoring tier on the same train/held-out split as
+    `contamination`: per train doc, the fraction of its distinct 3-word
+    shingles appearing verbatim in the held-out set (per-mille integer).
+    The LSH screen says WHO to look at; this says HOW MUCH is shared."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        exact_ngram_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    return exact_ngram_overlap(train, test, shingle_k=3)
+
+
+SQL_NGRAM_DECONTAMINATION = (
+    _SQL_SHINGLES
+    + """
+, ex AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), bench AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 10 = 0
+), train AS (
+  SELECT doc_id, s FROM ex WHERE doc_id % 10 <> 0
+), totals AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+), matched AS (
+  SELECT t.doc_id, count(*) AS n_matched
+  FROM train t JOIN bench b ON t.s = b.s
+  GROUP BY t.doc_id
+)
+SELECT m.doc_id,
+       CAST(m.n_matched AS BIGINT) AS n_matched,
+       CAST(tt.n_shingles AS BIGINT) AS n_shingles,
+       CAST(floor((1000 * m.n_matched) / tt.n_shingles) AS BIGINT)
+         AS overlap_pm
+FROM matched m JOIN totals tt USING (doc_id)
+"""
+)
+
+
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSLESS set-similarity self-join: every pair with distinct-token
     Jaccard ≥ 4/5 via PPJoin-style prefix filtering (rarest-θ-quantile
@@ -1208,6 +1250,7 @@ TEXT_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_near_keep": q_dedup_near_keep,
     "contamination": q_contamination,
+    "ngram_decontamination": q_ngram_decontamination,
     "corpus_curation": q_corpus_curation,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_prefix_filter": q_dedup_prefix_filter,
@@ -1242,6 +1285,7 @@ TEXT_ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_near_keep": SQL_DEDUP_NEAR_KEEP,
     "contamination": SQL_CONTAMINATION,
+    "ngram_decontamination": SQL_NGRAM_DECONTAMINATION,
     "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_prefix_filter": SQL_PREFIX_FILTER,

@@ -755,3 +755,63 @@ def prefix_filter_pairs(
         "n_union",
         F.floor(1000 * F.col("n_inter") / F.col("n_union")).cast("long").alias("jaccard_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram decontamination scoring
+# ---------------------------------------------------------------------------
+def exact_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-corpus-doc EXACT benchmark n-gram overlap — the scoring tier a
+    decontamination pipeline runs after (or instead of) the LSH screen
+    (`contamination_candidates`): how many of a doc's distinct word
+    k-shingles appear verbatim anywhere in the benchmark set (the C4/Dolma
+    "n-gram decontamination" rule, with the overlap fraction reported so
+    callers pick their own cut instead of a baked-in boolean).
+
+    Scale shape: benchmark shingles collapse to one distinct set (no doc
+    ids — the corpus side never multiplies), then one equi-join on the
+    shingle string; AQE broadcasts a benchmark-sized set and shuffles a
+    web-sized one.  Output is only docs with ≥1 matched shingle.
+
+    Output: ``id_col``, ``n_matched``, ``n_shingles``, ``overlap_pm``
+    (floored per-mille, integer — no float compare).
+    """
+    from service_alerts_connector_spark.functions.text import (
+        tokens,
+        word_shingles_of,
+    )
+
+    def _sh(df: DataFrame, cols: list) -> DataFrame:
+        toks = df.select(*cols, tokens(F.col(text_col)).alias("_toks"))
+        return toks.select(
+            *cols,
+            F.explode(
+                F.array_distinct(word_shingles_of(F.col("_toks"), shingle_k))
+            ).alias("shingle"),
+        )
+
+    corpus_sh = _sh(corpus, [F.col(id_col)])
+    bench_sh = _sh(benchmark, []).distinct()
+    totals = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    matched = (
+        corpus_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        matched.join(totals, id_col, "inner")
+        .select(
+            id_col,
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.floor(1000 * F.col("n_matched") / F.col("n_shingles"))
+            .cast("long")
+            .alias("overlap_pm"),
+        )
+    )
