@@ -97,6 +97,9 @@ HEADLINE = [
     "hll_distinct",
     "skew_salted_agg",
     "dedup_prefix_filter",
+    "ngram_decontamination",
+    "vocab_coverage",
+    "label_centroid_similarity",
 ]
 
 

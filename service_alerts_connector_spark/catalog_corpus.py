@@ -686,6 +686,167 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — "how big a vocab covers X% of occurrences?"
+# ---------------------------------------------------------------------------
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency coverage curve by log₂-frequency magnitude: for each
+    bucket b = bitlength(token count), the number of vocabulary types in
+    it, their occurrence mass, and the cumulative vocab size / coverage if
+    the vocab were cut below that bucket (rarest-token-first OOV planning).
+
+    No global window (catalog rule): the cumulative step is a ≤64-row
+    bucket self-theta-join after the counts collapse to one row per
+    magnitude — the corpus-sized shuffle is only the token groupBy.
+    Bit-length via ``bin()`` string length, not float log2 (exact-power
+    boundaries).  Coverage in floored per-mille integers."""
+    docs = _t(spark, sf_dir, "documents")
+    from service_alerts_connector_spark.functions.text import tokens
+
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    buckets = (
+        counts.select(F.length(F.bin(F.col("c"))).cast("int").alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").cast("long").alias("n_occ"),
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bucket") >= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.sum("b.n_types").cast("long").alias("cum_types"),
+            F.sum("b.n_occ").cast("long").alias("cum_occ"),
+        )
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("total_occ"))
+    return (
+        buckets.join(cum, "bucket")
+        .join(F.broadcast(total))
+        .select(
+            "bucket",
+            F.col("n_types").cast("long").alias("n_types"),
+            "n_occ",
+            "cum_types",
+            "cum_occ",
+            F.floor(1000 * F.col("cum_occ") / F.col("total_occ"))
+            .cast("long")
+            .alias("coverage_pm"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS t FROM documents
+), counts AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), buckets AS (
+  SELECT length(bin(c)) AS bucket,
+         count(*) AS n_types, sum(c) AS n_occ
+  FROM counts GROUP BY length(bin(c))
+), cum AS (
+  SELECT a.bucket, sum(b.n_types) AS cum_types, sum(b.n_occ) AS cum_occ
+  FROM buckets a JOIN buckets b ON b.bucket >= a.bucket
+  GROUP BY a.bucket
+), total AS (
+  SELECT count(*) AS total_occ FROM tok
+)
+SELECT bk.bucket,
+       CAST(bk.n_types AS BIGINT) AS n_types,
+       CAST(bk.n_occ AS BIGINT) AS n_occ,
+       CAST(c.cum_types AS BIGINT) AS cum_types,
+       CAST(c.cum_occ AS BIGINT) AS cum_occ,
+       CAST(floor((1000 * c.cum_occ) / t.total_occ) AS BIGINT) AS coverage_pm
+FROM buckets bk JOIN cum c USING (bucket) CROSS JOIN total t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid cosine similarity — exact-integer class geometry
+# ---------------------------------------------------------------------------
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-geometry audit (which labels are confusable?) run before
+    training a classifier on the embedding table.
+
+    Determinism (catalog float rules): elements quantize to milli-units
+    (floor(v·1000) — one exactly-rounded multiply then floor), so centroid
+    sums, dots, and norms are EXACT bigints (≤2^45 at any corpus size that
+    fits the milli budget); cosine is then sqrt/mul/div on exact integers —
+    all IEEE exactly-rounded, bit-identical cross-engine.  Cosine is
+    scale-invariant, so centroid SUMS stand in for means (no count
+    division).  Shuffle census: one (label, dim) aggregation — ≤
+    |labels|·dims cells — then label-pair joins on dimension-sized frames.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
+    )
+    cent = el.groupBy("label", "d").agg(
+        F.sum(F.floor(F.col("v") * 1000).cast("long")).alias("cv")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("cv") * F.col("cv")).alias("norm2")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "d", F.col("cv").alias("cva")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "d", F.col("cv").alias("cvb")
+    )
+    dots = (
+        a.join(b, "d")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("cva") * F.col("cvb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("norm2").alias("nb2"))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+SQL_CENTROID_SIM = """
+WITH el AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, d, sum(CAST(floor(v * 1000) AS BIGINT)) AS cv
+  FROM el GROUP BY label, d
+), norms AS (
+  SELECT label, sum(cv * cv) AS norm2 FROM cent GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.cv * b.cv) AS dot
+  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a, d.label_b,
+       round(d.dot / (sqrt(CAST(na.norm2 AS DOUBLE)) *
+                      sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -704,6 +865,8 @@ CORPUS_QUERIES = {
     "assign_seq_ids": q_assign_seq_ids,
     "length_quantile_sketch": q_length_quantile_sketch,
     "passage_dedup": q_passage_dedup,
+    "vocab_coverage": q_vocab_coverage,
+    "label_centroid_similarity": q_label_centroid_similarity,
 }
 
 CORPUS_ORACLES = {
@@ -724,4 +887,6 @@ CORPUS_ORACLES = {
     "assign_seq_ids": SQL_ASSIGN_SEQ,
     "length_quantile_sketch": _sql_length_quantiles(),
     "passage_dedup": SQL_PASSAGE_DEDUP,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "label_centroid_similarity": SQL_CENTROID_SIM,
 }
