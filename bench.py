@@ -100,6 +100,8 @@ HEADLINE = [
     "ngram_decontamination",
     "vocab_coverage",
     "label_centroid_similarity",
+    "dq_rule_screen",
+    "event_pagerank",
 ]
 
 

@@ -802,10 +802,60 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality rule screen — N declarative rules, ONE scan
+# ---------------------------------------------------------------------------
+def q_dq_rule_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingest gate over lineitem: five rules (range, enum,
+    cross-column comparison, null, warning-threshold) compiled into one
+    conditional-sum aggregation — rule count never adds scans (see
+    operators/quality.py).  The generalized form of the reference's
+    point quality gates (drop-null Id/date, field coercions)."""
+    from service_alerts_connector_spark.operators.quality import rule_screen
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_in_1_50", ~F.col("l_quantity").between(1, 50)),
+        ("discount_in_0_10pct", ~F.col("l_discount").between(0.0, 0.10)),
+        ("returnflag_enum", ~F.col("l_returnflag").isin("A", "N", "R")),
+        ("price_below_qty", F.col("l_extendedprice") < F.col("l_quantity")),
+        ("warn_high_discount", F.col("l_discount") > 0.05),
+    ]
+    return rule_screen(li, rules)
+
+
+SQL_DQ_RULE_SCREEN = """
+WITH agg AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+              OR l_quantity IS NULL THEN 1 ELSE 0 END) AS v0,
+    sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.10)
+              OR l_discount IS NULL THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+              OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN l_extendedprice < l_quantity
+              OR l_extendedprice IS NULL OR l_quantity IS NULL
+             THEN 1 ELSE 0 END) AS v3,
+    sum(CASE WHEN l_discount > 0.05
+              OR l_discount IS NULL THEN 1 ELSE 0 END) AS v4
+  FROM lineitem
+)
+SELECT r.rule_id, CAST(a.n AS BIGINT) AS n_checked,
+       CAST(r.v AS BIGINT) AS n_violations, r.v = 0 AS pass
+FROM agg a CROSS JOIN LATERAL (VALUES
+  ('qty_in_1_50', a.v0),
+  ('discount_in_0_10pct', a.v1),
+  ('returnflag_enum', a.v2),
+  ('price_below_qty', a.v3),
+  ('warn_high_discount', a.v4)) AS r(rule_id, v)
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
+    "dq_rule_screen": q_dq_rule_screen,
     "hash_split": q_hash_split,
     "cube_grouping": q_cube_grouping,
     "stratified_sample": q_stratified_sample,
@@ -828,6 +878,7 @@ ANALYTICS_ORACLES = {
     "kmv_distinct": SQL_KMV,
     "hll_distinct": _sql_hll(),
     "skew_salted_agg": SQL_SKEW_SALTED,
+    "dq_rule_screen": SQL_DQ_RULE_SCREEN,
     "hash_split": _sql_hash_split(),
     "cube_grouping": SQL_CUBE,
     "stratified_sample": SQL_STRATIFIED,

@@ -235,6 +235,66 @@ def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, exact micro-integer arithmetic)
+    over the event-type transition graph — which state of the product
+    funnel accumulates centrality.  The graph build reuses the
+    `type_transitions` plan; the recurrence is operators/graph.py's
+    pagerank_integer, whose floored-integer contributions the oracle
+    reproduces by unrolling the same three iterations in SQL."""
+    from service_alerts_connector_spark.operators.graph import pagerank_integer
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lagged = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    edges = lagged.groupBy(
+        F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    ranks = pagerank_integer(edges, iterations=3)
+    return ranks.select(F.col("node").alias("event_type"), "rank_micro")
+
+
+_PR_ITER = """
+, c{t} AS (
+  SELECT e.dst AS node,
+         sum((85 * r.r * e.weight) // (100 * o.wout)) AS inflow
+  FROM edges e
+  JOIN r{prev} r ON r.node = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+), r{t} AS (
+  SELECT n.node, 150000 + coalesce(c.inflow, 0) AS r
+  FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+)"""
+
+SQL_EVENT_PAGERANK = (
+    """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+), edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*) AS weight
+  FROM lagged WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), outw AS (
+  SELECT src, sum(weight) AS wout FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+)"""
+    + "".join(_PR_ITER.format(t=t, prev=t - 1) for t in (1, 2, 3))
+    + """
+SELECT node AS event_type, CAST(r AS BIGINT) AS rank_micro FROM r3
+"""
+)
+
+
 SQL_TRANSITIONS = """
 WITH lagged AS (
   SELECT user_id, event_type,
@@ -351,6 +411,7 @@ EVENTS_QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "type_cooccurrence": q_type_cooccurrence,
     "type_transitions": q_type_transitions,
+    "event_pagerank": q_event_pagerank,
     "event_value_quantiles": q_event_value_quantiles,
 }
 
@@ -361,5 +422,6 @@ EVENTS_ORACLES = {
     "funnel_conversion": SQL_FUNNEL,
     "type_cooccurrence": SQL_COOCCURRENCE,
     "type_transitions": SQL_TRANSITIONS,
+    "event_pagerank": SQL_EVENT_PAGERANK,
     "event_value_quantiles": _sql_event_value_quantiles(),
 }

@@ -1,0 +1,88 @@
+"""rule_screen (operators/quality.py) + pagerank_integer (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.graph import (
+    RANK_SCALE,
+    pagerank_integer,
+)
+from service_alerts_connector_spark.operators.quality import rule_screen
+
+
+def test_rule_screen_counts_and_null_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 200.0)],
+        "id long, v double",
+    )
+    out = {
+        r["rule_id"]: (r["n_checked"], r["n_violations"], r["pass"])
+        for r in rule_screen(
+            df,
+            [
+                ("v_nonneg", F.col("v") < 0),
+                ("v_below_100", F.col("v") > 100),
+                ("id_positive", F.col("id") <= 0),
+            ],
+        ).collect()
+    }
+    # null v counts as a violation for rules predicated on v (quality
+    # finding), but not for the id rule
+    assert out["v_nonneg"] == (4, 2, False)      # -5 and the null
+    assert out["v_below_100"] == (4, 2, False)   # 200 and the null
+    assert out["id_positive"] == (4, 0, True)
+
+
+def test_rule_screen_single_aggregation_plan(spark):
+    # N rules must compile to ONE aggregate over ONE scan — no per-rule
+    # scans (the naive deequ deployment mistake).
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    rules = [(f"r{i}", F.col("v") > i) for i in range(8)]
+    plan = rule_screen(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") + plan.count("Range ") <= 2  # wide agg + stack
+
+
+def test_pagerank_prefers_heavier_inflow(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight long",
+    )
+    ranks = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iterations=3).collect()
+    }
+    assert ranks["b"] > ranks["c"]  # 9× the inflow weight from a
+    assert all(v >= (100 - 85) * RANK_SCALE // 100 for v in ranks.values())
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # exact-integer recurrence: the result is a pure function of the edge
+    # table, so any physical layout must produce identical ranks.
+    rows = [
+        (f"n{i}", f"n{(i * 3 + 1) % 10}", (i % 4) + 1) for i in range(30)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, weight long")
+    a = sorted(map(tuple, pagerank_integer(edges, iterations=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_integer(edges.repartition(7, "dst"), iterations=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_dangling_node_receives_only(spark):
+    # dangling node keeps its inflow; it never redistributes, and the
+    # recurrence still terminates with every node >= the teleport floor.
+    edges = spark.createDataFrame(
+        [("a", "sink", 1), ("b", "sink", 1), ("a", "b", 1)],
+        "src string, dst string, weight long",
+    )
+    ranks = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iterations=2).collect()
+    }
+    assert ranks["sink"] > ranks["a"]
+    assert ranks["a"] == (100 - 85) * RANK_SCALE // 100  # teleport floor only
