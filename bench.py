@@ -102,6 +102,7 @@ HEADLINE = [
     "label_centroid_similarity",
     "dq_rule_screen",
     "event_pagerank",
+    "gap_fill_locf",
 ]
 
 

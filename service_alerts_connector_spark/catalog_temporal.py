@@ -130,12 +130,60 @@ GROUP BY iv.interval_id, iv.start_ts
 """
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user value resample with LOCF over each user's own
+    [first, last] observation span; day surfaces as a formatted string and
+    money as integer cents (catalog determinism rules)."""
+    from service_alerts_connector_spark.operators.temporal import gap_fill_locf
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = gap_fill_locf(ev, "user_id", "day", "cents")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "cents_locf",
+        "is_observed",
+    )
+
+
+SQL_GAP_FILL = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM per_day
+  GROUP BY user_id
+), calendar AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT c.user_id,
+       strftime(c.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
+       last_value(p.cents IGNORE NULLS)
+         OVER (PARTITION BY c.user_id ORDER BY c.day) AS cents_locf,
+       p.n_events IS NOT NULL AS is_observed
+FROM calendar c
+LEFT JOIN per_day p ON p.user_id = c.user_id AND p.day = c.day
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join_agg": q_range_join_agg,
+    "gap_fill_locf": q_gap_fill_locf,
 }
 
 TEMPORAL_ORACLES = {
     "asof_join": SQL_ASOF,
     "range_join_agg": SQL_RANGE,
+    "gap_fill_locf": SQL_GAP_FILL,
 }

@@ -645,3 +645,53 @@ def hll_estimate(registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
         .alias("hll_estimate"),
         (F.lit(HLL_M) - F.col("_n_present")).cast("long").alias("zero_registers"),
     )
+
+
+HLL_STORE = "hll_registers"
+
+
+def incremental_hll_ingest(
+    spark,
+    root: str,
+    batch: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """O(batch) per-group distinct-count maintenance for a streaming ingest
+    loop: fold the arriving batch's HLL registers into a PERSISTENT
+    versioned register store (merge = groupBy max — the property pinned in
+    ``test_hll_registers_merge_by_max``) and return the refreshed
+    estimates.
+
+    The streaming-analogue invariant (streaming/ module convention): after
+    any sequence of batches, the stored registers — and therefore the
+    estimate — are IDENTICAL to a single batch-mode ``hll_registers`` over
+    the union of all batches, because max-merge is associative and
+    duplicate-insensitive.  No rescan of history, ever; the store is
+    bounded at groups × m register rows however many batches arrive (same
+    saturation story as the Bloom ingest screen).
+
+    Store discipline per CLAUDE.md: the previous registers are read PINNED
+    to their immutable version dir, and the returned estimate reads the
+    newly WRITTEN version — no lazy frame ever spans an overwrite.
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    versions = list_versions(root, HLL_STORE)
+    batch_regs = hll_registers(batch, key_col, group_cols)
+    if versions:
+        prev = read_dataset(spark, root, HLL_STORE, version=versions[-1])
+        merged = (
+            prev.unionByName(batch_regs)
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+    else:
+        merged = batch_regs
+    write_dataset(merged, root, HLL_STORE)
+    fresh = read_dataset(spark, root, HLL_STORE)
+    return hll_estimate(fresh, group_cols)

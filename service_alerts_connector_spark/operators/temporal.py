@@ -145,3 +145,50 @@ def bucketed_range_join(
         )
         .drop("_bucket")
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Per-key daily resample with last-observation-carried-forward — the
+    time-series densification every metrics/feature pipeline needs before
+    windowed models (missing days must exist as rows, not as absences).
+
+    Each key gets one calendar row per day between ITS OWN first and last
+    observation (``sequence`` + explode — rows per key bounded by the key's
+    span in days, never a corpus-global calendar), left-joined to the
+    per-(key, day) aggregate; gaps carry the last observed value forward
+    (``last(..., ignorenulls)`` over the keyed day order) and are flagged.
+
+    Shuffle census: one groupBy for per-key bounds, one for per-(key, day)
+    aggregates, one keyed window for the LOCF — all on the key; the
+    calendar explode is narrow.
+
+    Output: key, ``day`` (date), ``n_events`` (0 on gap days),
+    ``cents_locf``, ``is_observed``.
+    """
+    per_day = df.groupBy(key_col, day_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents_col).cast("long").alias("cents"),
+    )
+    bounds = per_day.groupBy(key_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    calendar = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    joined = calendar.join(per_day, [key_col, day_col], "left")
+    return joined.select(
+        key_col,
+        F.col(day_col).alias("day"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+        F.col("n_events").isNotNull().alias("is_observed"),
+    )

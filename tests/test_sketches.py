@@ -249,3 +249,36 @@ def test_hll_duplicate_insensitive(spark):
     assert sorted(map(tuple, hll_registers(dup, "k", ["g"]).collect())) == sorted(
         map(tuple, hll_registers(base, "k", ["g"]).collect())
     )
+
+
+def test_incremental_hll_matches_batch(spark, tmp_path):
+    # streaming-analogue invariant: after N ingest batches the stored
+    # registers equal one batch-mode pass over the union, so the estimate
+    # is identical — no history rescan.
+    from service_alerts_connector_spark.operators.sketches import (
+        HLL_STORE,
+        hll_estimate,
+        hll_registers,
+        incremental_hll_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import read_dataset
+
+    root = str(tmp_path)
+    batches = [
+        spark.range(i * 2_000, (i + 1) * 2_000 + 500).select(  # overlapping
+            (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+        )
+        for i in range(3)
+    ]
+    for b in batches:
+        est = incremental_hll_ingest(spark, root, b, "k", ["g"])
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    batch_est = hll_estimate(hll_registers(union, "k", ["g"]), ["g"])
+    assert sorted(map(tuple, est.collect())) == sorted(
+        map(tuple, batch_est.collect())
+    )
+    stored = read_dataset(spark, root, HLL_STORE)
+    whole = hll_registers(union, "k", ["g"])
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
