@@ -252,7 +252,11 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lagged.groupBy(
         F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
     ).agg(F.count(F.lit(1)).alias("weight"))
-    ranks = pagerank_integer(edges, iterations=3)
+    # checkpoint=False: the node graph is vocabulary-sized (|event types|²
+    # edges max), so a 3-deep lineage replans cheaply — the per-iteration
+    # eager localCheckpoint costs 3 forced jobs (~1.6 s measured) and only
+    # pays off on corpus-sized graphs (see pagerank_integer docstring).
+    ranks = pagerank_integer(edges, iterations=3, checkpoint=False)
     return ranks.select(F.col("node").alias("event_type"), "rank_micro")
 
 
