@@ -851,11 +851,54 @@ FROM agg a CROSS JOIN LATERAL (VALUES
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide metric columns to long (metric, value) rows
+# ---------------------------------------------------------------------------
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (Spark ≥3.4
+    Expand-based — one pass, no per-metric scans): per-returnflag metric
+    triple (row count, quantity cents, price cents) melted to
+    (returnflag, metric, value).  The API-surface counterpart of the
+    expression-level ``stack`` used in `dq_rule_screen`; integer cents per
+    the catalog money rules."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    return wide.unpivot(
+        ["returnflag"],
+        ["n_rows", "qty_cents", "price_cents"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag AS returnflag,
+         count(*) AS n_rows,
+         sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_cents,
+         sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT returnflag, 'n_rows' AS metric, CAST(n_rows AS BIGINT) AS value FROM wide
+UNION ALL
+SELECT returnflag, 'qty_cents', qty_cents FROM wide
+UNION ALL
+SELECT returnflag, 'price_cents', price_cents FROM wide
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
     "dq_rule_screen": q_dq_rule_screen,
+    "unpivot_metrics": q_unpivot_metrics,
     "hash_split": q_hash_split,
     "cube_grouping": q_cube_grouping,
     "stratified_sample": q_stratified_sample,
@@ -879,6 +922,7 @@ ANALYTICS_ORACLES = {
     "hll_distinct": _sql_hll(),
     "skew_salted_agg": SQL_SKEW_SALTED,
     "dq_rule_screen": SQL_DQ_RULE_SCREEN,
+    "unpivot_metrics": SQL_UNPIVOT,
     "hash_split": _sql_hash_split(),
     "cube_grouping": SQL_CUBE,
     "stratified_sample": SQL_STRATIFIED,
