@@ -103,6 +103,8 @@ HEADLINE = [
     "dq_rule_screen",
     "event_pagerank",
     "gap_fill_locf",
+    "rolling_distinct_hll",
+    "unpivot_metrics",
 ]
 
 

@@ -235,6 +235,116 @@ def q_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the query that is EXPENSIVE
+    at 100 TB done exactly (distinct users can't be summed across days) and
+    cheap with mergeable sketches: per-day HLL register pages (≤256 rows/
+    day forever) max-merge across each trailing window, so the event table
+    is scanned ONCE however many windows are served.  Exact count sits
+    beside the estimate for audit (fine at oracle scale; at lake scale the
+    exact path is the one you're buying your way out of)."""
+    from service_alerts_connector_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily_regs = hll_registers(ev, "user_id", ["day"])
+    days = daily_regs.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            daily_regs.alias("r"),
+            F.datediff(F.col("d.day"), F.col("r.day")).between(0, 6),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.rho").alias("rho"))
+    )
+    est = hll_estimate(merged, ["day"])
+    pairs = ev.distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            pairs.alias("p"),
+            F.datediff(F.col("d.day"), F.col("p.day")).between(0, 6),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("p.user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "hll_estimate",
+            "zero_registers",
+            "exact_distinct",
+        )
+    )
+
+
+def _sql_rolling_hll() -> str:
+    from service_alerts_connector_spark.operators.sketches import (
+        HLL_BUCKET_HEX,
+        HLL_M,
+        HLL_NUMERATOR,
+        HLL_TAIL_BITS,
+    )
+
+    tail_hex_len = HLL_TAIL_BITS // 4
+    rho_max = HLL_TAIL_BITS + 1
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), h AS (
+  SELECT day, md5(CAST(user_id AS VARCHAR)) AS hh FROM ev
+), mapped AS (
+  SELECT day,
+         ('0x' || substr(hh, 1, {HLL_BUCKET_HEX}))::BIGINT AS bucket,
+         {rho_max} - (CASE WHEN ('0x' || substr(hh, {HLL_BUCKET_HEX + 1},
+                                               {tail_hex_len}))::BIGINT = 0
+                           THEN 0
+                           ELSE length(bin(('0x' || substr(hh, {HLL_BUCKET_HEX + 1},
+                                                           {tail_hex_len}))::BIGINT))
+                      END) AS rho
+  FROM h
+), daily AS (
+  SELECT day, bucket, max(rho) AS rho FROM mapped GROUP BY day, bucket
+), days AS (
+  SELECT DISTINCT day FROM daily
+), merged AS (
+  SELECT d.day, r.bucket, max(r.rho) AS rho
+  FROM days d JOIN daily r
+    ON datediff('day', r.day, d.day) BETWEEN 0 AND 6
+  GROUP BY d.day, r.bucket
+), agg AS (
+  SELECT day,
+         sum(1::BIGINT << ({rho_max} - rho)) AS s_present,
+         count(*) AS n_present
+  FROM merged GROUP BY day
+), est AS (
+  SELECT day,
+         CAST(floor(CAST({HLL_NUMERATOR!r} AS DOUBLE) /
+                    CAST(s_present + ({HLL_M} - n_present) *
+                         (1::BIGINT << {rho_max}) AS DOUBLE)) AS BIGINT)
+           AS hll_estimate,
+         CAST({HLL_M} - n_present AS BIGINT) AS zero_registers
+  FROM agg
+), pairs AS (
+  SELECT DISTINCT user_id, day FROM ev
+), exact AS (
+  SELECT d.day, count(DISTINCT p.user_id) AS exact_distinct
+  FROM days d JOIN pairs p
+    ON datediff('day', p.day, d.day) BETWEEN 0 AND 6
+  GROUP BY d.day
+)
+SELECT strftime(e.day, '%Y-%m-%d') AS day,
+       e.hll_estimate, e.zero_registers, x.exact_distinct
+FROM est e JOIN exact x USING (day)
+"""
+
+
 def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (3 iterations, exact micro-integer arithmetic)
     over the event-type transition graph — which state of the product
@@ -416,6 +526,7 @@ EVENTS_QUERIES = {
     "type_cooccurrence": q_type_cooccurrence,
     "type_transitions": q_type_transitions,
     "event_pagerank": q_event_pagerank,
+    "rolling_distinct_hll": q_rolling_distinct_hll,
     "event_value_quantiles": q_event_value_quantiles,
 }
 
@@ -427,5 +538,6 @@ EVENTS_ORACLES = {
     "type_cooccurrence": SQL_COOCCURRENCE,
     "type_transitions": SQL_TRANSITIONS,
     "event_pagerank": SQL_EVENT_PAGERANK,
+    "rolling_distinct_hll": _sql_rolling_hll(),
     "event_value_quantiles": _sql_event_value_quantiles(),
 }
