@@ -107,9 +107,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EVENTS_QUERIES,
         **EXTRA_QUERIES,
     }
-    fresh = {k: v for k, v in merged.items() if k not in _DRIVER_SAMPLED_R1_R4}
+    # round-5-new queries lead (never even a candidate before this round),
+    # then the older never-sampled tail, then the 50 already checked in
+    # rounds 1-4 — so the harness's 50-query window reaches the newest
+    # operators first and rotates through the backlog.
+    r5_new = (
+        "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
+        "ngram_decontamination", "vocab_coverage",
+        "label_centroid_similarity", "dq_rule_screen", "event_pagerank",
+        "gap_fill_locf", "unpivot_metrics", "rolling_distinct_hll",
+        "config_fanout_1k", "ann_pq_fixed", "attribution_join",
+        "multimodal_decode_png",
+    )
+    lead = {k: merged[k] for k in r5_new if k in merged}
+    fresh = {
+        k: v
+        for k, v in merged.items()
+        if k not in _DRIVER_SAMPLED_R1_R4 and k not in lead
+    }
     seen = {k: v for k, v in merged.items() if k in _DRIVER_SAMPLED_R1_R4}
-    return {**fresh, **seen}
+    return {**lead, **fresh, **seen}
 
 
 def oracle_sql() -> dict[str, str]:
