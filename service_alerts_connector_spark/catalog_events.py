@@ -253,25 +253,28 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily_regs = hll_registers(ev, "user_id", ["day"])
     days = daily_regs.select("day").distinct()
+    # window membership as a bounded 7× EXPLODE + equi-groupBy, never a
+    # range-predicate nested-loop join: a datediff-BETWEEN theta join
+    # planned BNLJ and measured 12× at a 20× scale-up; this shape is 1.3×
+    seven = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    regs_exp = daily_regs.select("day", "bucket", "rho", seven).select(
+        F.date_add("day", F.col("i")).alias("day"), "bucket", "rho"
+    )
     merged = (
-        days.alias("d")
-        .join(
-            daily_regs.alias("r"),
-            F.datediff(F.col("d.day"), F.col("r.day")).between(0, 6),
-        )
-        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
-        .agg(F.max("r.rho").alias("rho"))
+        regs_exp.join(days, "day", "left_semi")  # drop phantom trailing days
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
     )
     est = hll_estimate(merged, ["day"])
-    pairs = ev.distinct()
+    pairs_exp = (
+        ev.distinct()
+        .select("user_id", "day", seven)
+        .select("user_id", F.date_add("day", F.col("i")).alias("day"))
+    )
     exact = (
-        days.alias("d")
-        .join(
-            pairs.alias("p"),
-            F.datediff(F.col("d.day"), F.col("p.day")).between(0, 6),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("p.user_id").alias("exact_distinct"))
+        pairs_exp.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     return (
         est.join(exact, "day")
