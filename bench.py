@@ -105,6 +105,9 @@ HEADLINE = [
     "gap_fill_locf",
     "rolling_distinct_hll",
     "unpivot_metrics",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q10_returned_items",
 ]
 
 

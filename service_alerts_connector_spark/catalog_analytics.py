@@ -893,12 +893,159 @@ SELECT returnflag, 'price_cents', price_cents FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Classic TPC-H-shaped serving queries — multi-way join + agg patterns
+# ---------------------------------------------------------------------------
+# Revenue Σ price·(1−discount) is kept EXACT: price in cents (bigint) ×
+# discount complement in basis points → c4 units (cents·10⁴); each product
+# ≤1e11, 60 k-row sums ≪2^63 — no float accumulation order to disagree.
+def _rev_c4() -> F.Column:
+    # deferred Column build: module import must not require a live session
+    return F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(10_000) - F.floor(F.col("l_discount") * 10_000).cast("long")
+    )
+_REV_C4_SQL = (
+    "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+    " * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))"
+)
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (ref: the reference has no multi-way join serving
+    tier; this is the standard OLAP pattern an engine must run): top-10
+    open-order revenue for one market segment — two selective dim filters
+    pushed to the scans, customer broadcast into orders, the o×l join
+    AQE-decided, TakeOrderedAndProject for the top-k (never a global
+    sort)."""
+    cutoff = "1998-01-01 00:00:00"
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority AS priority,
+       sum({_REV_C4_SQL}) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, orderdate, priority
+ORDER BY revenue_c4 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue inside one region where the
+    supplier and customer share the nation — a 6-table snowflake with the
+    three dimension chains broadcast and only the fact tables shuffling."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(dim), supp["s_nationkey"] == dim["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name AS nation, sum({_REV_C4_SQL}) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter — selective fact filters at the scans, dims broadcast, top-k
+    via TakeOrderedAndProject with the custkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       sum({_REV_C4_SQL}) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_c4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
     "dq_rule_screen": q_dq_rule_screen,
     "unpivot_metrics": q_unpivot_metrics,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "q5_region_volume": q_q5_region_volume,
+    "q10_returned_items": q_q10_returned_items,
     "hash_split": q_hash_split,
     "cube_grouping": q_cube_grouping,
     "stratified_sample": q_stratified_sample,
@@ -923,6 +1070,9 @@ ANALYTICS_ORACLES = {
     "skew_salted_agg": SQL_SKEW_SALTED,
     "dq_rule_screen": SQL_DQ_RULE_SCREEN,
     "unpivot_metrics": SQL_UNPIVOT,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_region_volume": SQL_Q5,
+    "q10_returned_items": SQL_Q10,
     "hash_split": _sql_hash_split(),
     "cube_grouping": SQL_CUBE,
     "stratified_sample": SQL_STRATIFIED,

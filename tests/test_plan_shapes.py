@@ -284,3 +284,28 @@ def test_tfidf_df_join_is_broadcast(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_tpch_trio_broadcast_and_topk(spark):
+    """Q3/Q5/Q10 shapes: every dimension joins as BroadcastHashJoin (the
+    fact tables are the only shuffle participants) and the top-k queries
+    plan TakeOrderedAndProject, never a global Sort+Limit."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_q3_shipping_priority,
+        q_q5_region_volume,
+        q_q10_returned_items,
+    )
+
+    p3 = _plan(q_q3_shipping_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p3
+    assert "BroadcastHashJoin" in p3
+
+    p5 = _plan(q_q5_region_volume(spark, SF_DIR))
+    # snowflake: customer, supplier, nation+region all broadcast
+    assert p5.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p5
+
+    p10 = _plan(q_q10_returned_items(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p10
+    # the selective returnflag filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in p10
