@@ -108,6 +108,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_volume",
     "q10_returned_items",
+    "multimodal_audio",
 ]
 
 

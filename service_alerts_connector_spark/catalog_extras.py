@@ -352,6 +352,62 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, q, k=10, n_probe=2)
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, differentially tested like the image tier: per
+    doc a genuine mono PCM16 WAV is serialized (sample i =
+    ((n_chars·37 + i·11) % 4096) − 2048, 8 kHz, 2 048 samples), walked
+    back by the stdlib RIFF chunk parser, and reduced to integer features
+    (total/peak amplitude, loudest 256-sample energy frame).  DuckDB
+    reproduces every value closed-form from the recipe — the DECODER is
+    the thing under test; any chunk-walk/endianness/sign bug skews all of
+    them."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        audio_decode_stats,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("media_id"), F.col("n_chars").alias("seed")),
+        seed_col="seed",
+    )
+    return audio_decode_stats(media).orderBy("media_id")
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH m AS (
+  SELECT doc_id AS media_id, n_chars AS seed
+  FROM documents WHERE doc_id < 64
+), samples AS (
+  SELECT media_id,
+         CAST(t.i AS BIGINT) AS i,
+         ((seed * 37 + CAST(t.i AS BIGINT) * 11) % 4096) - 2048 AS s
+  FROM m, LATERAL unnest(range(2048)) AS t(i)
+), frames AS (
+  SELECT media_id, i // 256 AS fidx, sum(s * s) AS energy
+  FROM samples GROUP BY media_id, i // 256
+), best AS (
+  SELECT media_id, fidx, energy,
+         row_number() OVER (PARTITION BY media_id
+                            ORDER BY energy DESC, fidx ASC) AS rn
+  FROM frames
+)
+SELECT s.media_id,
+       8000 AS sample_rate,
+       CAST(2048 AS BIGINT) AS n_samples,
+       CAST(2048 * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(abs(s.s)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(s.s)) AS INTEGER) AS peak_abs,
+       CAST(any_value(b.fidx) AS INTEGER) AS max_frame_idx,
+       CAST(any_value(b.energy) AS BIGINT) AS max_frame_energy
+FROM samples s
+JOIN best b ON b.media_id = s.media_id AND b.rn = 1
+GROUP BY s.media_id
+ORDER BY s.media_id
+"""
+
+
 EXTRA_QUERIES = {
     "x1_stub_drafts": q_x1_stub_drafts,
     "x2_stub_locations": q_x2_stub_locations,
@@ -360,6 +416,7 @@ EXTRA_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio": q_multimodal_audio,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -371,4 +428,5 @@ EXTRA_ORACLES = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
 }

@@ -401,3 +401,110 @@ def sample_frames(
         run,
         f"{id_col} long, frame_idx int, frame_ts_ms long, feature array<float>",
     )
+
+
+def synth_wav_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    sample_rate: int = 8000,
+    n_samples: int = 2048,
+) -> DataFrame:
+    """Audio twin of ``synth_bmp_media``: sample i of a REAL mono PCM16 WAV
+    is ``((seed*37 + i*11) % 4096) - 2048`` — a closed-form integer recipe
+    a SQL oracle reproduces without touching bytes, while the Spark side
+    serializes genuine RIFF/WAVE streams (chunked, padded) for the decode
+    stage to walk back.  Output rows are MEDIA_SCHEMA with
+    ``duration_ms = n·1000 div rate``."""
+    from service_alerts_connector_spark.media import wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row[seed_col])
+                samples = [
+                    ((seed * 37 + i * 11) % 4096) - 2048
+                    for i in range(n_samples)
+                ]
+                ids.append(row[id_col])
+                blobs.append(wav.encode_wav_pcm16(sample_rate, samples))
+                metas.append(
+                    {
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n_samples * 1000 // sample_rate,
+                        "source_uri": f"synth://wav/{row[id_col]}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+AUDIO_FRAME = 256  # samples per energy frame
+
+
+def audio_decode_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame: int = AUDIO_FRAME,
+) -> DataFrame:
+    """REAL WAV decode → integer audio features: sample counts, peak,
+    total absolute amplitude, and the loudest ``frame``-sample energy
+    window (the VAD/energy-contour primitive).  All integers (energy =
+    Σ s², ≤ 2048²·frame ≪ 2⁶³), so each value is SQL-assertable;
+    non-WAV or corrupt blobs surface null stats rather than fake numbers
+    (image-tier convention)."""
+    from service_alerts_connector_spark.media import wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "rate", "n", "dur", "sabs", "peak", "fidx", "fen")}
+            for _, row in pdf.iterrows():
+                out["id"].append(row[id_col])
+                try:
+                    d = wav.decode_wav_pcm16(bytes(row[content_col] or b""))
+                except ValueError:
+                    for k in ("rate", "n", "dur", "sabs", "peak", "fidx", "fen"):
+                        out[k].append(None)
+                    continue
+                s = d["samples"]
+                out["rate"].append(d["sample_rate"])
+                out["n"].append(len(s))
+                out["dur"].append(len(s) * 1000 // d["sample_rate"])
+                out["sabs"].append(sum(abs(x) for x in s))
+                out["peak"].append(max((abs(x) for x in s), default=0))
+                best_i, best_e = 0, -1
+                for fi in range(0, len(s), frame):
+                    e = sum(x * x for x in s[fi : fi + frame])
+                    if e > best_e:
+                        best_i, best_e = fi // frame, e
+                out["fidx"].append(best_i if s else None)
+                out["fen"].append(best_e if s else None)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out["id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["rate"], dtype="Int32"),
+                    "n_samples": pd.Series(out["n"], dtype="Int64"),
+                    "duration_ms": pd.Series(out["dur"], dtype="Int64"),
+                    "sum_abs": pd.Series(out["sabs"], dtype="Int64"),
+                    "peak_abs": pd.Series(out["peak"], dtype="Int32"),
+                    "max_frame_idx": pd.Series(out["fidx"], dtype="Int32"),
+                    "max_frame_energy": pd.Series(out["fen"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        f"{id_col} long, sample_rate int, n_samples long, duration_ms long,"
+        " sum_abs long, peak_abs int, max_frame_idx int, max_frame_energy long",
+    )

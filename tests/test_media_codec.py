@@ -307,3 +307,68 @@ def test_corrupt_bm_magic_degrades_not_fails(spark):
     out = resize_images(rdf, target_w=4, target_h=4).collect()[0]
     assert bytes(out["content"]) == hashlib.sha256(junk + b":4x4").digest()
     assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM16 codec (media/wav.py)
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_mono_and_stereo():
+    from service_alerts_connector_spark.media import wav
+
+    mono = [(-1) ** i * (i * 13 % 2048) for i in range(999)]  # odd count, pad path
+    d = wav.decode_wav_pcm16(wav.encode_wav_pcm16(16000, mono))
+    assert d == {"sample_rate": 16000, "n_channels": 1, "samples": mono}
+
+    stereo = [v for i in range(100) for v in (i, -i)]
+    d2 = wav.decode_wav_pcm16(wav.encode_wav_pcm16(44100, stereo, channels=2))
+    assert d2["n_channels"] == 2 and d2["samples"] == stereo
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    # real encoders emit LIST/fact chunks between fmt and data — the chunk
+    # walk must skip them (with odd-size padding) instead of assuming
+    # data follows fmt immediately.
+    import struct
+    from service_alerts_connector_spark.media import wav
+
+    base = wav.encode_wav_pcm16(8000, [1, -2, 3])
+    hdr, rest = base[:12], base[12:]
+    fmt_chunk, data_chunk = rest[: 8 + 16], rest[8 + 16 :]
+    junk = struct.pack("<4sI", b"LIST", 5) + b"abcde" + b"\x00"  # odd, padded
+    blob = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt_chunk) + len(junk) + len(data_chunk), b"WAVE")
+        + fmt_chunk + junk + data_chunk
+    )
+    assert wav.decode_wav_pcm16(blob)["samples"] == [1, -2, 3]
+
+
+def test_wav_decoder_rejects_corrupt():
+    import pytest
+    from service_alerts_connector_spark.media import wav
+
+    good = wav.encode_wav_pcm16(8000, [0] * 8)
+    for bad in (
+        b"",                         # empty
+        b"RIFX" + good[4:],          # wrong magic
+        good[:20],                   # truncated mid-chunk
+        good.replace(b"WAVE", b"AVI "),  # wrong form type
+    ):
+        with pytest.raises(ValueError):
+            wav.decode_wav_pcm16(bad)
+
+
+def test_audio_stats_null_on_corrupt(spark):
+    # image-tier convention: junk blobs yield null stats, not a failed stage
+    from service_alerts_connector_spark.sources.multimodal import (
+        audio_decode_stats,
+    )
+    from service_alerts_connector_spark.media import wav
+
+    rows = [
+        (1, bytearray(wav.encode_wav_pcm16(8000, [5, -5, 7]))),
+        (2, bytearray(b"RIFFgarbage-not-a-wav")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_decode_stats(df).collect()}
+    assert got[1]["n_samples"] == 3 and got[1]["peak_abs"] == 7
+    assert got[2]["n_samples"] is None and got[2]["sum_abs"] is None
