@@ -109,6 +109,7 @@ HEADLINE = [
     "q5_region_volume",
     "q10_returned_items",
     "multimodal_audio",
+    "multimodal_decode_gif",
 ]
 
 

@@ -352,6 +352,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, q, k=10, n_probe=2)
 
 
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode, differentially tested: the same pixel recipe as
+    `multimodal_decode`, but serialized as genuine LZW-compressed GIF87a
+    (`media/gif.py`) — variable-width codes, dictionary growth, clear
+    codes — and parsed back by the stdlib decoder.  The oracle is the
+    SAME closed-form SQL as the BMP case (identical pixels), so any
+    bit-reader/LZW/palette bug skews every value.  Second compressed
+    family beside PNG's DEFLATE."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        synth_gif_media,
+    )
+
+    return _decode_stats_csv(
+        media_decode_stats(
+            synth_gif_media(
+                _docs(spark, sf_dir)
+                .where(F.col("doc_id") < 64)
+                .select(
+                    F.col("doc_id").alias("media_id"),
+                    F.col("n_chars").alias("seed"),
+                ),
+                seed_col="seed",
+                width=16,
+                height=16,
+            )
+        )
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, differentially tested like the image tier: per
     doc a genuine mono PCM16 WAV is serialized (sample i =
@@ -417,6 +446,7 @@ EXTRA_QUERIES = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -429,4 +459,5 @@ EXTRA_ORACLES = {
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "multimodal_decode_gif": SQL_MULTIMODAL_DECODE,
 }

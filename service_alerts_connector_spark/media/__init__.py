@@ -8,14 +8,17 @@ from __future__ import annotations
 def decode_auto(content: bytes) -> tuple[int, int, bytes]:
     """Magic-dispatched decode → (width, height, top-down BGR bytes).
 
-    Covers the two real codecs (24-bit BMP, 8-bit PNG); raises ValueError
-    for anything else so callers keep their existing degrade-to-fallback
-    behavior regardless of which codec rejected the bytes.
+    Covers the three real codecs (24-bit BMP, 8-bit PNG, GIF87a/89a);
+    raises ValueError for anything else so callers keep their existing
+    degrade-to-fallback behavior regardless of which codec rejected the
+    bytes.
     """
-    from service_alerts_connector_spark.media import bmp, png
+    from service_alerts_connector_spark.media import bmp, gif, png
 
     if content[:2] == b"BM":
         return bmp.decode_bmp24(content)
     if content[: len(png.SIGNATURE)] == png.SIGNATURE:
         return png.decode_png(content)
+    if content[:6] in gif.HEADERS:
+        return gif.decode_gif(content)
     raise ValueError("no codec for content magic")

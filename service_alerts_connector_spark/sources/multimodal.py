@@ -508,3 +508,46 @@ def audio_decode_stats(
         f"{id_col} long, sample_rate int, n_samples long, duration_ms long,"
         " sum_abs long, peak_abs int, max_frame_idx int, max_frame_energy long",
     )
+
+
+def synth_gif_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """GIF twin of ``synth_bmp_media``/``synth_png_media``: the same
+    closed-form pixel recipe (luma = (seed*31 + p*7) % 256) serialized as
+    a REAL LZW-compressed GIF87a with a grayscale palette — so the decode
+    stage exercises variable-width LZW (dictionary growth, clear codes),
+    a second compressed family beside PNG's DEFLATE, on genuine bytes."""
+    from service_alerts_connector_spark.media import gif
+
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row[seed_col])
+                gray = bytes((seed * 31 + p * 7) % 256 for p in range(n_px))
+                ids.append(row[id_col])
+                blobs.append(gif.encode_gif_gray(width, height, gray))
+                metas.append(
+                    {
+                        "mime": "image/gif",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "source_uri": f"synth://gif/{row[id_col]}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)

@@ -372,3 +372,59 @@ def test_audio_stats_null_on_corrupt(spark):
     got = {r["media_id"]: r for r in audio_decode_stats(df).collect()}
     assert got[1]["n_samples"] == 3 and got[1]["peak_abs"] == 7
     assert got[2]["n_samples"] is None and got[2]["sum_abs"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (media/gif.py)
+# ---------------------------------------------------------------------------
+def test_gif_roundtrip_compressed_and_literal():
+    from service_alerts_connector_spark.media import gif
+
+    gray = bytes(((9 * 31 + p * 7) % 256) for p in range(16 * 16))
+    for compress in (True, False):
+        w, h, bgr = gif.decode_gif(
+            gif.encode_gif_gray(16, 16, gray, compress=compress)
+        )
+        assert (w, h) == (16, 16)
+        assert bgr[0::3] == gray and bgr[1::3] == gray and bgr[2::3] == gray
+
+
+def test_gif_lzw_dictionary_growth_paths():
+    # runs exercise KwKwK; noise grows the table to the 4096 clear; both
+    # must survive the variable-width reader.
+    import random
+    from service_alerts_connector_spark.media import gif
+
+    rnd = random.Random(3)
+    for gray in (
+        bytes([7] * 4096),
+        bytes(rnd.randrange(256) for _ in range(8192)),
+    ):
+        w = 64
+        h = len(gray) // w
+        got = gif.decode_gif(gif.encode_gif_gray(w, h, gray))[2][0::3]
+        assert got == gray
+
+
+def test_gif_skips_extensions_and_rejects_corrupt():
+    import pytest
+    import struct
+    from service_alerts_connector_spark.media import gif
+
+    gray = bytes(range(16)) * 16
+    blob = gif.encode_gif_gray(16, 16, gray)
+    # splice a GIF89a comment extension between the color table and the
+    # image descriptor (13-byte header + 768-byte GCT)
+    ext = b"\x21\xfe\x05hello\x00"
+    spliced = blob[: 13 + 768] + ext + blob[13 + 768 :]
+    assert gif.decode_gif(spliced)[2][0::3] == gray
+
+    with pytest.raises(ValueError):
+        gif.decode_gif(blob[:40])  # truncated
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"NOTGIF" + blob[6:])
+    # interlace flag set -> explicit unsupported error
+    bad = bytearray(blob)
+    bad[13 + 768 + 9 - 1] |= 0x40  # packed byte of the image descriptor
+    with pytest.raises(ValueError):
+        gif.decode_gif(bytes(bad))
