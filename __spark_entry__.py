@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",
         "gap_fill_locf", "unpivot_metrics", "rolling_distinct_hll",
+        "q3_shipping_priority", "q5_region_volume", "q10_returned_items",
+        "multimodal_audio", "multimodal_decode_gif",
         "config_fanout_1k", "ann_pq_fixed", "attribution_join",
         "multimodal_decode_png",
     )
