@@ -117,7 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",
         "gap_fill_locf", "unpivot_metrics", "rolling_distinct_hll",
         "q3_shipping_priority", "q5_region_volume", "q10_returned_items",
-        "multimodal_audio", "multimodal_decode_gif",
+        "multimodal_audio", "multimodal_decode_gif", "multimodal_decode_jpeg",
         "config_fanout_1k", "ann_pq_fixed", "attribution_join",
         "multimodal_decode_png",
     )

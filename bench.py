@@ -110,6 +110,7 @@ HEADLINE = [
     "q10_returned_items",
     "multimodal_audio",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
 ]
 
 

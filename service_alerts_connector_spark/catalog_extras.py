@@ -381,6 +381,63 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, differentially tested on the dominant
+    crawl format: per doc a genuine single-component JPEG (standard
+    Annex K Huffman tables, flat quant) with CONSTANT 8×8 blocks (value =
+    (n_chars·31 + block·7) % 256) — the one configuration where a lossy
+    codec is bit-exact end-to-end (DC-only blocks, DC/8 exact in IEEE; see
+    media/jpeg.py) — is parsed back by the stdlib decoder and reduced to
+    the shared integer stats.  Any Huffman/DC-prediction/zig-zag/IDCT bug
+    skews every value."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        synth_jpeg_media,
+    )
+
+    return _decode_stats_csv(
+        media_decode_stats(
+            synth_jpeg_media(
+                _docs(spark, sf_dir)
+                .where(F.col("doc_id") < 64)
+                .select(
+                    F.col("doc_id").alias("media_id"),
+                    F.col("n_chars").alias("seed"),
+                ),
+                seed_col="seed",
+                blocks=2,
+            )
+        )
+    )
+
+
+SQL_MULTIMODAL_DECODE_JPEG = """
+WITH px AS (
+  SELECT d.doc_id AS media_id,
+         (d.n_chars * 31 + t.b * 7) % 256 AS gray
+  FROM documents d, range(4) t(b), range(64) u(i)
+  WHERE d.doc_id < 64
+), cnt AS (
+  SELECT media_id, gray // 16 AS bin, count(*) AS c
+  FROM px GROUP BY media_id, bin
+), grid AS (
+  SELECT i.media_id, b.bin
+  FROM (SELECT DISTINCT media_id FROM px) i, range(16) b(bin)
+), hist AS (
+  SELECT g.media_id,
+         string_agg(CAST(coalesce(c.c, 0) AS VARCHAR), ',' ORDER BY g.bin)
+           AS hist_csv
+  FROM grid g
+  LEFT JOIN cnt c ON c.media_id = g.media_id AND c.bin = g.bin
+  GROUP BY g.media_id
+)
+SELECT s.media_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(sum(s.gray) AS BIGINT) AS gray_sum, h.hist_csv
+FROM px s JOIN hist h USING (media_id)
+GROUP BY s.media_id, h.hist_csv
+ORDER BY s.media_id
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, differentially tested like the image tier: per
     doc a genuine mono PCM16 WAV is serialized (sample i =
@@ -447,6 +504,7 @@ EXTRA_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_decode_gif": q_multimodal_decode_gif,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -460,4 +518,5 @@ EXTRA_ORACLES = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE,
+    "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
 }

@@ -551,3 +551,52 @@ def synth_gif_media(
     return df.select(
         F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
     ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    blocks: int = 2,
+) -> DataFrame:
+    """JPEG twin of the other synths, adapted to a LOSSY codec: each 8×8
+    block is CONSTANT (value = (seed*31 + block*7) % 256), which makes
+    the whole encode→Huffman→IDCT pipeline bit-exact (see media/jpeg.py
+    docstring) while the streams remain genuine baseline JPEGs with the
+    standard Annex K Huffman tables — so a closed-form SQL oracle still
+    applies to the dominant crawl format."""
+    from service_alerts_connector_spark.media import jpeg
+
+    side = blocks * 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row[seed_col])
+                gray = bytearray(side * side)
+                for by in range(blocks):
+                    for bx in range(blocks):
+                        v = (seed * 31 + (by * blocks + bx) * 7) % 256
+                        for y in range(8):
+                            base = (by * 8 + y) * side + bx * 8
+                            gray[base : base + 8] = bytes([v] * 8)
+                ids.append(row[id_col])
+                blobs.append(jpeg.encode_jpeg_gray(side, side, bytes(gray)))
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": side,
+                        "height": side,
+                        "duration_ms": None,
+                        "source_uri": f"synth://jpeg/{row[id_col]}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)

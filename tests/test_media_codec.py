@@ -428,3 +428,62 @@ def test_gif_skips_extensions_and_rejects_corrupt():
     bad[13 + 768 + 9 - 1] |= 0x40  # packed byte of the image descriptor
     with pytest.raises(ValueError):
         gif.decode_gif(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (media/jpeg.py)
+# ---------------------------------------------------------------------------
+def test_jpeg_constant_blocks_bit_exact():
+    # the oracle property: DC-only blocks survive the lossy pipeline exactly
+    from service_alerts_connector_spark.media import jpeg
+
+    w = h = 16
+    gray = bytearray(w * h)
+    for by in range(2):
+        for bx in range(2):
+            v = (7 * 31 + (by * 2 + bx) * 7) % 256
+            for y in range(8):
+                base = (by * 8 + y) * w + bx * 8
+                gray[base : base + 8] = bytes([v] * 8)
+    dw, dh, bgr = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(w, h, bytes(gray)))
+    assert (dw, dh) == (w, h) and bgr[0::3] == bytes(gray)
+
+
+def test_jpeg_general_content_near_lossless_at_q1():
+    # random and gradient content exercises AC runs/ZRL/EOB; with a flat
+    # quant of 1 the only loss is DCT float rounding: |err| <= 1.
+    import random
+    from service_alerts_connector_spark.media import jpeg
+
+    rnd = random.Random(11)
+    for gray, w, h in (
+        (bytes(rnd.randrange(256) for _ in range(24 * 24)), 24, 24),
+        (bytes(((x * 3 + y * 5) % 256) for y in range(17) for x in range(13)), 13, 17),
+    ):
+        dw, dh, bgr = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(w, h, gray))
+        assert (dw, dh) == (w, h)
+        assert max(abs(a - b) for a, b in zip(bgr[0::3], gray)) <= 1
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # content tuned to produce 0xFF entropy bytes must unstuff cleanly
+    from service_alerts_connector_spark.media import jpeg
+
+    gray = bytes((p * 97) % 256 for p in range(32 * 8))
+    blob = jpeg.encode_jpeg_gray(32, 8, gray)
+    assert b"\xff\x00" in blob  # stuffing actually occurred
+    dw, dh, bgr = jpeg.decode_jpeg_gray(blob)
+    assert max(abs(a - b) for a, b in zip(bgr[0::3], gray)) <= 1
+
+
+def test_jpeg_rejects_progressive_and_corrupt():
+    import pytest
+    from service_alerts_connector_spark.media import jpeg
+
+    blob = jpeg.encode_jpeg_gray(8, 8, bytes(range(64)))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(blob.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(blob[:50])
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_gray(b"NOTJPEG")
