@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_locf", "unpivot_metrics", "rolling_distinct_hll",
         "q3_shipping_priority", "q5_region_volume", "q10_returned_items",
         "multimodal_audio", "multimodal_decode_gif", "multimodal_decode_jpeg",
+        "multimodal_video_frames",
         "config_fanout_1k", "ann_pq_fixed", "attribution_join",
         "multimodal_decode_png",
     )

@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_audio",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_video_frames",
 ]
 
 

@@ -438,6 +438,48 @@ ORDER BY s.media_id
 """
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, differentially tested: per doc a genuine
+    MJPEG AVI (6 constant-block JPEG frames in a RIFF container) is built,
+    every 2nd frame extracted by the container walker and JPEG-decoded,
+    one row per sampled frame.  The oracle reproduces each frame's pixel
+    sum closed-form from the recipe — container walking, frame indexing,
+    and entropy decode are all under test.  Completes the modality set:
+    image, audio, and video all have real decode paths."""
+    from service_alerts_connector_spark.sources.multimodal import (
+        synth_avi_media,
+        video_frame_stats,
+    )
+
+    media = synth_avi_media(
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").alias("media_id"), F.col("n_chars").alias("seed")),
+        seed_col="seed",
+    )
+    return video_frame_stats(media, every_n=2).orderBy("media_id", "frame_idx")
+
+
+SQL_MULTIMODAL_VIDEO = """
+WITH m AS (
+  SELECT doc_id AS media_id, n_chars AS seed
+  FROM documents WHERE doc_id < 48
+), fr AS (
+  SELECT media_id, seed, CAST(f.f AS BIGINT) AS frame_idx
+  FROM m, LATERAL unnest(range(0, 6, 2)) AS f(f)
+)
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(sum(64 * ((seed * 31 + frame_idx * 13 + CAST(b.b AS BIGINT) * 7)
+                      % 256)) AS BIGINT) AS gray_sum
+FROM fr, LATERAL unnest(range(4)) AS b(b)
+GROUP BY media_id, frame_idx
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, differentially tested like the image tier: per
     doc a genuine mono PCM16 WAV is serialized (sample i =
@@ -505,6 +547,7 @@ EXTRA_QUERIES = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_video_frames": q_multimodal_video_frames,
     "geo_overlay": q_geo_overlay,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -519,4 +562,5 @@ EXTRA_ORACLES = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_decode_gif": SQL_MULTIMODAL_DECODE,
     "multimodal_decode_jpeg": SQL_MULTIMODAL_DECODE_JPEG,
+    "multimodal_video_frames": SQL_MULTIMODAL_VIDEO,
 }

@@ -600,3 +600,104 @@ def synth_jpeg_media(
     return df.select(
         F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
     ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_avi_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    seed_col: str = "seed",
+    n_frames: int = 6,
+    blocks: int = 2,
+    fps: int = 5,
+) -> DataFrame:
+    """Video twin of the other synths: a REAL MJPEG AVI per row — RIFF
+    container wrapping genuine baseline JPEGs — where frame f's block b is
+    the constant (seed*31 + f*13 + b*7) % 256, so sampled-frame stats have
+    a closed-form oracle while the decode path walks real container and
+    entropy bytes (media/avi.py, media/jpeg.py)."""
+    from service_alerts_connector_spark.media import avi, jpeg
+
+    side = blocks * 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row[seed_col])
+                frames = []
+                for f in range(n_frames):
+                    gray = bytearray(side * side)
+                    for by in range(blocks):
+                        for bx in range(blocks):
+                            v = (seed * 31 + f * 13 + (by * blocks + bx) * 7) % 256
+                            for y in range(8):
+                                base = (by * 8 + y) * side + bx * 8
+                                gray[base : base + 8] = bytes([v] * 8)
+                    frames.append(jpeg.encode_jpeg_gray(side, side, bytes(gray)))
+                ids.append(row[id_col])
+                blobs.append(avi.encode_avi_mjpeg(side, side, frames, fps=fps))
+                metas.append(
+                    {
+                        "mime": "video/x-msvideo",
+                        "width": side,
+                        "height": side,
+                        "duration_ms": n_frames * 1000 // fps,
+                        "source_uri": f"synth://avi/{row[id_col]}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "content": blobs, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
+    ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL video frame sampling: every Nth frame of each MJPEG AVI is
+    extracted from the container and JPEG-decoded, yielding one row per
+    sampled frame with integer pixel stats — the actual shape of a
+    video-pretraining frame pipeline (one blob in, K frame rows out).
+    Corrupt/non-AVI blobs yield a single null-stats row (codec-tier
+    convention)."""
+    from service_alerts_connector_spark.media import avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "fidx", "w", "h", "gsum")}
+            for _, row in pdf.iterrows():
+                content = bytes(row[content_col] or b"")
+                try:
+                    sampled = avi.sample_decoded_frames(content, every_n=every_n)
+                except ValueError:
+                    out["id"].append(row[id_col])
+                    for k in ("fidx", "w", "h", "gsum"):
+                        out[k].append(None)
+                    continue
+                for idx, w, h, bgr in sampled:
+                    out["id"].append(row[id_col])
+                    out["fidx"].append(idx)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["gsum"].append(sum(bgr[0::3]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out["id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["fidx"], dtype="Int32"),
+                    "width": pd.Series(out["w"], dtype="Int32"),
+                    "height": pd.Series(out["h"], dtype="Int32"),
+                    "gray_sum": pd.Series(out["gsum"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run,
+        f"{id_col} long, frame_idx int, width int, height int, gray_sum long",
+    )

@@ -487,3 +487,59 @@ def test_jpeg_rejects_progressive_and_corrupt():
         jpeg.decode_jpeg_gray(blob[:50])
     with pytest.raises(ValueError):
         jpeg.decode_jpeg_gray(b"NOTJPEG")
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container (media/avi.py)
+# ---------------------------------------------------------------------------
+def test_avi_container_roundtrip_and_sampling():
+    from service_alerts_connector_spark.media import avi, jpeg
+
+    frames = [
+        jpeg.encode_jpeg_gray(16, 16, bytes([(f * 40 + 10) % 256] * 256))
+        for f in range(5)
+    ]
+    blob = avi.encode_avi_mjpeg(16, 16, frames, fps=4)
+    meta = avi.decode_avi_frames(blob)
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert meta["n_frames"] == 5 and meta["us_per_frame"] == 250_000
+    assert meta["frames"] == frames  # byte-identical extraction
+
+    sampled = avi.sample_decoded_frames(blob, every_n=2)
+    assert [s[0] for s in sampled] == [0, 2, 4]
+    for idx, w, h, bgr in sampled:
+        assert bgr[0::3] == bytes([(idx * 40 + 10) % 256] * 256)
+
+
+def test_avi_rejects_non_avi_and_truncated():
+    import pytest
+    from service_alerts_connector_spark.media import avi, jpeg, wav
+
+    with pytest.raises(ValueError):
+        avi.decode_avi_frames(wav.encode_wav_pcm16(8000, [0] * 4))  # RIFF/WAVE
+    blob = avi.encode_avi_mjpeg(
+        16, 16, [jpeg.encode_jpeg_gray(16, 16, bytes(256))]
+    )
+    with pytest.raises(ValueError):
+        avi.decode_avi_frames(blob[:30])
+
+
+def test_video_frame_stats_null_on_corrupt(spark):
+    from service_alerts_connector_spark.media import avi, jpeg
+    from service_alerts_connector_spark.sources.multimodal import (
+        video_frame_stats,
+    )
+
+    good = avi.encode_avi_mjpeg(
+        16, 16, [jpeg.encode_jpeg_gray(16, 16, bytes([9] * 256))] * 3
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a video"))],
+        "media_id long, content binary",
+    )
+    rows = video_frame_stats(df, every_n=1).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3 and all(r["gray_sum"] == 9 * 256 for r in by_id[1])
+    assert len(by_id[2]) == 1 and by_id[2][0]["frame_idx"] is None
