@@ -370,7 +370,10 @@ def sample_frames(
     discipline as the LSH bucket caps) — a 10-hour video cannot emit 36 k
     rows into one batch unaudited.  STUB kernel: per-frame features derive
     from sha256(content ‖ frame_idx); an ffmpeg/torchvision kernel drops
-    into the same signature."""
+    into the same signature.  For MJPEG-AVI content the REAL path exists:
+    ``video_frame_stats`` below extracts and JPEG-decodes actual frames
+    (media/avi.py) — this stub remains for formats whose codecs are
+    genuinely outside stdlib (H.264/VP9)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
