@@ -20,12 +20,16 @@ from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES as _EV
 from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES as _EX
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_geo import GEO_QUERIES as _GEO
+from service_alerts_connector_spark.catalog_temporal import (
+    TEMPORAL_QUERIES as _TMP,
+)
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.session import get_spark
 
 CORE_QUERIES = {
-    **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX,
+    **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX, **_TMP,
 }
+
 
 HEADLINE = [
     "fixer_chain",
@@ -113,6 +117,10 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
 ]
+
+_missing = [q for q in HEADLINE if q not in CORE_QUERIES]
+if _missing:
+    raise SystemExit(f"HEADLINE names missing from catalog merge: {_missing}")
 
 
 def main() -> None:
