@@ -847,6 +847,96 @@ JOIN norms nb ON nb.label = d.label_b
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranking (exact integer-rational quantization — engine-portable)
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("hash", "merge", "vector", "window")
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-docs for a fixed query-term set via the staged-integer
+    quantization in ``operators/tfidf.py bm25_rank`` (odds-idf in milli
+    units, tf saturation in micro units, k1=1.2 / b=0.75 as exact
+    rationals) — no float, no log, bit-identical across engines."""
+    from service_alerts_connector_spark.operators.tfidf import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_rank(docs, list(_BM25_TERMS), "doc_id", "text", k=12)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+SQL_BM25 = f"""
+WITH sized AS (
+  SELECT doc_id AS doc, toks, len(toks) AS doc_len
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), stats AS (
+  SELECT count(*) AS n_docs,
+         (sum(doc_len) * 1000000) // count(*) AS avgdl_micro
+  FROM sized
+), tf AS (
+  SELECT doc, term, count(*) AS tf, max(doc_len) AS doc_len
+  FROM (SELECT doc, doc_len, unnest(toks) AS term FROM sized)
+  GROUP BY doc, term
+), hits AS (
+  SELECT * FROM tf WHERE term IN ({_BM25_TERMS_SQL})
+), dfreq AS (
+  SELECT term, count(*) AS df FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc,
+         (((2 * (s.n_docs - d.df) + 1) * 1000) // (2 * d.df + 1) *
+          ((h.tf * 2200000 * 1000000) //
+           (h.tf * 1000000 + 300000 +
+            (h.doc_len * 900000000000) // s.avgdl_micro))) // 1000
+         AS score_micro
+  FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc AS doc_id, sum(score_micro) AS bm25_micro,
+       CAST(count(*) AS INTEGER) AS n_terms_hit
+FROM scored GROUP BY doc
+ORDER BY bm25_micro DESC, doc ASC LIMIT 12
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence pairs (vocab-capped, staged-integer odds ratio)
+# ---------------------------------------------------------------------------
+def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token pairs by document-level PMI odds (log dropped — monotone)
+    over a ≤64-term df-capped vocabulary; see
+    ``operators/tfidf.py pmi_top_pairs`` for the scale shape."""
+    from service_alerts_connector_spark.operators.tfidf import pmi_top_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_top_pairs(
+        docs, "doc_id", "text",
+        vocab_top=64, vocab_df_min=5, min_pair_count=5, k=20,
+    )
+
+
+SQL_PMI = f"""
+WITH posting AS (
+  SELECT DISTINCT doc_id AS doc, term
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+), vocab AS (
+  SELECT term, count(*) AS df FROM posting GROUP BY term
+  HAVING count(*) >= 5 ORDER BY df DESC, term ASC LIMIT 64
+), vp AS (
+  SELECT p.doc, p.term, v.df FROM posting p JOIN vocab v USING (term)
+), pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS n_xy,
+         max(a.df) AS n_x, max(b.df) AS n_y
+  FROM vp a JOIN vp b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 5
+)
+SELECT t1, t2, n_xy, n_x, n_y,
+       ((n_xy * 1000000) // n_x *
+        (SELECT count(*) FROM documents)) // n_y AS pmi_micro
+FROM pairs
+ORDER BY pmi_micro DESC, t1 ASC, t2 ASC LIMIT 20
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -867,6 +957,8 @@ CORPUS_QUERIES = {
     "passage_dedup": q_passage_dedup,
     "vocab_coverage": q_vocab_coverage,
     "label_centroid_similarity": q_label_centroid_similarity,
+    "bm25_rank": q_bm25_rank,
+    "pmi_top_pairs": q_pmi_top_pairs,
 }
 
 CORPUS_ORACLES = {
@@ -889,4 +981,6 @@ CORPUS_ORACLES = {
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "label_centroid_similarity": SQL_CENTROID_SIM,
+    "bm25_rank": SQL_BM25,
+    "pmi_top_pairs": SQL_PMI,
 }
