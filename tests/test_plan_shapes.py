@@ -309,3 +309,27 @@ def test_tpch_trio_broadcast_and_topk(spark):
     assert "TakeOrderedAndProject" in p10
     # the selective returnflag filter must reach the parquet scan
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in p10
+
+
+def test_bm25_filter_before_join_and_topk(spark):
+    """bm25_rank: the query-term filter must reach the token explode side
+    BEFORE the df join (a handful of terms survive, not the corpus), the
+    df join must broadcast, and the final top-k must be
+    TakeOrderedAndProject — no global sort, no SortMergeJoin."""
+    from service_alerts_connector_spark.catalog_corpus import q_bm25_rank
+
+    plan = _plan(q_bm25_rank(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_vocab_is_broadcast(spark):
+    """pmi_top_pairs: the ≤64-row vocab must broadcast to the postings
+    (never sort-merge a corpus-sized side against it) and the final top-k
+    must be TakeOrderedAndProject."""
+    from service_alerts_connector_spark.catalog_corpus import q_pmi_top_pairs
+
+    plan = _plan(q_pmi_top_pairs(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
