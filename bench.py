@@ -116,6 +116,9 @@ HEADLINE = [
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
+    "bm25_rank",
+    "pmi_top_pairs",
+    "kmeans_update",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1233,6 +1233,64 @@ ORDER BY query_id, cos DESC, vec_id ASC
 """
 
 
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd update step with pinned centroids (the
+    milli-quantized embeddings of vec_id 1..4) — exact integer sufficient
+    statistics per (cell, dim), so the *update* half of iterative k-means
+    training is differentially oracled the same way ``ann_ivf_fixed``
+    oracles the *assignment* half (the full training loop is these two
+    steps repeated)."""
+    import math
+
+    from service_alerts_connector_spark.operators.similarity import (
+        kmeans_update_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()  # bounded: 4 rows
+    )
+    cents_milli = [
+        [math.floor(float(x) * 1000.0) for x in r["embedding"]]
+        for r in cent_rows
+    ]
+    return kmeans_update_stats(emb, cents_milli)
+
+
+SQL_KMEANS_UPDATE = """
+WITH em AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000) AS BIGINT)) AS xm
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, generate_subscripts(xm, 1) AS i, unnest(xm) AS x FROM em
+), cd AS (
+  SELECT CAST(vec_id - 1 AS INTEGER) AS cell,
+         generate_subscripts(xm, 1) AS i, unnest(xm) AS c
+  FROM em WHERE vec_id BETWEEN 1 AND 4
+), dists AS (
+  SELECT e.vec_id, c.cell, sum((e.x - c.c) * (e.x - c.c)) AS d2
+  FROM ed e JOIN cd c USING (i) GROUP BY e.vec_id, c.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC
+           ) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT a.cell, CAST(e.i - 1 AS INTEGER) AS d,
+       count(*) AS n_members, sum(e.x) AS sum_milli
+FROM assign a JOIN ed e USING (vec_id)
+GROUP BY a.cell, e.i
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -1263,10 +1321,12 @@ TEXT_QUERIES = {
     "embedding_sq8": q_embedding_sq8,
     "ann_sq8": q_ann_sq8,
     "ann_batch": q_ann_batch,
+    "kmeans_update": q_kmeans_update,
 }
 
 TEXT_ORACLES = {
     "ann_batch": SQL_ANN_BATCH,
+    "kmeans_update": SQL_KMEANS_UPDATE,
     "embedding_sq8": SQL_EMBEDDING_SQ8,
     "ann_sq8": SQL_ANN_SQ8,
     "text_pii_redact": SQL_PII,

@@ -850,3 +850,59 @@ def project_embeddings(
             F.array(*[F.col(f"_p{j}") for j in range(out_dim)]).alias(out_col),
         )
     )
+
+
+def kmeans_update_stats(
+    df: DataFrame,
+    centroids_milli: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd k-means *update* step as exact sufficient statistics:
+    assign every vector to its nearest centroid (squared L2 on milli-unit
+    integer coordinates — exact bigint math, first-wins ties like
+    ``ivf_assign``), then emit per (cell, dimension) the member count and
+    coordinate sum.  The new centroid is ``sum_milli / n_members`` —
+    division deliberately left to the caller so the statistics stay exact
+     64-bit integers, bit-identical across engines (the oracled complement
+    of ``train_centroids_kmeanspp_lite``'s driver-side loop: iterative
+    training is assignment + this update, repeated).
+
+    Scale shape: centroids are a k-sized literal (broadcast by value into
+    the expression — no join), the explode is dim-wide per row, and the
+    single shuffle is groupBy(cell, dim) with k×dim result cells.  Partial
+    aggregation (map-side combine) means the shuffle carries at most
+    k×dim rows per task regardless of input size.
+    """
+    xm = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.floor(v * F.lit(1000.0)).cast("bigint"),
+    )
+    # materialize once: k copies of the quantization inline would repeat
+    # the cast under every fold (codegen method-limit trap — see
+    # bucketed_cosine_topk)
+    base = df.select(F.col(id_col).alias("_id"), xm.alias("_xm"))
+    best_cell = None
+    best_dist = None
+    for ci, c in enumerate(centroids_milli):
+        carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        diff = F.zip_with(
+            F.col("_xm"), carr, lambda x, y: (x - y) * (x - y)
+        )
+        d = F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        if best_cell is None:
+            best_cell, best_dist = F.lit(ci), d
+        else:
+            cond = d < best_dist
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    assigned = base.select("_id", "_xm", best_cell.alias("cell"))
+    return (
+        assigned.select("cell", F.posexplode("_xm").alias("d", "x"))
+        .groupBy("cell", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("x").alias("sum_milli"),
+        )
+        .select("cell", "d", "n_members", "sum_milli")
+    )
