@@ -121,7 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames",
         "config_fanout_1k", "ann_pq_fixed", "attribution_join",
         "multimodal_decode_png", "bm25_rank", "pmi_top_pairs",
-        "kmeans_update",
+        "kmeans_update", "leakage_safe_split",
     )
     lead = {k: merged[k] for k in r5_new if k in merged}
     fresh = {

@@ -119,6 +119,7 @@ HEADLINE = [
     "bm25_rank",
     "pmi_top_pairs",
     "kmeans_update",
+    "leakage_safe_split",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -312,6 +312,71 @@ ORDER BY d.doc_id
 )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a hash of the
+    document's duplicate-CLUSTER representative (its connected component
+    from LSH pair mining; unclustered docs key on their own id), so
+    near-duplicates can never straddle train and held-out — the split-level
+    counterpart of the dedup tier (plain per-doc hashing leaks every
+    near-dup pair across the boundary).  Composition of
+    ``connected_components`` + ``hash_split``; the only work beyond
+    ``dedup_clusters`` is one left join and a pure-row md5."""
+    from service_alerts_connector_spark.operators.sketches import hash_split
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
+    )
+    return (
+        hash_split(keyed, "group_key", seed="leak-v1")
+        .select("doc_id", "group_key", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    from service_alerts_connector_spark.operators.sketches import (
+        hash_split_sql,
+    )
+
+    split_expr = hash_split_sql(
+        "coalesce(c.component, d.doc_id)", seed="leak-v1"
+    )
+    return (
+        _SQL_MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+, pairs AS (
+  {_SQL_PAIR_SELECT}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_key,
+       {split_expr} AS split
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination screen: every 10th doc is the held-out
     split; flag train docs sharing an LSH band bucket with any of them."""
@@ -1322,11 +1387,13 @@ TEXT_QUERIES = {
     "ann_sq8": q_ann_sq8,
     "ann_batch": q_ann_batch,
     "kmeans_update": q_kmeans_update,
+    "leakage_safe_split": q_leakage_safe_split,
 }
 
 TEXT_ORACLES = {
     "ann_batch": SQL_ANN_BATCH,
     "kmeans_update": SQL_KMEANS_UPDATE,
+    "leakage_safe_split": _sql_leakage_safe_split(),
     "embedding_sq8": SQL_EMBEDDING_SQ8,
     "ann_sq8": SQL_ANN_SQ8,
     "text_pii_redact": SQL_PII,
