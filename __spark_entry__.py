@@ -58,6 +58,10 @@ from service_alerts_connector_spark.catalog_text import (
     TEXT_ORACLES,
     TEXT_QUERIES,
 )
+from service_alerts_connector_spark.catalog_tpch import (
+    TPCH_ORACLES,
+    TPCH_QUERIES,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -105,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TEMPORAL_QUERIES,
         **CORPUS_QUERIES,
         **EVENTS_QUERIES,
+        **TPCH_QUERIES,
         **EXTRA_QUERIES,
     }
     # round-5-new queries lead (never even a candidate before this round),
@@ -122,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_fanout_1k", "ann_pq_fixed", "attribution_join",
         "multimodal_decode_png", "bm25_rank", "pmi_top_pairs",
         "kmeans_update", "leakage_safe_split",
+        "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
+        "q21_waiting_suppliers", "q22_dormant_value",
     )
     lead = {k: merged[k] for k in r5_new if k in merged}
     fresh = {
@@ -148,5 +155,6 @@ def oracle_sql() -> dict[str, str]:
         **TEMPORAL_ORACLES,
         **CORPUS_ORACLES,
         **EVENTS_ORACLES,
+        **TPCH_ORACLES,
         **EXTRA_ORACLES,
     }

@@ -24,10 +24,12 @@ from service_alerts_connector_spark.catalog_temporal import (
     TEMPORAL_QUERIES as _TMP,
 )
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
+from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES as _TPCH
 from service_alerts_connector_spark.session import get_spark
 
 CORE_QUERIES = {
     **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX, **_TMP,
+    **_TPCH,
 }
 
 
@@ -120,6 +122,11 @@ HEADLINE = [
     "pmi_top_pairs",
     "kmeans_update",
     "leakage_safe_split",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_waiting_suppliers",
+    "q22_dormant_value",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

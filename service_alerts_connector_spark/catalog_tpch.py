@@ -1,0 +1,415 @@
+"""Advanced relational serving shapes — the classic decision-support
+patterns (TPC-H Q17/Q18/Q19/Q21/Q22) whose SHAPES were not yet in the
+catalog: correlated scalar subquery per group, HAVING + join-back,
+disjunctive OR-of-ANDs across a join, EXISTS + NOT-EXISTS fact self-joins,
+and anti-join + group-threshold subquery.
+
+The reference (cityofcapetown/service-alerts-connector) has no OLAP serving
+tier — these queries establish the relational completeness a user switching
+engines expects, on the driver's TPC-H-ish tables.  Predicates are adapted
+to the testdata schema (no l_commitdate / l_shipmode / c_phone / partsupp):
+"lateness" is l_shipdate > o_orderdate + 90 days, Q22's "no recent account
+activity" is an anti-join against orders since a cutoff, Q17's container
+predicate becomes p_brand.
+
+Money / determinism per the catalog rules (catalog.py docstring): prices in
+integer cents via floor(x*100) (the double product is IEEE-identical in
+Spark and DuckDB, so the floor is cross-engine exact — including negative
+account balances, which floor toward -inf in both), revenue in c4 units
+(cents x basis-point complement), quantities as exact bigints, every
+output either fully-keyed + tiebroken orderBy or a scalar row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+from service_alerts_connector_spark.catalog_analytics import (
+    _REV_C4_SQL,
+    _rev_c4,
+)
+
+
+def _cents(col: str) -> F.Column:
+    return F.floor(F.col(col) * 100).cast("long")
+
+
+def _cents_sql(col: str) -> str:
+    return f"CAST(floor({col} * 100) AS BIGINT)"
+
+
+def _qty() -> F.Column:
+    return F.floor(F.col("l_quantity")).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — correlated scalar subquery per group (decorrelated)
+# ---------------------------------------------------------------------------
+
+
+def q_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders — lineitems
+    of one brand whose quantity is below 20% of that part's average
+    lineitem quantity.
+
+    The correlated scalar subquery (avg qty per part) is expressed as the
+    decorrelated plan Catalyst itself would produce: one per-part aggregate
+    over the brand-restricted lineitems, joined back.  The brand filter
+    lands BEFORE the stats pass (a web-scale corpus computes stats only for
+    the ~1/brand-count slice), the per-part stats frame is part-cardinality
+    sized so AQE broadcasts it, and the avg comparison is exact integers —
+    qty*5*cnt < sum_qty, never a float division.
+    """
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_qty()).alias("sum_qty"),
+    )
+    small = li.join(stats.withColumnRenamed("l_partkey", "sp"),
+                    F.col("l_partkey") == F.col("sp")).where(
+        _qty() * F.lit(5) * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+    )
+
+
+SQL_Q17 = f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+), pstats AS (
+  SELECT l_partkey, count(*) AS cnt,
+         sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT count(*) AS n_small,
+       sum({_cents_sql('l_extendedprice')}) AS revenue_cents
+FROM li JOIN pstats USING (l_partkey)
+WHERE CAST(floor(l_quantity) AS BIGINT) * 5 * cnt < sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — HAVING on an aggregate, join the qualifying keys back
+# ---------------------------------------------------------------------------
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the top large-volume orders — orders whose total
+    lineitem quantity exceeds 300, joined back to orders + customer.
+
+    The HAVING aggregate runs FIRST (one groupBy(l_orderkey) shuffle that
+    collapses the fact table to qualifying keys — 46 of 15 000 orders at
+    sf0.01, similar selectivity at any scale), so the join-back moves a
+    tiny frame that AQE broadcasts into orders; customer is a broadcast
+    dim.  Top-k is TakeOrderedAndProject on (totalprice cents desc,
+    orderkey) — never a global sort.
+    """
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_qty()).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {_cents_sql('o_totalprice')} AS totalprice_cents,
+       sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_cents DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive OR-of-ANDs across a join, with a manual CNF
+# envelope so the scans still prune
+# ---------------------------------------------------------------------------
+
+_Q19_ENVELOPE_BRANDS = ("Brand#12", "Brand#23", "Brand#34")
+
+
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three (brand, size-range, qty-range)
+    bundles OR-ed together — the canonical disjunction-across-a-join.
+
+    Catalyst cannot push an OR that references both join sides, so each
+    side carries its CNF ENVELOPE explicitly (brand IN the three, size
+    1..15; quantity 1..30): the parquet scans prune to the union of the
+    branches before the join, and only then does the exact disjunction run
+    on the joined pairs.  The part side collapses to a few hundred rows →
+    broadcast; the lineitem side never shuffles (scan → broadcast-join →
+    partial agg), so the plan is a zero-exchange narrow pipeline at any
+    corpus size.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin(*_Q19_ENVELOPE_BRANDS)
+        & F.col("p_size").between(1, 15)
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_rev_c4()).alias("revenue_c4"),
+        )
+    )
+
+
+SQL_Q19 = f"""
+SELECT count(*) AS n_rows, sum({_REV_C4_SQL}) AS revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — EXISTS + NOT EXISTS fact self-joins on one key
+# ---------------------------------------------------------------------------
+
+
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers (of one nation) who were the SOLE late
+    shipper on finished multi-supplier orders — EXISTS (another supplier
+    touched the order) + NOT EXISTS (another supplier was ALSO late), both
+    as fact-to-fact self-joins.  Lateness is adapted to the testdata schema
+    (no l_commitdate): shipped more than 90 days after the order date.
+
+    Scale story: the late set is computed ONCE (fact x orders equi-join,
+    lateness as a post-join filter — never a theta join, per the
+    engine-wide datediff-BETWEEN ban), then both the semi- and anti-join
+    legs hit it / the fact on the SAME key (l_orderkey), so all three
+    shuffles co-partition and AQE reuses the exchange; the supplier +
+    nation dim chain broadcasts.  Top-k is TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waited = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — anti-join + per-group threshold from a scalar subquery
+# ---------------------------------------------------------------------------
+
+_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+def q_q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, the count and total balance of
+    above-average-balance customers with NO recent orders (none since
+    2000-01-01) — the "global sales opportunity" pattern: a per-group
+    threshold from an aggregate subquery plus an anti-join against the
+    fact table.
+
+    The threshold compare is exact integers — acctbal_cents * cnt >
+    sum_cents per segment (never a float average); the segment stats frame
+    is segment-cardinality sized (broadcast), and the anti-join runs on
+    o_custkey AFTER the recent-orders filter collapses the fact side.
+    """
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acctbal_cents", _cents("c_acctbal")
+    )
+    seg_stats = (
+        cust.where(F.col("acctbal_cents") > 0)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("acctbal_cents").alias("sum_cents"),
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= _Q22_CUTOFF)
+        .select("o_custkey")
+    )
+    rich = cust.join(
+        F.broadcast(seg_stats), F.col("c_mktsegment") == F.col("seg")
+    ).where(F.col("acctbal_cents") * F.col("cnt") > F.col("sum_cents"))
+    dormant = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        dormant.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("acctbal_cents").alias("balance_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_Q22 = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         {_cents_sql('c_acctbal')} AS acctbal_cents
+  FROM customer
+), seg_stats AS (
+  SELECT c_mktsegment AS seg, count(*) AS cnt,
+         sum(acctbal_cents) AS sum_cents
+  FROM cust WHERE acctbal_cents > 0 GROUP BY c_mktsegment
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS n_custs,
+       sum(acctbal_cents) AS balance_cents
+FROM cust JOIN seg_stats ON c_mktsegment = seg
+WHERE acctbal_cents * cnt > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+TPCH_QUERIES = {
+    "q17_small_quantity": q_q17_small_quantity,
+    "q18_large_orders": q_q18_large_orders,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q22_dormant_value": q_q22_dormant_value,
+}
+
+TPCH_ORACLES = {
+    "q17_small_quantity": SQL_Q17,
+    "q18_large_orders": SQL_Q18,
+    "q19_disjunctive": SQL_Q19,
+    "q21_waiting_suppliers": SQL_Q21,
+    "q22_dormant_value": SQL_Q22,
+}

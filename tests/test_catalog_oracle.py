@@ -40,19 +40,23 @@ from service_alerts_connector_spark.catalog_text import (
     TEXT_ORACLES,
     TEXT_QUERIES,
 )
+from service_alerts_connector_spark.catalog_tpch import (
+    TPCH_ORACLES,
+    TPCH_QUERIES,
+)
 from tests.oracle_util import compare, duck_connection
 
 CORE_QUERIES = {
     **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
     **ANALYTICS_QUERIES, **GEO_QUERIES, **TEMPORAL_QUERIES,
-    **CORPUS_QUERIES, **EVENTS_QUERIES,
+    **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES,
     # only the oracled subset of EXTRA_QUERIES (the rest are rows-only)
     **{k: EXTRA_QUERIES[k] for k in EXTRA_ORACLES},
 }
 CORE_ORACLES = {
     **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
     **ANALYTICS_ORACLES, **GEO_ORACLES, **TEMPORAL_ORACLES,
-    **CORPUS_ORACLES, **EVENTS_ORACLES, **EXTRA_ORACLES,
+    **CORPUS_ORACLES, **EVENTS_ORACLES, **TPCH_ORACLES, **EXTRA_ORACLES,
 }
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")

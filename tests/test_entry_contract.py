@@ -31,8 +31,10 @@ def test_no_name_collisions():
         TEMPORAL_QUERIES,
     )
     from service_alerts_connector_spark.catalog_text import TEXT_QUERIES
+    from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES
 
     parts = [
+        TPCH_QUERIES,
         CORE_QUERIES,
         TEXT_QUERIES,
         FIXER_QUERIES,

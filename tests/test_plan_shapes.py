@@ -333,3 +333,49 @@ def test_pmi_vocab_is_broadcast(spark):
     plan = _plan(q_pmi_top_pairs(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_having_join_back_topk(spark):
+    """q18_large_orders: the HAVING aggregate must collapse the fact table
+    BEFORE the join-back (no SortMergeJoin anywhere — the qualifying-keys
+    frame broadcasts), and the top-k must be TakeOrderedAndProject."""
+    from service_alerts_connector_spark.catalog_tpch import q_q18_large_orders
+
+    plan = _plan(q_q18_large_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_envelope_pushdown_zero_fact_shuffle(spark):
+    """q19_disjunctive: the manual CNF envelope must reach BOTH parquet
+    scans (brand IN-list on part, quantity bounds on lineitem) and the
+    fact side must never shuffle — the only exchanges are the part
+    broadcast and the single-row final aggregate."""
+    from service_alerts_connector_spark.catalog_tpch import q_q19_disjunctive
+
+    plan = _plan(q_q19_disjunctive(spark, SF_DIR))
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#34]" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_self_joins_stay_equi(spark):
+    """q21_waiting_suppliers: the EXISTS/NOT-EXISTS legs must plan as
+    equi-(semi/anti) joins on l_orderkey with the inequality as a join
+    residual — NEVER BroadcastNestedLoopJoin or CartesianProduct (the
+    engine-wide theta-join ban) — and the supplier+nation dim chain must
+    broadcast with its filters pushed to the scans."""
+    from service_alerts_connector_spark.catalog_tpch import (
+        q_q21_waiting_suppliers,
+    )
+
+    plan = _plan(q_q21_waiting_suppliers(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(n_name,NATION_3)" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "TakeOrderedAndProject" in plan
