@@ -127,6 +127,8 @@ HEADLINE = [
     "q19_disjunctive",
     "q21_waiting_suppliers",
     "q22_dormant_value",
+    "q7_nation_volume",
+    "q14_promo_share",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -398,12 +398,137 @@ ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7 shape — symmetric pair predicate + year grouping
+# ---------------------------------------------------------------------------
+
+
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, either
+    direction, grouped by (supplier nation, customer nation, ship year) —
+    the symmetric-pair disjunction over two dimension chains.
+
+    Both nation filters collapse the supplier/customer dims BEFORE the
+    fact joins (each broadcast side carries only the two nations' rows);
+    the OR-of-directions runs on the joined dim attributes, never as a
+    join condition, so both fact joins stay equi.  Year grouping uses
+    date_format for cross-engine-stable string years.
+    """
+    nations = ("NATION_1", "NATION_2")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(*nations))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("cnk"),
+                                   F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(
+            (
+                (F.col("supp_nation") == nations[0])
+                & (F.col("cust_nation") == nations[1])
+            )
+            | (
+                (F.col("supp_nation") == nations[1])
+                & (F.col("cust_nation") == nations[0])
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(F.sum(_rev_c4()).alias("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+SQL_Q7 = f"""
+SELECT supp_nation, cust_nation, ship_year,
+       sum(rev_c4) AS revenue_c4
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         strftime(l_shipdate, '%Y') AS ship_year,
+         {_REV_C4_SQL} AS rev_c4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — conditional share without a float division
+# ---------------------------------------------------------------------------
+
+
+def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: how much of one month's revenue came from PROMO
+    parts.  The classic formulation divides two sums into a percentage;
+    to keep the cross-engine oracle exact the division never happens —
+    the numerator (promo revenue) and denominator (total revenue) ship as
+    two exact c4 bigints and the caller divides (monotone, lossless).
+
+    One month of lineitem (filter pushed to the scan) broadcast-joined to
+    part; the CASE-guarded sum and the total sum come out of the SAME
+    single aggregation pass — never two scans.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-10-01 00:00:00")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", _rev_c4()).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_c4"),
+            F.sum(_rev_c4()).alias("total_c4"),
+        )
+    )
+
+
+SQL_Q14 = f"""
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL} ELSE 0 END)
+         AS promo_c4,
+       sum({_REV_C4_SQL}) AS total_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
 TPCH_QUERIES = {
     "q17_small_quantity": q_q17_small_quantity,
     "q18_large_orders": q_q18_large_orders,
     "q19_disjunctive": q_q19_disjunctive,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "q22_dormant_value": q_q22_dormant_value,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q14_promo_share": q_q14_promo_share,
 }
 
 TPCH_ORACLES = {
@@ -412,4 +537,6 @@ TPCH_ORACLES = {
     "q19_disjunctive": SQL_Q19,
     "q21_waiting_suppliers": SQL_Q21,
     "q22_dormant_value": SQL_Q22,
+    "q7_nation_volume": SQL_Q7,
+    "q14_promo_share": SQL_Q14,
 }

@@ -379,3 +379,25 @@ def test_q21_self_joins_stay_equi(spark):
     assert "EqualTo(n_name,NATION_3)" in plan
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_q14_dims_broadcast_no_theta(spark):
+    """q7: the symmetric nation-pair disjunction must run as a post-join
+    filter on broadcast dim attributes, never a theta join (no BNLJ /
+    Cartesian) and the nation filter must reach the scan.  q14: the
+    CASE-share aggregation is one pass — a single broadcast join and NO
+    hashpartitioning exchange at all."""
+    from service_alerts_connector_spark.catalog_tpch import (
+        q_q7_nation_volume,
+        q_q14_promo_share,
+    )
+
+    p7 = _plan(q_q7_nation_volume(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p7
+    assert "CartesianProduct" not in p7
+    assert "In(n_name, [NATION_1,NATION_2]" in p7
+
+    p14 = _plan(q_q14_promo_share(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p14
+    assert "SortMergeJoin" not in p14
+    assert "Exchange hashpartitioning" not in p14
