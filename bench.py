@@ -129,6 +129,7 @@ HEADLINE = [
     "q22_dormant_value",
     "q7_nation_volume",
     "q14_promo_share",
+    "join_size_estimate",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

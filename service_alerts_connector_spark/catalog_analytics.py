@@ -373,6 +373,91 @@ JOIN (SELECT l_returnflag AS returnflag,
 """
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from bottom-k (KMV) set synopses — the
+    planner primitive that prices a join BEFORE running it: estimate the
+    overlap of distinct 1996-order customers with distinct 2000-order
+    customers from two 256-hash synopses, with the exact intersection
+    beside it for the audit.
+
+    Scale story: each synopsis build is distinct → TakeOrderedAndProject
+    (per-partition partial bottom-k, never a global sort or unpartitioned
+    window); everything after the two builds — merge, membership flags,
+    estimator — touches ≤ 2k rows.  The estimator arithmetic is staged
+    non-negative integer floor division (Spark ``div`` ≡ DuckDB ``//`` on
+    non-negatives), so the oracle reproduces it bit-for-bit.
+    """
+    from service_alerts_connector_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_synopsis,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    ).select("o_custkey")
+    b = orders.where(
+        (F.col("o_orderdate") >= "2000-01-01 00:00:00")
+        & (F.col("o_orderdate") < "2001-01-01 00:00:00")
+    ).select("o_custkey")
+    est = kmv_set_overlap(
+        kmv_synopsis(a, "o_custkey", k=256),
+        kmv_synopsis(b, "o_custkey", k=256),
+        k=256,
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH a AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), b AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+), sa AS (SELECT h FROM a ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+m AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT 256
+), f AS (
+  SELECT count(*) AS n_merged,
+         sum(CASE WHEN h IN (SELECT h FROM sa)
+                   AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS c_common,
+         ('0x' || substr(max(h), 1, 8))::BIGINT AS v
+  FROM m
+), e AS (
+  SELECT 256 AS k, n_merged, c_common,
+         CASE WHEN n_merged < 256 THEN n_merged
+              ELSE (255 * 4294967296) // (v + 1) END AS union_est
+  FROM f
+), x AS (
+  SELECT count(*) AS exact_intersect FROM (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+  )
+)
+SELECT k, n_merged, c_common, union_est,
+       CASE WHEN n_merged < 256 THEN c_common
+            ELSE (c_common * union_est) // 256 END AS intersect_est,
+       exact_intersect
+FROM e, x
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic hash split — reproducible train/val/test assignment
 # ---------------------------------------------------------------------------
@@ -1039,6 +1124,7 @@ LIMIT 20
 
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
+    "join_size_estimate": q_join_size_estimate,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
     "dq_rule_screen": q_dq_rule_screen,
@@ -1066,6 +1152,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "kmv_distinct": SQL_KMV,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "hll_distinct": _sql_hll(),
     "skew_salted_agg": SQL_SKEW_SALTED,
     "dq_rule_screen": SQL_DQ_RULE_SCREEN,

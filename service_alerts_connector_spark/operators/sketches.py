@@ -89,6 +89,86 @@ def kmv_distinct(
     )
 
 
+def kmv_synopsis(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """The k smallest md5 hashes of a column's DISTINCT value set — a
+    mergeable bottom-k set synopsis (Beyer et al., "On synopses for
+    distinct-value estimation under multiset operations", SIGMOD'07).
+
+    Output: one column ``_h`` (md5 hex), ≤ k rows.  The build is
+    distinct → ``orderBy(_h).limit(k)``: Spark plans TakeOrderedAndProject
+    (per-partition partial bottom-k, then a k-row driver merge) — no
+    global sort, no unpartitioned window, so the build survives any corpus
+    size; two synopses union-merge into the synopsis of the union.
+    """
+    return (
+        df.select(F.md5(F.col(key_col).cast("string")).alias("_h"))
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+
+
+def kmv_set_overlap(
+    syn_a: DataFrame, syn_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Distinct-set union / intersection estimates from two bottom-k
+    synopses — the join-cardinality-estimation primitive a 100 TB planner
+    uses before committing to a join strategy (everything downstream of
+    the two synopsis builds touches ≤ 2k rows).
+
+    Estimators, kept EXACT-integer so the cross-engine oracle is
+    bit-identical (the k-th smallest hash prefix v is a bigint; all
+    divisions are non-negative floor divisions staged identically in both
+    engines): with M = the k smallest hashes of the merged synopses and
+    c = |M ∩ A ∩ B|,
+
+    - ``union_est``  = (k-1) * 2^32 div (v+1)      [exact count when < k]
+    - ``intersect_est`` = c * union_est div k
+
+    Output: one row (k, n_merged, c_common, union_est, intersect_est).
+    """
+    merged = (
+        syn_a.union(syn_b).distinct().orderBy("_h").limit(k)
+    )
+    in_a = syn_a.select(F.col("_h").alias("_ha"))
+    in_b = syn_b.select(F.col("_h").alias("_hb"))
+    flagged = (
+        merged.join(
+            F.broadcast(in_a), F.col("_h") == F.col("_ha"), "left"
+        )
+        .join(F.broadcast(in_b), F.col("_h") == F.col("_hb"), "left")
+        .select(
+            "_h",
+            (
+                F.col("_ha").isNotNull() & F.col("_hb").isNotNull()
+            ).cast("long").alias("_both"),
+        )
+    )
+    v = F.conv(F.substring(F.max("_h"), 1, 8), 16, 10).cast("long")
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("_both").alias("c_common"),
+        v.alias("_v"),
+    )
+    union_est = F.when(
+        F.col("n_merged") < k, F.col("n_merged")
+    ).otherwise(
+        F.expr(f"({k} - 1) * {1 << 32}L div (_v + 1)")
+    )
+    est = agg.select(
+        F.lit(k).alias("k"),
+        "n_merged",
+        "c_common",
+        union_est.alias("union_est"),
+    )
+    return est.withColumn(
+        "intersect_est",
+        F.when(F.col("n_merged") < k, F.col("c_common")).otherwise(
+            F.expr(f"c_common * union_est div {k}")
+        ),
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,

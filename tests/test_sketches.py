@@ -282,3 +282,49 @@ def test_incremental_hll_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, stored.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """When both sets fit inside one synopsis the merged synopsis holds
+    the whole union, so every output column is exact."""
+    from service_alerts_connector_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_synopsis,
+    )
+
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(60, 160).select(F.col("id").alias("k"))
+    row = kmv_set_overlap(
+        kmv_synopsis(a, "k", k=256), kmv_synopsis(b, "k", k=256), k=256
+    ).collect()[0]
+    assert row["n_merged"] == 160  # |union| < k → exact
+    assert row["union_est"] == 160
+    assert row["c_common"] == 40
+    assert row["intersect_est"] == 40
+
+
+def test_kmv_overlap_estimate_within_tolerance(spark):
+    """Above k the bottom-k estimator lands within ~3/sqrt(k) of the true
+    union and intersection sizes (k=256 → ~20%); membership flags come
+    from the synopses, so the estimate is deterministic and
+    partitioning-invariant."""
+    from service_alerts_connector_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_synopsis,
+    )
+
+    a = spark.range(0, 4_000).select(F.col("id").alias("k"))
+    b = spark.range(2_000, 6_000).select(F.col("id").alias("k"))
+    est = kmv_set_overlap(
+        kmv_synopsis(a, "k", k=256), kmv_synopsis(b, "k", k=256), k=256
+    )
+    row = est.collect()[0]
+    assert abs(row["union_est"] - 6_000) / 6_000 < 0.2
+    assert abs(row["intersect_est"] - 2_000) / 2_000 < 0.35
+    # deterministic under repartition
+    row2 = kmv_set_overlap(
+        kmv_synopsis(a.repartition(7), "k", k=256),
+        kmv_synopsis(b.repartition(3), "k", k=256),
+        k=256,
+    ).collect()[0]
+    assert tuple(row) == tuple(row2)

@@ -10,11 +10,12 @@ from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
 from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES
 from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as TQ2
+from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES
 
 spark = get_spark(master="local[8]", shuffle_partitions=8)
 sf = "/root/testdata/sf0.001"
 ALL = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **ANALYTICS_QUERIES,
-       **GEO_QUERIES, **CORPUS_QUERIES, **EVENTS_QUERIES}
+       **GEO_QUERIES, **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES}
 PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti",
         "a3_lastwins_dedup", "p10_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "config_join_fanout", "w5_windowed_agg", "rollup_pricing",
@@ -23,7 +24,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "dedup_embedding_cosine", "cohort_retention",
         "bloom_semi_join", "ann_sq8",
         "hll_distinct", "dedup_prefix_filter", "dq_rule_screen",
-        "vocab_coverage", "q5_region_volume"]
+        "vocab_coverage", "q5_region_volume",
+        "q19_disjunctive", "q21_waiting_suppliers"]
 NOTES = {
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
@@ -52,6 +54,8 @@ NOTES = {
     "dq_rule_screen": "five rules = ONE partial+final aggregate over ONE scan; stack unpivot runs on the single aggregate row",
     "vocab_coverage": "token groupBy is the only corpus-sized exchange; cumulative distribution is a broadcast self-join of the <=64-row bucket table - no global window",
     "q5_region_volume": "six-table snowflake: every dimension chain a BroadcastHashJoin, only the fact tables shuffle, exact-integer revenue agg",
+    "q19_disjunctive": "OR-of-ANDs across the join with a manual CNF envelope: brand IN-list + size bound pushed to the part scan, quantity bound pushed to lineitem, broadcast join, ZERO hashpartitioning exchanges",
+    "q21_waiting_suppliers": "EXISTS + NOT-EXISTS as equi-semi/anti joins with inequality residuals on ONE key (l_orderkey); lateness is a post-join filter, never a theta join; dim chain broadcast",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
