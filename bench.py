@@ -130,6 +130,7 @@ HEADLINE = [
     "q7_nation_volume",
     "q14_promo_share",
     "join_size_estimate",
+    "window_rank_suite",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -373,6 +373,63 @@ JOIN (SELECT l_returnflag AS returnflag,
 """
 
 
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window functions not exercised elsewhere in the
+    catalog — percent_rank, cume_dist, ntile(4), running nth_value — over
+    a fully tiebroken per-status order.
+
+    Cross-engine determinism: the (cents, orderkey) order is total, so
+    RANGE and ROWS frames coincide and ntile's remainder distribution is
+    identical; percent_rank/cume_dist are single exactly-rounded IEEE
+    divisions of small integers, re-encoded as floor(x*1e6) bigints per
+    the catalog float rules.  One keyed window exchange; the output
+    filter keeps 1/20 of rows but runs AFTER the windows (semantics) —
+    at scale you'd push a key-range predicate instead.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("status").orderBy(F.asc("cents"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn(
+            "pr_micro",
+            F.floor(F.percent_rank().over(w) * 1_000_000).cast("long"),
+        )
+        .withColumn(
+            "cd_micro",
+            F.floor(F.cume_dist().over(w) * 1_000_000).cast("long"),
+        )
+        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("third_key", F.nth_value("o_orderkey", 3).over(w))
+        .where(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "status", "o_orderkey", "cents",
+            "pr_micro", "cd_micro", "quartile", "third_key",
+        )
+        .orderBy("status", "o_orderkey")
+    )
+
+
+SQL_WINDOW_RANK_SUITE = """
+SELECT status, o_orderkey, cents, pr_micro, cd_micro, quartile, third_key
+FROM (
+  SELECT o_orderstatus AS status, o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+         CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro,
+         ntile(4) OVER w AS quartile,
+         nth_value(o_orderkey, 3) OVER w AS third_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus
+               ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+)
+WHERE o_orderkey % 20 = 0
+ORDER BY status, o_orderkey
+"""
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from bottom-k (KMV) set synopses — the
     planner primitive that prices a join BEFORE running it: estimate the
@@ -1125,6 +1182,7 @@ LIMIT 20
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
+    "window_rank_suite": q_window_rank_suite,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
     "dq_rule_screen": q_dq_rule_screen,
@@ -1153,6 +1211,7 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLES = {
     "kmv_distinct": SQL_KMV,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+    "window_rank_suite": SQL_WINDOW_RANK_SUITE,
     "hll_distinct": _sql_hll(),
     "skew_salted_agg": SQL_SKEW_SALTED,
     "dq_rule_screen": SQL_DQ_RULE_SCREEN,
