@@ -131,6 +131,7 @@ HEADLINE = [
     "q14_promo_share",
     "join_size_estimate",
     "window_rank_suite",
+    "graph_triangles",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -426,6 +426,67 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over a banded neighbor graph: customers whose
+    keys differ by ≤4 and who share a market segment.  The testdata has no
+    natural sparse graph, so the edge set is synthesized with the engine's
+    bounded-window pattern — ``explode(sequence(1,4))`` + equi-join on
+    (custkey+d, segment), never a key-range theta join — which gives a
+    degree-≤8 graph with organic triangles; the operator itself
+    (`operators/graph.py triangle_count`) is generic over any edge frame.
+
+    Scale story: edge generation is O(nodes × band); the ordered wedge
+    join's volume is Σ deg_lo·deg_hi ≤ 16·|V| on this bounded-degree
+    graph, and on power-law graphs the documented mitigation is the
+    min-support/degree prune BEFORE this operator — wedge volume is a
+    property of the graph, not the engine.
+    """
+    from service_alerts_connector_spark.operators.graph import triangle_count
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    probes = cust.select(
+        F.col("c_custkey").alias("src"),
+        F.col("c_mktsegment").alias("seg"),
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("d"),
+    ).select("src", "seg", (F.col("src") + F.col("d")).alias("dst"))
+    edges = probes.join(
+        cust.select(
+            F.col("c_custkey").alias("dst"),
+            F.col("c_mktsegment").alias("seg2"),
+        ),
+        "dst",
+    ).where(F.col("seg") == F.col("seg2")).select("src", "dst")
+    return triangle_count(edges, "src", "dst")
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT c1.c_custkey AS lo, c2.c_custkey AS hi
+  FROM customer c1
+  JOIN range(1, 5) d(d) ON true
+  JOIN customer c2 ON c2.c_custkey = c1.c_custkey + d.d
+                  AND c2.c_mktsegment = c1.c_mktsegment
+), wedges AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1 JOIN e e2 ON e1.hi = e2.lo
+), tri AS (
+  SELECT count(*) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.a AND e.hi = w.c)
+), nodes AS (
+  SELECT count(*) AS n_nodes FROM (
+    SELECT lo AS n FROM e UNION SELECT hi FROM e
+  )
+)
+SELECT n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_wedges,
+       n_triangles
+FROM nodes, tri
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-day value quantiles via the mergeable log2-bucket sketch
 # ---------------------------------------------------------------------------
@@ -529,6 +590,7 @@ EVENTS_QUERIES = {
     "type_cooccurrence": q_type_cooccurrence,
     "type_transitions": q_type_transitions,
     "event_pagerank": q_event_pagerank,
+    "graph_triangles": q_graph_triangles,
     "rolling_distinct_hll": q_rolling_distinct_hll,
     "event_value_quantiles": q_event_value_quantiles,
 }
@@ -541,6 +603,7 @@ EVENTS_ORACLES = {
     "type_cooccurrence": SQL_COOCCURRENCE,
     "type_transitions": SQL_TRANSITIONS,
     "event_pagerank": SQL_EVENT_PAGERANK,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "rolling_distinct_hll": _sql_rolling_hll(),
     "event_value_quantiles": _sql_event_value_quantiles(),
 }

@@ -88,3 +88,60 @@ def pagerank_integer(
             # (same rationale as connected_components in textdedup.py)
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count via the ordered wedge join
+    (compact-forward): canonicalize every undirected edge to (lo, hi)
+    and dedup, build ordered wedges a<b<c from edge pairs sharing b, and
+    semi-join the closing (a, c) edge.  The a<b<c total order counts each
+    triangle exactly once with no post-hoc /3 or /6 division.
+
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles) — all exact
+    bigints, so any engine reproduces them bit-for-bit.
+
+    Scale shape: the wedge join shuffles the canonical edge table on the
+    shared endpoint b; the closing probe is an equi-semi-join on (a, c).
+    Wedge volume is Σ_b deg_lo(b)·deg_hi(b) — callers should prune
+    low-support edges first (see the catalog query's min-support filter):
+    triangle counting on an unpruned power-law graph is wedge-bound no
+    matter the engine, and the standard mitigation IS the support/degree
+    threshold, not a cleverer join.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    wedges = (
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .join(
+            e.select(F.col("lo").alias("b2"), F.col("hi").alias("c")),
+            F.col("b") == F.col("b2"),
+        )
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    nodes = (
+        e.select(F.col("lo").alias("n"))
+        .union(e.select(F.col("hi").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+    )
