@@ -86,3 +86,38 @@ def test_pagerank_dangling_node_receives_only(spark):
     }
     assert ranks["sink"] > ranks["a"]
     assert ranks["a"] == (100 - 85) * RANK_SCALE // 100  # teleport floor only
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Seeded random graph: the ordered-wedge-join count equals the
+    brute-force enumeration over all id triples, and direction/duplicate
+    edges in the input don't change the answer (canonicalization)."""
+    import itertools
+    import random
+
+    from service_alerts_connector_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    n = 30
+    edge_set = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.18
+    }
+    # feed the operator reversed duplicates and self-loops to exercise
+    # canonicalization
+    rows = [(a, b) for a, b in edge_set] + [
+        (b, a) for a, b in list(edge_set)[::3]
+    ] + [(5, 5)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    row = triangle_count(edges, "src", "dst").collect()[0]
+    adj = {frozenset(e) for e in edge_set}
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= adj
+    )
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edge_set)
+    assert brute > 0  # non-vacuous at this density
