@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
         "q21_waiting_suppliers", "q22_dormant_value",
         "q7_nation_volume", "q14_promo_share", "join_size_estimate",
-        "window_rank_suite", "graph_triangles",
+        "window_rank_suite", "graph_triangles", "skew_report",
     )
     lead = {k: merged[k] for k in r5_new if k in merged}
     fresh = {

@@ -132,6 +132,7 @@ HEADLINE = [
     "join_size_estimate",
     "window_rank_suite",
     "graph_triangles",
+    "skew_report",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

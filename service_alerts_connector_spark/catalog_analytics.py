@@ -909,6 +909,62 @@ JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
 # ---------------------------------------------------------------------------
 # Skew-safe two-phase aggregation — hot-key groupBy without a hot reducer
 # ---------------------------------------------------------------------------
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic for a join/aggregation column — the measurement
+    that decides whether the salted-aggregate / AQE-skew-join mitigations
+    are needed: the 10 heaviest l_partkey groups with their exact share of
+    all rows (micro units — share_micro = count·1e6 div total, staged
+    non-negative integer division), beside the distinct-key count and the
+    max/avg group-size ratio (ratio_micro = max·1e6 div avg-as-fraction =
+    max·keys·1e6 div total).
+
+    One groupBy(key) shuffle (map-side combined) → TakeOrderedAndProject
+    for the top-k; the totals ride along via a broadcast of the 1-row
+    summary — no second scan of the fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = sizes.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(summary))
+        .select(
+            "key",
+            "n_rows",
+            "total_rows",
+            "n_keys",
+            F.expr("n_rows * 1000000L div total_rows").alias("share_micro"),
+            F.expr("max_rows * n_keys * 1000000L div total_rows").alias(
+                "skew_ratio_micro"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(10)
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH sizes AS (
+  SELECT l_partkey AS key, count(*) AS n_rows FROM lineitem GROUP BY l_partkey
+), summary AS (
+  SELECT sum(n_rows) AS total_rows, count(*) AS n_keys,
+         max(n_rows) AS max_rows
+  FROM sizes
+)
+SELECT key, n_rows, total_rows, n_keys,
+       (n_rows * 1000000) // total_rows AS share_micro,
+       (max_rows * n_keys * 1000000) // total_rows AS skew_ratio_micro
+FROM sizes, summary
+ORDER BY n_rows DESC, key ASC
+LIMIT 10
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event count + value total per event type via ``salted_aggregate``
     (operators/skew.py): phase 1 aggregates on (key, salt∈[0,16)), phase 2
@@ -1183,6 +1239,7 @@ ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
     "window_rank_suite": q_window_rank_suite,
+    "skew_report": q_skew_report,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
     "dq_rule_screen": q_dq_rule_screen,
@@ -1212,6 +1269,7 @@ ANALYTICS_ORACLES = {
     "kmv_distinct": SQL_KMV,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "window_rank_suite": SQL_WINDOW_RANK_SUITE,
+    "skew_report": SQL_SKEW_REPORT,
     "hll_distinct": _sql_hll(),
     "skew_salted_agg": SQL_SKEW_SALTED,
     "dq_rule_screen": SQL_DQ_RULE_SCREEN,
