@@ -133,6 +133,7 @@ HEADLINE = [
     "window_rank_suite",
     "graph_triangles",
     "skew_report",
+    "bpe_merge_step",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

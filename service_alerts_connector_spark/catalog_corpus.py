@@ -446,6 +446,58 @@ FROM scored
 # ---------------------------------------------------------------------------
 # BPE-ish token counting (token-budget estimation without the tokenizer)
 # ---------------------------------------------------------------------------
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step as exact distributed dataflow: count
+    adjacent token-pair frequencies over the corpus and emit the top-20
+    merge candidates (the argmax row IS the next merge; iterating this
+    step = BPE vocabulary induction).  Completes the iterative-training
+    tier beside `kmeans_update` (assignment/update) and the PageRank
+    recurrence — every "training" loop in the engine is a deterministic
+    integer dataflow step.
+
+    Scale shape: tokens are MATERIALIZED in a projection before the pair
+    lambda (transform-captured expressions re-evaluate per element — the
+    engine-wide rule), the pair explode is narrow O(tokens), and the only
+    shuffle is the map-side-combined groupBy(a, b), bounded by the
+    observed-bigram vocabulary; top-k is TakeOrderedAndProject.
+    """
+    from service_alerts_connector_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t")).where(
+        F.size("t") > 1
+    )
+    pairs = toks.select(
+        F.expr(
+            "explode(transform(slice(t, 2, size(t) - 1),"
+            " (x, i) -> struct(t[i] AS a, x AS b)))"
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+SQL_BPE_MERGE_STEP = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND trim(lower(text)) <> ''
+), pairs AS (
+  SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+  FROM toks WHERE len(t) > 1
+)
+SELECT a, b, count(*) AS freq
+FROM pairs GROUP BY a, b
+ORDER BY freq DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
 def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from service_alerts_connector_spark.functions.text import (
         bpe_ish_token_count,
@@ -950,6 +1002,7 @@ CORPUS_QUERIES = {
     "source_mixing": q_source_mixing,
     "quality_deciles": q_quality_deciles,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "bpe_merge_step": q_bpe_merge_step,
     "length_outlier_filter": q_length_outlier_filter,
     "embedding_center_stats": q_embedding_center_stats,
     "assign_seq_ids": q_assign_seq_ids,
@@ -974,6 +1027,7 @@ CORPUS_ORACLES = {
     "source_mixing": SQL_SOURCE_MIXING,
     "quality_deciles": SQL_QUALITY_DECILES,
     "text_bpe_tokens": SQL_BPE_TOKENS,
+    "bpe_merge_step": SQL_BPE_MERGE_STEP,
     "length_outlier_filter": SQL_LENGTH_OUTLIER,
     "embedding_center_stats": SQL_EMB_CENTER,
     "assign_seq_ids": SQL_ASSIGN_SEQ,
