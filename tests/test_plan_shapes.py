@@ -401,3 +401,42 @@ def test_q7_q14_dims_broadcast_no_theta(spark):
     assert "BroadcastHashJoin" in p14
     assert "SortMergeJoin" not in p14
     assert "Exchange hashpartitioning" not in p14
+
+
+def test_round5_sketch_graph_queries_plan_shapes(spark):
+    """join_size_estimate: both synopsis builds are TakeOrderedAndProject
+    (never a global sort / unpartitioned window).  graph_triangles: every
+    join is equi (no BNLJ/Cartesian from the wedge or closing joins).
+    skew_report / bpe_merge_step: top-k is TakeOrderedAndProject and
+    nothing sort-merges."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_join_size_estimate,
+        q_skew_report,
+    )
+    from service_alerts_connector_spark.catalog_corpus import q_bpe_merge_step
+    from service_alerts_connector_spark.catalog_events import q_graph_triangles
+
+    p = _plan(q_join_size_estimate(spark, SF_DIR))
+    assert p.count("TakeOrderedAndProject") >= 3  # two synopses + merge
+    assert "Window" not in p
+
+    p = _plan(q_graph_triangles(spark, SF_DIR))
+    # the four 1-row stat frames combine via broadcast nested-loop cross
+    # joins (1×1 rows — harmless); the wedge/closing/edge-gen legs must be
+    # HASH joins on real keys, and nothing may plan a true CartesianProduct
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 3  # only the stat combines
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+    p = _plan(q_skew_report(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+    p = _plan(q_bpe_merge_step(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" in p  # the one bounded pair groupBy
