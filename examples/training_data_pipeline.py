@@ -1,0 +1,86 @@
+"""Quickstart #2: an LLM training-data curation pipeline in ~50 lines.
+
+Run:  python examples/training_data_pipeline.py [sf_dir]
+      (default /root/testdata/sf0.001)
+
+Flow: documents → quality gate → exact dedup → near dedup (MinHash+LSH)
+→ leakage-safe train/val/test split → chunk → pack into fixed token
+budgets.  Every stage is the same operator the catalog exposes (and the
+DuckDB oracle checks); this file just strings them together the way a
+pipeline team would.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+from service_alerts_connector_spark.catalog_text import q_leakage_safe_split
+from service_alerts_connector_spark.functions.text import token_count
+from service_alerts_connector_spark.operators.chunking import (
+    chunk_documents,
+    pack_bins,
+)
+from service_alerts_connector_spark.operators.textdedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dedup_keep,
+)
+from service_alerts_connector_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+
+    docs = _t(spark, sf_dir, "documents")
+    print(f"ingested: {docs.count()} docs")
+
+    # 1. quality gate (real pipelines: functions/text.py quality scores
+    #    thresholded at the quality_deciles cutoffs)
+    gated = docs.where(token_count(F.col("text")) >= 5)
+    print(f"after quality gate: {gated.count()}")
+
+    # 2. exact dedup, then near-dedup keep-representative over LSH pairs
+    exact_kept = exact_dedup(gated, "text", "doc_id")
+    sigs = minhash_signatures(exact_kept, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    kept = near_dedup_keep(exact_kept, pairs, "doc_id")
+    print(f"after exact+near dedup: {kept.count()}")
+
+    # 3. leakage-safe split (cluster-aware: near-dups never straddle
+    #    train and held-out)
+    split = q_leakage_safe_split(spark, sf_dir).join(
+        kept, "doc_id", "left_semi"
+    )
+    split.groupBy("split").count().orderBy("split").show()
+
+    # 4. chunk to 64-token windows (16 overlap), pack into 256-token bins
+    #    across 4 shards (packing parallelizes per shard)
+    chunks = chunk_documents(
+        kept, "doc_id", "text", chunk_tokens=64, overlap_tokens=16
+    ).withColumn("shard", F.pmod("doc_id", F.lit(4))).withColumn(
+        "chunk_uid", F.col("doc_id") * 10_000 + F.col("chunk_idx")
+    )
+    packed = pack_bins(
+        chunks,
+        shard_col="shard",
+        id_col="chunk_uid",
+        tokens_col="n_chunk_tokens",
+        capacity=256,
+    )
+    print(f"chunks: {chunks.count()}; example bins:")
+    packed.groupBy("shard", "bin_idx").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("bin_tokens"),
+    ).orderBy("shard", "bin_idx").show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
