@@ -114,3 +114,28 @@ def test_round4_operators_on_empty_input(spark):
     )
     row = media_decode_stats(junk).collect()[0]
     assert row["width"] is None and row["hist"] is None
+
+
+def test_round5_operators_on_empty_input(spark):
+    from service_alerts_connector_spark.operators.graph import triangle_count
+    from service_alerts_connector_spark.operators.sketches import (
+        kmv_set_overlap,
+        kmv_synopsis,
+    )
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    row = triangle_count(empty_edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"]) == (0, 0, 0, 0)
+
+    empty_keys = spark.createDataFrame([], "k long")
+    syn = kmv_synopsis(empty_keys, "k", k=16)
+    assert syn.count() == 0
+    row = kmv_set_overlap(syn, syn, k=16).collect()[0]
+    assert row["n_merged"] == 0 and row["union_est"] == 0
+    # one empty side: estimates collapse to the non-empty side, exactly
+    some = kmv_synopsis(
+        spark.range(0, 5).select(F.col("id").alias("k")), "k", k=16
+    )
+    row = kmv_set_overlap(some, syn, k=16).collect()[0]
+    assert row["union_est"] == 5 and row["c_common"] == 0
