@@ -134,6 +134,7 @@ HEADLINE = [
     "graph_triangles",
     "skew_report",
     "bpe_merge_step",
+    "ann_rerank",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

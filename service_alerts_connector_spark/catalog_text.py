@@ -1256,6 +1256,68 @@ LIMIT 10
 """
 
 
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: coarse SQ8 recall of 100 candidates over the whole
+    corpus (integer dots on 4×-compressed codes), exact milli-int rerank
+    of just those 100 — the recall→precision serving split every vector
+    store runs at scale.  Both stages are exact-integer cross-engine
+    (see operators/similarity.py two_stage_ann)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        two_stage_ann,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return two_stage_ann(emb, qvec, recall_k=100, k=10)
+
+
+SQL_ANN_RERANK = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM base
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(v, x -> floor(x / scale * 127 + 0.5))
+         END AS c
+  FROM scaled
+), q AS (
+  SELECT c AS qc FROM codes WHERE vec_id = 0
+), coarse AS (
+  SELECT codes.vec_id
+  FROM codes, q
+  WHERE list_dot_product(c, c) > 0
+  ORDER BY round(list_dot_product(c, qc)
+                 / (sqrt(list_dot_product(c, c))
+                    * sqrt(list_dot_product(qc, qc))), 6) DESC,
+           codes.vec_id ASC
+  LIMIT 100
+), milli AS (
+  SELECT vec_id, list_transform(v, x -> floor(x * 1000)) AS m
+  FROM base
+  WHERE vec_id IN (SELECT vec_id FROM coarse)
+), qm AS (
+  SELECT list_transform(v, x -> floor(x * 1000)) AS mq
+  FROM base WHERE vec_id = 0
+)
+SELECT milli.vec_id,
+       round(list_dot_product(m, mq)
+             / (sqrt(list_dot_product(m, m)) * sqrt(list_dot_product(mq, mq))),
+             6) AS rcos
+FROM milli, qm
+WHERE list_dot_product(m, m) > 0
+ORDER BY rcos DESC, milli.vec_id ASC
+LIMIT 10
+"""
+
+
 def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch serving: exact top-5 for five query vectors in one corpus
     scan, per-query ranking via the salted two-phase prune (no
@@ -1386,12 +1448,14 @@ TEXT_QUERIES = {
     "embedding_sq8": q_embedding_sq8,
     "ann_sq8": q_ann_sq8,
     "ann_batch": q_ann_batch,
+    "ann_rerank": q_ann_rerank,
     "kmeans_update": q_kmeans_update,
     "leakage_safe_split": q_leakage_safe_split,
 }
 
 TEXT_ORACLES = {
     "ann_batch": SQL_ANN_BATCH,
+    "ann_rerank": SQL_ANN_RERANK,
     "kmeans_update": SQL_KMEANS_UPDATE,
     "leakage_safe_split": _sql_leakage_safe_split(),
     "embedding_sq8": SQL_EMBEDDING_SQ8,

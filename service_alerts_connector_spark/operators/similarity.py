@@ -906,3 +906,71 @@ def kmeans_update_stats(
         )
         .select("cell", "d", "n_members", "sum_milli")
     )
+
+
+def two_stage_ann(
+    df: DataFrame,
+    query_vec: "Sequence[float]",
+    recall_k: int = 100,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "rcos",
+) -> DataFrame:
+    """Two-stage ANN serving — the standard recall→precision split: a
+    coarse pass scores the WHOLE corpus from 4×-compressed SQ8 codes
+    (integer dots, ``sq8_cosine_topk``) and keeps ``recall_k``
+    candidates; the rerank pass touches only those rows and re-scores
+    them at full precision from the original vectors re-encoded as exact
+    milli-ints (floor(x·1000) — one IEEE multiply + floor per component,
+    so dots stay exact 64-bit integers and the oracle needs no
+    tolerance).
+
+    Scale shape: the corpus scan reads codes only (memory-bound stage);
+    the candidate frame is ``recall_k`` rows → broadcast semi-join back
+    into the vector table; both top-ks are TakeOrderedAndProject.
+    """
+    import math
+
+    quant = quantize_embeddings_sq8(df, vec_col=vec_col, id_col=id_col)
+    cand = sq8_cosine_topk(
+        quant, sq8_quantize_vec(query_vec), k=recall_k, id_col=id_col
+    ).select(id_col)
+    mq = [int(math.floor(float(x) * 1000.0)) for x in query_vec]
+    qq = sum(c * c for c in mq)
+    if qq == 0:
+        raise ValueError("zero query vector: cosine undefined")
+    qarr = F.array(*[F.lit(c).cast("long") for c in mq])
+    milli = (
+        df.join(F.broadcast(cand), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * F.lit(1000.0)).cast("long"),
+            ).alias("_m"),
+        )
+    )
+    dot_mq = F.aggregate(
+        F.zip_with(F.col("_m"), qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dot_mm = F.aggregate(
+        F.transform(F.col("_m"), lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = milli.select(
+        F.col(id_col), dot_mq.alias("_mq"), dot_mm.alias("_mm")
+    ).where(F.col("_mm") > 0)
+    cos = F.round(
+        F.col("_mq")
+        / (F.sqrt(F.col("_mm").cast("double")) * F.sqrt(F.lit(float(qq)))),
+        6,
+    )
+    return (
+        scored.select(F.col(id_col), cos.alias(out_col))
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(k)
+    )
