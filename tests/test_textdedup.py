@@ -712,3 +712,27 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     )
     assert multi > 0
     assert out.select("split").distinct().count() > 1
+
+
+def test_two_stage_ann_recall_beats_coarse(spark):
+    """The exact milli-int rerank must recover the exact top-10 almost
+    perfectly when the 100-candidate recall pool contains it (milli
+    re-encoding distortion ~1e-3 ≪ SQ8's), rank the query's own vector
+    first, and touch only recall_k rows in stage 2 (broadcast semi-join
+    plan)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        two_stage_ann,
+    )
+
+    df, _ = _planted_corpus(spark, n=80)
+    qrow = list(df.where(F.col("vec_id") == 3).collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(df, qrow, 10).collect()]
+    top = two_stage_ann(df, qrow, recall_k=40, k=10)
+    got = [r["vec_id"] for r in top.collect()]
+    assert got[0] == 3
+    assert len(set(exact) & set(got)) >= 9
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1  # candidate semi-join broadcasts
