@@ -135,6 +135,7 @@ HEADLINE = [
     "skew_report",
     "bpe_merge_step",
     "ann_rerank",
+    "ohlc_downsample",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -426,6 +426,70 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling of the event value series per (user, day) —
+    open/close via ``min_by``/``max_by`` (DuckDB ``arg_min``/``arg_max``),
+    high/low/sum/count in the same single aggregation pass: the classic
+    time-series rollup a metrics lake serves.
+
+    Determinism: the selector key is a zero-padded ``epoch-event_id``
+    string, totally ordered and lexicographically identical in both
+    engines; values in integer cents.  One map-side-combined
+    groupBy(user, day) — output is bounded by (users × days), never the
+    raw event count; the user sampling predicate is pushed to the scan.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    key = F.concat(
+        F.lpad(F.col("ts").cast("long").cast("string"), 12, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("_d"),
+            key.alias("_k"),
+            cents.alias("_c"),
+        )
+        .groupBy(
+            "user_id", F.date_format("_d", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.min_by("_c", "_k").alias("open_cents"),
+            F.max("_c").alias("high_cents"),
+            F.min("_c").alias("low_cents"),
+            F.max_by("_c", "_k").alias("close_cents"),
+            F.sum("_c").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_OHLC = """
+WITH keyed AS (
+  SELECT user_id,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), 12, '0')
+           || '-' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE user_id % 25 = 0
+)
+SELECT user_id, day,
+       arg_min(c, k) AS open_cents,
+       max(c) AS high_cents,
+       min(c) AS low_cents,
+       arg_max(c, k) AS close_cents,
+       sum(c) AS sum_cents,
+       count(*) AS n_events
+FROM keyed
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over a banded neighbor graph: customers whose
     keys differ by ≤4 and who share a market segment.  The testdata has no
@@ -591,6 +655,7 @@ EVENTS_QUERIES = {
     "type_transitions": q_type_transitions,
     "event_pagerank": q_event_pagerank,
     "graph_triangles": q_graph_triangles,
+    "ohlc_downsample": q_ohlc_downsample,
     "rolling_distinct_hll": q_rolling_distinct_hll,
     "event_value_quantiles": q_event_value_quantiles,
 }
@@ -604,6 +669,7 @@ EVENTS_ORACLES = {
     "type_transitions": SQL_TRANSITIONS,
     "event_pagerank": SQL_EVENT_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "ohlc_downsample": SQL_OHLC,
     "rolling_distinct_hll": _sql_rolling_hll(),
     "event_value_quantiles": _sql_event_value_quantiles(),
 }
