@@ -136,6 +136,7 @@ HEADLINE = [
     "bpe_merge_step",
     "ann_rerank",
     "ohlc_downsample",
+    "funnel_ordered_3step",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

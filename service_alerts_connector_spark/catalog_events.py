@@ -426,6 +426,84 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_funnel_ordered_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly ORDERED 3-step funnel (view → click → purchase, each step
+    after the previous — the MATCH_RECOGNIZE-lite pattern): per user, the
+    first view, the first click AFTER that view, the first purchase AFTER
+    that click, and how far the user got.
+
+    Implementation is three chained conditional aggregations on the user
+    key (each step: filter type, join the previous step's anchor, keep
+    min ts after it) — never an events self-join on time, never a window
+    over raw events; all three joins are per-user-aggregate-sized, so
+    AQE picks the strategy.  Epochs floored per the catalog rules;
+    event_id tiebreaks make every "first" unique.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("s"), "event_id"
+    )
+
+    def first_after(typ: str, prev: DataFrame, prev_col: str, out: str):
+        stage = ev.where(F.col("event_type") == typ)
+        if prev is None:
+            return stage.groupBy("user_id").agg(F.min("s").alias(out))
+        return (
+            stage.join(prev, "user_id")
+            .where(F.col("s") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("s").alias(out))
+        )
+
+    views = first_after("view", None, "", "view_s")
+    clicks = first_after("click", views, "view_s", "click_s")
+    purchases = first_after("purchase", clicks, "click_s", "purchase_s")
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "view_s",
+            "click_s",
+            "purchase_s",
+            (
+                F.lit(1)
+                + F.col("click_s").isNotNull().cast("int")
+                + F.col("purchase_s").isNotNull().cast("int")
+            ).alias("steps_reached"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_FUNNEL_ORDERED = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), views AS (
+  SELECT user_id, min(s) AS view_s FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, min(e.s) AS click_s
+  FROM ev e JOIN views v USING (user_id)
+  WHERE e.event_type = 'click' AND e.s > v.view_s
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, min(e.s) AS purchase_s
+  FROM ev e JOIN clicks c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.s > c.click_s
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_s, c.click_s, p.purchase_s,
+       1 + CAST(c.click_s IS NOT NULL AS INTEGER)
+         + CAST(p.purchase_s IS NOT NULL AS INTEGER) AS steps_reached
+FROM views v
+LEFT JOIN clicks c USING (user_id)
+LEFT JOIN purchases p USING (user_id)
+ORDER BY v.user_id
+"""
+
+
 def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling of the event value series per (user, day) —
     open/close via ``min_by``/``max_by`` (DuckDB ``arg_min``/``arg_max``),
@@ -656,6 +734,7 @@ EVENTS_QUERIES = {
     "event_pagerank": q_event_pagerank,
     "graph_triangles": q_graph_triangles,
     "ohlc_downsample": q_ohlc_downsample,
+    "funnel_ordered_3step": q_funnel_ordered_3step,
     "rolling_distinct_hll": q_rolling_distinct_hll,
     "event_value_quantiles": q_event_value_quantiles,
 }
@@ -670,6 +749,7 @@ EVENTS_ORACLES = {
     "event_pagerank": SQL_EVENT_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "ohlc_downsample": SQL_OHLC,
+    "funnel_ordered_3step": SQL_FUNNEL_ORDERED,
     "rolling_distinct_hll": _sql_rolling_hll(),
     "event_value_quantiles": _sql_event_value_quantiles(),
 }

@@ -67,3 +67,42 @@ def test_event_throttle_keeps_earliest_per_bucket(spark, tmp_path):
         r["event_id"] for r in q_event_throttle(spark, sf_dir).collect()
     )
     assert kept == [10, 12, 13]
+
+
+def test_funnel_ordered_3step_partial_paths(spark, tmp_path):
+    """Out-of-order steps must NOT count: a click before the first view
+    and a purchase before the first click leave the user at an earlier
+    stage — pinned with a synthetic corpus because the driver testdata is
+    dense enough that every user completes the funnel."""
+    from datetime import timedelta
+
+    from service_alerts_connector_spark.catalog_events import (
+        q_funnel_ordered_3step,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: view → click → purchase (complete, in order)
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + timedelta(hours=1)),
+        (3, 1, "purchase", t0 + timedelta(hours=2)),
+        # user 2: click BEFORE first view — stuck at step 1
+        (4, 2, "click", t0),
+        (5, 2, "view", t0 + timedelta(hours=1)),
+        # user 3: view, then purchase with no click between — step 1 only
+        (6, 3, "view", t0),
+        (7, 3, "purchase", t0 + timedelta(hours=1)),
+        # user 4: never views (click+purchase only) — absent from output
+        (8, 4, "click", t0),
+        (9, 4, "purchase", t0 + timedelta(hours=1)),
+        # user 5: view → click, purchase BEFORE the click — step 2
+        (10, 5, "view", t0),
+        (11, 5, "purchase", t0 + timedelta(minutes=30)),
+        (12, 5, "click", t0 + timedelta(hours=1)),
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: r["steps_reached"]
+        for r in q_funnel_ordered_3step(spark, sf_dir).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1, 5: 2}
