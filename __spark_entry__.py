@@ -131,7 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers", "q22_dormant_value",
         "q7_nation_volume", "q14_promo_share", "join_size_estimate",
         "window_rank_suite", "graph_triangles", "skew_report",
-        "bpe_merge_step", "ann_rerank", "ohlc_downsample", "funnel_ordered_3step",
+        "bpe_merge_step", "ann_rerank", "ohlc_downsample", "funnel_ordered_3step", "null_safe_join",
     )
     lead = {k: merged[k] for k in r5_new if k in merged}
     fresh = {

@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_rerank",
     "ohlc_downsample",
     "funnel_ordered_3step",
+    "null_safe_join",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -373,6 +373,62 @@ JOIN (SELECT l_returnflag AS returnflag,
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join semantics: '4-NOT SPECIFIED' priorities become
+    NULL (the dirty-dimension pattern) and the label join uses Spark's
+    ``eqNullSafe`` (``<=>``) ↔ DuckDB's ``IS NOT DISTINCT FROM`` — the
+    NULL bucket matches the dim's NULL row instead of dropping, which a
+    plain equi-join would silently do.
+
+    Plan: the 6-row label dim broadcasts and ``<=>`` still plans a
+    BroadcastHashJoin (null-safe equality is a hashable key in Catalyst);
+    one map-side-combined groupBy(label) after it.
+    """
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "prio", F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    )
+    labels = spark.createDataFrame(
+        [
+            ("1-URGENT", "urgent"),
+            ("2-HIGH", "high"),
+            ("3-MEDIUM", "medium"),
+            ("5-LOW", "low"),
+            (None, "unspecified"),
+        ],
+        "prio_key string, label string",
+    )
+    return (
+        orders.join(
+            F.broadcast(labels),
+            orders["prio"].eqNullSafe(labels["prio_key"]),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH orders_n AS (
+  SELECT nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio, o_totalprice
+  FROM orders
+), labels(prio_key, label) AS (
+  VALUES ('1-URGENT', 'urgent'), ('2-HIGH', 'high'), ('3-MEDIUM', 'medium'),
+         ('5-LOW', 'low'), (NULL, 'unspecified')
+)
+SELECT label, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders_n JOIN labels ON prio IS NOT DISTINCT FROM prio_key
+GROUP BY label
+ORDER BY label
+"""
+
+
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-family window functions not exercised elsewhere in the
     catalog — percent_rank, cume_dist, ntile(4), running nth_value — over
@@ -1240,6 +1296,7 @@ ANALYTICS_QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "window_rank_suite": q_window_rank_suite,
     "skew_report": q_skew_report,
+    "null_safe_join": q_null_safe_join,
     "hll_distinct": q_hll_distinct,
     "skew_salted_agg": q_skew_salted_agg,
     "dq_rule_screen": q_dq_rule_screen,
@@ -1270,6 +1327,7 @@ ANALYTICS_ORACLES = {
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "window_rank_suite": SQL_WINDOW_RANK_SUITE,
     "skew_report": SQL_SKEW_REPORT,
+    "null_safe_join": SQL_NULL_SAFE_JOIN,
     "hll_distinct": _sql_hll(),
     "skew_salted_agg": SQL_SKEW_SALTED,
     "dq_rule_screen": SQL_DQ_RULE_SCREEN,
