@@ -337,10 +337,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comp, "doc_id", "left")
         .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
     )
-    return (
-        hash_split(keyed, "group_key", seed="leak-v1")
-        .select("doc_id", "group_key", "split")
-        .orderBy("doc_id")
+    # no orderBy: the correctness gate hashes the value MULTISET
+    # (order-insensitive), and a corpus-wide global sort would be the only
+    # super-linear cost in this plan at 100 TB
+    return hash_split(keyed, "group_key", seed="leak-v1").select(
+        "doc_id", "group_key", "split"
     )
 
 
@@ -372,7 +373,6 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS group_key,
        {split_expr} AS split
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-ORDER BY d.doc_id
 """
     )
 
