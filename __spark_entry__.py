@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume", "q14_promo_share", "join_size_estimate",
         "window_rank_suite", "graph_triangles", "skew_report",
         "bpe_merge_step", "ann_rerank", "ohlc_downsample", "funnel_ordered_3step", "null_safe_join",
+        "q4_priority_check", "q6_forecast_revenue", "q8_market_share",
+        "q13_order_distribution", "q15_top_supplier",
     )
     lead = {k: merged[k] for k in r5_new if k in merged}
     fresh = {

@@ -138,6 +138,11 @@ HEADLINE = [
     "ohlc_downsample",
     "funnel_ordered_3step",
     "null_safe_join",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

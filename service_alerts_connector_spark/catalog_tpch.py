@@ -399,6 +399,260 @@ ORDER BY segment
 
 
 # ---------------------------------------------------------------------------
+# Q4 shape — EXISTS semi-join feeding a grouped count
+# ---------------------------------------------------------------------------
+
+
+def q_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders in a quarter
+    had at least one LATE lineitem (shipped > 90 days after the order
+    date; adapted — no l_commitdate in the testdata).  EXISTS = one
+    left-semi join from the date-filtered orders to the late lineitems;
+    lateness is a post-equi-join filter computed on the semi-join's own
+    condition columns, never a theta join."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority AS priority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — pure scan-side filter + single aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue effect of a discount-band change — a
+    single table, three range predicates ALL pushed to the parquet scan,
+    one aggregate, zero joins, zero shuffles of raw rows.  Revenue as
+    exact cents × basis points (the discount factor itself, not its
+    complement, per Q6)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.floor(F.col("l_extendedprice") * 100).cast("long") * F.floor(
+        F.col("l_discount") * 10_000
+    ).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rev).alias("discount_revenue_c4"),
+    )
+
+
+SQL_Q6 = """
+SELECT count(*) AS n_rows,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+           * CAST(floor(l_discount * 10000) AS BIGINT))
+         AS discount_revenue_c4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — market share as two exact sums per group
+# ---------------------------------------------------------------------------
+
+
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per order
+    year.  The share division never happens — numerator (target-nation
+    supplier revenue) and denominator (all-region revenue) ship as two
+    exact c4 bigints from ONE aggregation pass (conditional sum), the
+    caller divides.  Dim chains (customer→nation→region, supplier→nation)
+    broadcast; only the fact join shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat["n_regionkey"] == reg["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_dim = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_dim), orders["o_custkey"] == cust_dim["c_custkey"])
+        .join(F.broadcast(supp_dim), li["l_suppkey"] == supp_dim["s_suppkey"])
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_5", _rev_c4()
+                ).otherwise(F.lit(0))
+            ).alias("nation_c4"),
+            F.sum(_rev_c4()).alias("total_c4"),
+        )
+        .orderBy("order_year")
+    )
+
+
+SQL_Q8 = f"""
+SELECT strftime(o_orderdate, '%Y') AS order_year,
+       sum(CASE WHEN ns.n_name = 'NATION_5' THEN {_REV_C4_SQL}
+                ELSE 0 END) AS nation_c4,
+       sum({_REV_C4_SQL}) AS total_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape — left join + two-level aggregation (count distribution)
+# ---------------------------------------------------------------------------
+
+
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer — LEFT
+    join customers to their (filtered) orders so zero-order customers
+    keep a 0 bucket, aggregate per customer, then histogram the counts.
+    Two keyed aggregations; the second runs on the customer-sized frame.
+    The order filter (non-URGENT) lands on the scan before the join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("c_count"))
+    )
+
+
+SQL_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS n_custs
+FROM per_cust GROUP BY c_count
+ORDER BY n_custs DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — aggregate "view" + join back on its MAX
+# ---------------------------------------------------------------------------
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top supplier(s) by quarterly revenue — build
+    the per-supplier revenue aggregate (the original's REVENUE view),
+    take its max with a 1-row aggregate, and join back with an exact
+    integer equality (revenue in c4 units, so "= max" is well-defined —
+    the float original needs epsilon games).  The max broadcasts; the
+    revenue frame is supplier-sized."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-04-01 00:00:00")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_c4()).alias("total_revenue_c4")
+    )
+    mx = revenue.agg(F.max("total_revenue_c4").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(mx), F.col("total_revenue_c4") == F.col("mx")
+        )
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c4")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({_REV_C4_SQL}) AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c4
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue_c4 = (SELECT max(total_revenue_c4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q7 shape — symmetric pair predicate + year grouping
 # ---------------------------------------------------------------------------
 
@@ -529,6 +783,11 @@ TPCH_QUERIES = {
     "q22_dormant_value": q_q22_dormant_value,
     "q7_nation_volume": q_q7_nation_volume,
     "q14_promo_share": q_q14_promo_share,
+    "q4_priority_check": q_q4_priority_check,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q8_market_share": q_q8_market_share,
+    "q13_order_distribution": q_q13_order_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
 }
 
 TPCH_ORACLES = {
@@ -539,4 +798,9 @@ TPCH_ORACLES = {
     "q22_dormant_value": SQL_Q22,
     "q7_nation_volume": SQL_Q7,
     "q14_promo_share": SQL_Q14,
+    "q4_priority_check": SQL_Q4,
+    "q6_forecast_revenue": SQL_Q6,
+    "q8_market_share": SQL_Q8,
+    "q13_order_distribution": SQL_Q13,
+    "q15_top_supplier": SQL_Q15,
 }
