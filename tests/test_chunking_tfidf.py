@@ -197,3 +197,38 @@ def test_assign_sequential_ids_matches_global_hash_order(spark):
             for r in assign_sequential_ids(df, "k", n_buckets=nb).collect()
         }
         assert got == expect, nb
+
+
+def test_bpe_merge_step_matches_pure_python(spark, tmp_path):
+    """The distributed adjacent-pair count equals a pure-Python count over
+    the same corpus (seeded random), including the (freq desc, a, b)
+    ordering of the merge candidates."""
+    import collections
+    import random
+
+    from service_alerts_connector_spark.catalog_corpus import (
+        q_bpe_merge_step,
+    )
+
+    rng = random.Random(11)
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        ((r["a"], r["b"]), r["freq"])
+        for r in q_bpe_merge_step(spark, str(tmp_path)).collect()
+    ]
+    counts = collections.Counter()
+    for _, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - 1):
+            counts[(toks[i], toks[i + 1])] += 1
+    want = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:20]
+    assert got == want

@@ -106,3 +106,37 @@ def test_funnel_ordered_3step_partial_paths(spark, tmp_path):
         for r in q_funnel_ordered_3step(spark, sf_dir).collect()
     }
     assert out == {1: 3, 2: 1, 3: 1, 5: 2}
+
+
+def test_ohlc_invariants_and_order_sensitivity(spark, tmp_path):
+    """low ≤ open/close ≤ high, n_events sums to the filtered row count,
+    and open/close track EVENT-TIME order (not ingest order) — pinned
+    with out-of-order event_ids."""
+    from service_alerts_connector_spark.catalog_events import (
+        q_ohlc_downsample,
+    )
+
+    rows = [
+        # user 0 (kept by the %25 filter), one day, values 3, 1, 2 in
+        # time order but event_ids descending
+        (30, 0, "view", datetime(2024, 1, 1, 9)),
+        (20, 0, "view", datetime(2024, 1, 1, 12)),
+        (10, 0, "view", datetime(2024, 1, 1, 15)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).select(
+        "event_id", "user_id", "event_type",
+        (F.col("ts").cast("long") * F.lit(1_000_000_000)).alias("ts"),
+        (F.col("event_id") / 10.0).alias("value"),  # 3.0, 2.0, 1.0
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = q_ohlc_downsample(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open_cents"] == 300   # first by time (event 30, value 3.0)
+    assert r["close_cents"] == 100  # last by time (event 10, value 1.0)
+    assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+    assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+    assert r["n_events"] == 3
