@@ -76,3 +76,55 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def windowed_ohlc(
+    stream_df: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming form of the batch ``ohlc_downsample`` catalog query:
+    open/high/low/close per (key, tumbling window) via ``min_by`` /
+    ``max_by`` on a zero-padded epoch selector key, incrementally
+    maintained under a watermark — late-within-watermark rows can still
+    REWRITE the open/close of their window (min_by merges like any
+    algebraic aggregate), which the batch≡stream equivalence test pins.
+
+    State per group is O(1) (six scalars), so a key × window explosion is
+    bounded by the watermark horizon exactly like the count/sum form.
+    Ties on the selector break by the value itself (cents appended) so
+    the result is deterministic without an event-id column.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sel = F.concat(
+        F.lpad(F.col(ts_col).cast("long").cast("string"), 12, "0"),
+        F.lit("-"),
+        F.lpad(cents.cast("string"), 16, "0"),
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), F.col(key_col), cents.alias("_c"), sel.alias("_k"))
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.col(key_col).alias("etype"),
+        )
+        .agg(
+            F.min_by("_c", "_k").alias("open_cents"),
+            F.max("_c").alias("high_cents"),
+            F.min("_c").alias("low_cents"),
+            F.max_by("_c", "_k").alias("close_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "etype",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n",
+        )
+    )

@@ -135,3 +135,60 @@ def test_session_window_stream_merges_and_splits(spark, tmp_path):
         .collect()
     }
     assert batch == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_streaming_ohlc_late_row_rewrites_open(spark, tmp_path):
+    """A late-but-within-watermark row EARLIER than the current window
+    open must rewrite open_cents on the next trigger, and the final
+    streaming state must equal the batch aggregation."""
+    from service_alerts_connector_spark.streaming.windows import windowed_ohlc
+
+    b1 = [
+        {"ts": "2024-01-01 10:30:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01 10:45:00", "event_type": "click", "value": 5.0},
+    ]
+    # late 10:05 row: becomes the new OPEN of the 10:00 window
+    b2 = [{"ts": "2024-01-01 10:05:00", "event_type": "click", "value": 3.0}]
+    staged = tmp_path / "in"
+    staged.mkdir()
+    for name, batch in [("b1", b1), ("b2", b2)]:
+        with open(staged / f"{name}.jsonl", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    results: dict[tuple, tuple] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            results[(r["hour"], r["etype"])] = (
+                r["open_cents"], r["high_cents"], r["low_cents"],
+                r["close_cents"], r["n"],
+            )
+
+    q = (
+        windowed_ohlc(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # open rewritten to the late 10:05 value (300), close stays 10:45 (500)
+    assert results[("2024-01-01 10:00:00", "click")] == (300, 500, 200, 500, 3)
+
+    batch_df = spark.read.schema(
+        "ts timestamp, event_type string, value double"
+    ).json(str(staged))
+    batch = {
+        (r["hour"], r["etype"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n"],
+        )
+        for r in windowed_ohlc(batch_df).collect()
+    }
+    assert batch == results
