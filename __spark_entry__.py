@@ -133,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite", "graph_triangles", "skew_report",
         "bpe_merge_step", "ann_rerank", "ohlc_downsample", "funnel_ordered_3step", "null_safe_join",
         "q4_priority_check", "q6_forecast_revenue", "q8_market_share",
-        "q13_order_distribution", "q15_top_supplier",
+        "q13_order_distribution", "q15_top_supplier", "q12_late_by_priority",
     )
     lead = {k: merged[k] for k in r5_new if k in merged}
     fresh = {

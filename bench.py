@@ -143,6 +143,7 @@ HEADLINE = [
     "q8_market_share",
     "q13_order_distribution",
     "q15_top_supplier",
+    "q12_late_by_priority",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

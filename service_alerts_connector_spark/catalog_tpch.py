@@ -562,6 +562,58 @@ ORDER BY order_year
 
 
 # ---------------------------------------------------------------------------
+# Q12 shape — join + dual conditional counts
+# ---------------------------------------------------------------------------
+
+
+def q_q12_late_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per lateness class (adapted — no l_shipmode:
+    classes are late/on-time at the 90-day mark), how many lineitems
+    belong to critical-priority orders vs the rest — the join + dual
+    CASE-count pattern.  One broadcast-eligible orders join (AQE decides;
+    both are fact tables so it co-partitions at scale), lateness computed
+    on the joined row, both counts in ONE aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.when(late, "late").otherwise("on-time").alias("ship_class")
+        )
+        .agg(
+            F.sum(critical.cast("long")).alias("n_critical"),
+            F.sum((~critical).cast("long")).alias("n_other"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+SQL_Q12 = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+            THEN 'late' ELSE 'on-time' END AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS n_critical,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS n_other
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q13 shape — left join + two-level aggregation (count distribution)
 # ---------------------------------------------------------------------------
 
@@ -788,6 +840,7 @@ TPCH_QUERIES = {
     "q8_market_share": q_q8_market_share,
     "q13_order_distribution": q_q13_order_distribution,
     "q15_top_supplier": q_q15_top_supplier,
+    "q12_late_by_priority": q_q12_late_by_priority,
 }
 
 TPCH_ORACLES = {
@@ -803,4 +856,5 @@ TPCH_ORACLES = {
     "q8_market_share": SQL_Q8,
     "q13_order_distribution": SQL_Q13,
     "q15_top_supplier": SQL_Q15,
+    "q12_late_by_priority": SQL_Q12,
 }
