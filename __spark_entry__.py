@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds 1-4 — so the harness's 50-query window reaches the newest
     # operators first and rotates through the backlog.
     r5_new = (
+        "interval_coalesce", "group_mode", "zone_map_prune",
+        "table_digest", "weighted_sample",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

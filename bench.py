@@ -144,6 +144,11 @@ HEADLINE = [
     "q13_order_distribution",
     "q15_top_supplier",
     "q12_late_by_priority",
+    "interval_coalesce",
+    "group_mode",
+    "zone_map_prune",
+    "table_digest",
+    "weighted_sample",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1291,6 +1291,236 @@ LIMIT 20
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning — min/max file statistics and scan-skipping estimate
+# ---------------------------------------------------------------------------
+def q_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file statistics) build + data-skipping estimate,
+    contrasted across TWO physical layouts — the Delta/Iceberg/row-group
+    pruning model as an explicit, auditable query.
+
+    Layout ``insertion``: synthetic files of 4096 contiguous orderkeys
+    (arrival order — ship dates are uncorrelated with orderkey, so every
+    file's min/max spans the whole table and NOTHING can skip).  Layout
+    ``clustered``: files keyed by ship month (the table re-clustered on
+    the predicate column — interior months prove ``full``, the two
+    boundary months are ``partial``, everything else ``skips``).  Per
+    layout ONE narrow map-side-combinable aggregate builds the zone map
+    (min/max/count per file — exactly the metadata a table format keeps),
+    then a files-sized classify against a ship-date window predicate:
+    ``skip`` (stats prove no row matches), ``full`` (stats prove every row
+    matches — the scan can also drop the filter), ``partial`` (read +
+    filter).
+
+    The two output rows are the scan planner's verdict on why clustering
+    matters at 100 TB: identical data, identical predicate, ~0 % vs ~80 %
+    of bytes skipped.  Cross-engine determinism: integer ``div`` on
+    non-negative orderkeys, ``year*12+month`` integer month keys, raw
+    TIMESTAMP comparisons (no epoch arithmetic).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-03-15 00:00:00").cast("timestamp")
+    hi = F.lit("1998-06-15 23:59:59").cast("timestamp")
+
+    def layout_stats(file_col: F.Column, tag: str) -> DataFrame:
+        zones = (
+            li.withColumn("file_id", file_col)
+            .groupBy("file_id")
+            .agg(
+                F.min("l_shipdate").alias("mn"),
+                F.max("l_shipdate").alias("mx"),
+                F.count(F.lit(1)).cast("long").alias("rows"),
+            )
+        )
+        classified = zones.withColumn(
+            "verdict",
+            F.when((F.col("mx") < lo) | (F.col("mn") > hi), F.lit("skip"))
+            .when((F.col("mn") >= lo) & (F.col("mx") <= hi), F.lit("full"))
+            .otherwise(F.lit("partial")),
+        )
+        return classified.agg(
+            F.lit(tag).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(F.col("verdict") == "skip", 1).otherwise(0))
+            .cast("long")
+            .alias("n_skip"),
+            F.sum(F.when(F.col("verdict") == "full", 1).otherwise(0))
+            .cast("long")
+            .alias("n_full"),
+            F.sum(F.when(F.col("verdict") == "partial", 1).otherwise(0))
+            .cast("long")
+            .alias("n_partial"),
+            F.sum("rows").cast("long").alias("rows_total"),
+            F.sum(
+                F.when(F.col("verdict") == "skip", F.col("rows")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_skipped"),
+            F.sum(
+                F.when(F.col("verdict") == "partial", F.col("rows")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("rows_filter_scanned"),
+        )
+
+    insertion = layout_stats(F.expr("l_orderkey div 4096"), "insertion")
+    clustered = layout_stats(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long"),
+        "clustered",
+    )
+    return insertion.unionByName(clustered).orderBy("layout")
+
+
+SQL_ZONE_MAP_PRUNE = """
+WITH li AS (
+  SELECT l_orderkey // 4096 AS file_ins,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+           AS file_clu,
+         l_shipdate
+  FROM lineitem
+), zones AS (
+  SELECT 'insertion' AS layout, file_ins AS file_id,
+         min(l_shipdate) AS mn, max(l_shipdate) AS mx, count(*) AS rows
+  FROM li GROUP BY file_id
+  UNION ALL
+  SELECT 'clustered' AS layout, file_clu AS file_id,
+         min(l_shipdate) AS mn, max(l_shipdate) AS mx, count(*) AS rows
+  FROM li GROUP BY file_id
+), classified AS (
+  SELECT layout, rows,
+         CASE
+           WHEN mx < TIMESTAMP '1997-03-15 00:00:00'
+             OR mn > TIMESTAMP '1998-06-15 23:59:59' THEN 'skip'
+           WHEN mn >= TIMESTAMP '1997-03-15 00:00:00'
+            AND mx <= TIMESTAMP '1998-06-15 23:59:59' THEN 'full'
+           ELSE 'partial'
+         END AS verdict
+  FROM zones
+)
+SELECT layout,
+       count(*) AS n_files,
+       CAST(sum(CASE WHEN verdict = 'skip' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skip,
+       CAST(sum(CASE WHEN verdict = 'full' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full,
+       CAST(sum(CASE WHEN verdict = 'partial' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_partial,
+       CAST(sum(rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN verdict = 'skip' THEN rows ELSE 0 END) AS BIGINT)
+         AS rows_skipped,
+       CAST(sum(CASE WHEN verdict = 'partial' THEN rows ELSE 0 END) AS BIGINT)
+         AS rows_filter_scanned
+FROM classified
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table digest — anti-entropy replica comparison
+# ---------------------------------------------------------------------------
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level XOR digest comparison of two table replicas — the
+    anti-entropy / merkle-tree primitive for "which shards of a 100 TB
+    replica drifted?" without ever shuffling raw rows between sites.
+
+    Each row hashes to a 60-bit integer over its FULL content (key,
+    status, price in cents); buckets of 8192 contiguous orderkeys fold
+    rows into ``bit_xor`` digests (order-insensitive, mergeable — each
+    replica computes its KB-sized digest table independently; only the
+    digests travel).  Replica B is replica A with a deterministic fault
+    injected (orderkeys ≡ 7 mod 1000 dropped — simulated loss), so the
+    output pins both detection (count mismatch) and attribution (digest
+    mismatch) per bucket.
+
+    Scale shape: two map-side-combinable groupBys over narrow projections
+    plus a broadcast-sized digest join.  Cross-engine exactness: md5-hex
+    prefix → non-negative BIGINT (the bloom_semi_join idiom), bit_xor is
+    bit-identical, cents via the shared floor rule.
+    """
+    orders = _t(spark, sf_dir, "orders")
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.floor(F.col("o_totalprice") * 100)
+                        .cast("long")
+                        .cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.withColumn("bucket_id", F.expr("o_orderkey div 8192"))
+            .withColumn("_h", h)
+            .groupBy("bucket_id")
+            .agg(
+                F.bit_xor("_h").alias(f"digest_{tag}"),
+                F.count(F.lit(1)).cast("long").alias(f"cnt_{tag}"),
+            )
+        )
+
+    a = digest(orders, "a")
+    b = digest(orders.where(F.col("o_orderkey") % 1000 != 7), "b")
+    return (
+        a.join(b, "bucket_id", "full_outer")
+        .where(
+            ~(
+                F.col("digest_a").eqNullSafe(F.col("digest_b"))
+                & F.col("cnt_a").eqNullSafe(F.col("cnt_b"))
+            )
+        )
+        .select(
+            "bucket_id",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+            (F.coalesce("cnt_a", F.lit(0)) - F.coalesce("cnt_b", F.lit(0)))
+            .cast("long")
+            .alias("rows_drifted"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+SQL_TABLE_DIGEST = """
+WITH hashed AS (
+  SELECT o_orderkey // 8192 AS bucket_id, o_orderkey,
+         ('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT AS h
+  FROM orders
+), a AS (
+  SELECT bucket_id, bit_xor(h) AS digest_a, count(*) AS cnt_a
+  FROM hashed GROUP BY bucket_id
+), b AS (
+  SELECT bucket_id, bit_xor(h) AS digest_b, count(*) AS cnt_b
+  FROM hashed WHERE o_orderkey % 1000 <> 7 GROUP BY bucket_id
+)
+SELECT coalesce(a.bucket_id, b.bucket_id) AS bucket_id,
+       coalesce(cnt_a, 0) AS cnt_a,
+       coalesce(cnt_b, 0) AS cnt_b,
+       CAST(coalesce(cnt_a, 0) - coalesce(cnt_b, 0) AS BIGINT)
+         AS rows_drifted
+FROM a FULL OUTER JOIN b ON a.bucket_id = b.bucket_id
+WHERE NOT (digest_a IS NOT DISTINCT FROM digest_b
+           AND cnt_a IS NOT DISTINCT FROM cnt_b)
+ORDER BY bucket_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -1320,6 +1550,8 @@ ANALYTICS_QUERIES = {
     "linear_trend": q_linear_trend,
     "zorder_key": q_zorder_key,
     "bloom_semi_join": q_bloom_semi_join,
+    "zone_map_prune": q_zone_map_prune,
+    "table_digest": q_table_digest,
 }
 
 ANALYTICS_ORACLES = {
@@ -1351,4 +1583,6 @@ ANALYTICS_ORACLES = {
     "linear_trend": SQL_LINEAR_TREND,
     "zorder_key": _sql_zorder(),
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "zone_map_prune": SQL_ZONE_MAP_PRUNE,
+    "table_digest": SQL_TABLE_DIGEST,
 }

@@ -989,6 +989,59 @@ ORDER BY pmi_micro DESC, t1 ASC, t2 ASC LIMIT 20
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sample — hash-priority bottom-k (A-ES style)
+# ---------------------------------------------------------------------------
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus sample, fully deterministic and exact
+    cross-engine — the "sample 1 % of a 100 TB corpus, longer docs
+    proportionally more often" primitive for training-mixture construction.
+
+    A-ES weighted reservoir sampling keys each row by u^(1/w); the
+    float-free integer analogue here is ``priority = (hash * 10^6) div
+    weight`` (md5-prefix hash → non-negative 32-bit int, weight = n_chars
+    + 1), then global bottom-k on (priority, doc_id).  Non-negative
+    operands make Spark's truncating ``div`` and DuckDB's flooring ``//``
+    identical; the doc_id tiebreak totalizes the order.  Expected
+    selection probability rises with weight exactly as A-ES does, and the
+    same seed (the hash) reproduces the sample on any engine or cluster
+    size.
+
+    Scale shape: narrow projection + ``orderBy().limit(k)`` →
+    TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    driver) — no global sort, no window, no shuffle of the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("n_chars") + F.lit(1)).cast("long").alias("weight"),
+            h.alias("_h"),
+        )
+        .withColumn("priority", F.expr("(_h * 1000000) div weight"))
+        .select("doc_id", "weight", "priority")
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id,
+       CAST(n_chars + 1 AS BIGINT) AS weight,
+       (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         * 1000000) // CAST(n_chars + 1 AS BIGINT) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT 100
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -1012,6 +1065,7 @@ CORPUS_QUERIES = {
     "label_centroid_similarity": q_label_centroid_similarity,
     "bm25_rank": q_bm25_rank,
     "pmi_top_pairs": q_pmi_top_pairs,
+    "weighted_sample": q_weighted_sample,
 }
 
 CORPUS_ORACLES = {
@@ -1037,4 +1091,5 @@ CORPUS_ORACLES = {
     "label_centroid_similarity": SQL_CENTROID_SIM,
     "bm25_rank": SQL_BM25,
     "pmi_top_pairs": SQL_PMI,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

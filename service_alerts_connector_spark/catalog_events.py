@@ -724,6 +724,141 @@ ORDER BY i.ad_id, imp_ts_str, click_ts_str
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Interval coalescing — variable-length interval union per user
+# ---------------------------------------------------------------------------
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping event intervals into maximal islands
+    (interval union / "gaps and islands") via
+    ``operators/temporal.coalesce_intervals``.
+
+    Each event opens an interval of VARIABLE length (60 s + a value-derived
+    duration, capped at 300 s extra), so an early long interval can swallow
+    several later short ones — the break test is a running max of ends, not
+    a lag of the previous end (what distinguishes this from gap-based
+    ``sessionize``).  Determinism: epoch seconds via the flooring cast,
+    duration via floor(least(abs(value), 300)) — floor/abs/least are
+    IEEE-identical cross-engine; window order carries the event_id
+    tiebreak.
+
+    Scale shape: ONE exchange on user_id — the island-extent groupBy reuses
+    the window's hash partitioning (key is a prefix of the grouping).
+    """
+    from service_alerts_connector_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        _epoch_s("ts").alias("start_s"),
+        (
+            _epoch_s("ts")
+            + F.lit(60)
+            + F.floor(F.least(F.abs(F.coalesce(F.col("value"), F.lit(0.0))),
+                              F.lit(300.0))).cast("long")
+        ).alias("end_s"),
+    )
+    return coalesce_intervals(
+        ev, "user_id", "start_s", "end_s", "event_id"
+    ).orderBy("user_id", "island_id")
+
+
+SQL_INTERVAL_COALESCE = """
+WITH iv AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 60
+           + CAST(floor(least(abs(coalesce(value, 0.0)), 300.0)) AS BIGINT)
+           AS end_s
+  FROM events
+), flagged AS (
+  SELECT user_id, start_s, end_s,
+         CASE WHEN start_s > coalesce(
+                max(end_s) OVER (PARTITION BY user_id
+                                 ORDER BY start_s ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                -4611686018427387904)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), numbered AS (
+  SELECT user_id, start_s, end_s,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_s ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island_id
+  FROM flagged
+)
+SELECT user_id, island_id,
+       min(start_s) AS island_start,
+       max(end_s) AS island_end,
+       count(*) AS n_intervals
+FROM numbered
+GROUP BY user_id, island_id
+ORDER BY user_id, island_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Group mode — most frequent event type per user, single-agg argmax
+# ---------------------------------------------------------------------------
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent; ties break to the
+    lexicographically smallest type) — the categorical-mode aggregate Spark
+    and ANSI SQL both lack as a built-in.
+
+    Expressed as count-then-argmax: groupBy (user, type) count, then ONE
+    ``min_by`` over a composite selector string ``lpad(MAX-cnt) || type``
+    (lexicographic min == numeric max on count, then lexicographic min on
+    type — the portable min_by/arg_min selector-key pattern from
+    CLAUDE.md).  Two keyed aggregations, no window, no self-join; the
+    second agg's key is a prefix of the first's so AQE coalesces into the
+    same exchange lineage.  At 100 TB the (user, type) pre-agg is the
+    map-side-combinable heavy lift; the argmax pass touches only the
+    distinct pairs.
+    """
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    sel = F.concat(
+        F.lpad((F.lit(999999999999) - F.col("cnt")).cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    return (
+        counts.withColumn("_sel", sel)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.col("_sel")).alias("mode_type"),
+            F.max("cnt").alias("mode_cnt"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_GROUP_MODE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       arg_min(event_type,
+               lpad(CAST(999999999999 - cnt AS VARCHAR), 12, '0')
+                 || event_type) AS mode_type,
+       max(cnt) AS mode_cnt,
+       count(*) AS n_types
+FROM counts
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -737,6 +872,8 @@ EVENTS_QUERIES = {
     "funnel_ordered_3step": q_funnel_ordered_3step,
     "rolling_distinct_hll": q_rolling_distinct_hll,
     "event_value_quantiles": q_event_value_quantiles,
+    "interval_coalesce": q_interval_coalesce,
+    "group_mode": q_group_mode,
 }
 
 EVENTS_ORACLES = {
@@ -752,4 +889,6 @@ EVENTS_ORACLES = {
     "funnel_ordered_3step": SQL_FUNNEL_ORDERED,
     "rolling_distinct_hll": _sql_rolling_hll(),
     "event_value_quantiles": _sql_event_value_quantiles(),
+    "interval_coalesce": SQL_INTERVAL_COALESCE,
+    "group_mode": SQL_GROUP_MODE,
 }

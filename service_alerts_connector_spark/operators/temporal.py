@@ -192,3 +192,71 @@ def gap_fill_locf(
         F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
         F.col("n_events").isNotNull().alias("is_observed"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Union overlapping-or-touching intervals per key into maximal islands
+    (interval coalescing / "gaps and islands") — the maintenance-window /
+    shift-merging / coverage-union primitive.
+
+    Unlike gap-based sessionization (``operators/sessions.py``), intervals
+    here carry VARIABLE lengths: an early long interval can swallow several
+    later short ones, so "previous row's end" is not enough — the island
+    break test needs the RUNNING MAX of all previous ends.  One keyed
+    window, evaluated incrementally:
+
+        new_island = start > max(end) OVER (key ORDER BY start, tiebreak
+                                            ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)
+        island_id  = running sum of new_island flags
+
+    then one groupBy (key, island_id) for the island extents.  Intervals
+    that merely TOUCH (next.start == prev.end) merge — the break is strict
+    ``>``.
+
+    Scale shape: one shuffle on the key for the window, and the island agg
+    reuses that partitioning (same leading key) — the plan has a single
+    exchange.  Per-key work is O(n log n) sort + O(n) running state; no
+    self-join, no interval×interval pair blow-up.  Skewed hub keys split
+    via ``operators/skew`` range-salting if a single key's intervals exceed
+    one executor's sort budget.
+
+    Columns ``start_col``/``end_col`` must be totally ordered numerics
+    (epoch seconds); ``tiebreak_col`` makes the window order deterministic
+    for equal starts.
+
+    Output: key, ``island_id`` (1-based per key), ``island_start``,
+    ``island_end``, ``n_intervals``.
+    """
+    w_order = [F.asc(start_col), F.asc(tiebreak_col)]
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "_new_island",
+        F.when(
+            F.col(start_col)
+            > F.coalesce(F.max(end_col).over(w_prev), F.lit(-(1 << 62))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island_id", F.sum("_new_island").over(w_run))
+    return (
+        flagged.groupBy(key_col, "island_id")
+        .agg(
+            F.min(start_col).cast("long").alias("island_start"),
+            F.max(end_col).cast("long").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )

@@ -440,3 +440,46 @@ def test_round5_sketch_graph_queries_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p
     assert "Exchange hashpartitioning" in p  # the one bounded pair groupBy
+
+
+def test_round5b_queries_plan_shapes(spark):
+    """Late round-5 additions.  weighted_sample: global bottom-k must be
+    TakeOrderedAndProject (per-partition partial top-k), never a Window or
+    global Sort over the corpus.  zone_map_prune: the zone-map build is one
+    hash aggregate on the synthetic file id — partial (map-side) aggregation
+    present, no window, no join.  group_mode: two keyed HashAggregates, no
+    window.  interval_coalesce: the island agg reuses the window's hash
+    partitioning — exactly one hashpartitioning exchange over events.
+    table_digest: digest frames hash-join (full outer), never BNLJ or
+    cartesian."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_table_digest,
+        q_zone_map_prune,
+    )
+    from service_alerts_connector_spark.catalog_corpus import q_weighted_sample
+    from service_alerts_connector_spark.catalog_events import (
+        q_group_mode,
+        q_interval_coalesce,
+    )
+
+    p = _plan(q_weighted_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert "Exchange" not in p  # narrow projection + partial top-k only
+
+    p = _plan(q_zone_map_prune(spark, SF_DIR))
+    assert "Window" not in p and "Join" not in p
+    assert "partial" in p  # map-side combine on the file-id aggregate
+
+    p = _plan(q_group_mode(spark, SF_DIR))
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+    p = _plan(q_interval_coalesce(spark, SF_DIR))
+    # one exchange for the user_id window; the island groupBy reuses it
+    # (orderBy adds a rangepartitioning exchange for presentation only)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    p = _plan(q_table_digest(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

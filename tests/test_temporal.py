@@ -156,3 +156,106 @@ def test_temporal_plans_have_no_nested_loop(spark):
     for plan in (plan_a, plan_r):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _naive_coalesce(rows):
+    """Pure-Python interval union: rows = (key, start, end, tiebreak)."""
+    from collections import defaultdict
+
+    out = {}
+    by_key = defaultdict(list)
+    for k, s, e, t in rows:
+        by_key[k].append((s, t, e))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        islands = []
+        cur_start = cur_end = None
+        n = 0
+        for s, _t, e in ivs:
+            if cur_start is None or s > cur_end:
+                if cur_start is not None:
+                    islands.append((cur_start, cur_end, n))
+                cur_start, cur_end, n = s, e, 1
+            else:
+                cur_end = max(cur_end, e)
+                n += 1
+        islands.append((cur_start, cur_end, n))
+        for i, (s, e, cnt) in enumerate(islands, start=1):
+            out[(k, i)] = (s, e, cnt)
+    return out
+
+
+def test_coalesce_intervals_matches_naive(spark):
+    from service_alerts_connector_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    # the case that distinguishes running-max from lag(prev end): a long
+    # early interval [0, 100] swallows [10, 20] and [30, 40]; a lag-based
+    # implementation would break at 30 because the PREVIOUS row ended at 20.
+    rows = [
+        (7, 0, 100, 1),
+        (7, 10, 20, 2),
+        (7, 30, 40, 3),
+        (7, 100, 110, 4),   # touching (start == running end) -> merges
+        (7, 112, 120, 5),   # strict gap -> new island
+        (8, 5, 6, 6),       # other key
+        (8, 6, 7, 7),
+        (9, 1, 1, 8),       # zero-length interval, alone
+    ]
+    got = {
+        (r["user_id"], r["island_id"]): (
+            r["island_start"], r["island_end"], r["n_intervals"]
+        )
+        for r in coalesce_intervals(
+            spark.createDataFrame(
+                rows, "user_id long, s long, e long, tb long"
+            ),
+            "user_id", "s", "e", "tb",
+        ).collect()
+    }
+    assert got == _naive_coalesce(rows)
+
+
+def test_coalesce_intervals_randomized(spark):
+    import random
+
+    from service_alerts_connector_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(400):
+        k = rng.randrange(5)
+        s = rng.randrange(0, 500)
+        rows.append((k, s, s + rng.randrange(0, 80), i))
+    got = {
+        (r["user_id"], r["island_id"]): (
+            r["island_start"], r["island_end"], r["n_intervals"]
+        )
+        for r in coalesce_intervals(
+            spark.createDataFrame(
+                rows, "user_id long, s long, e long, tb long"
+            ),
+            "user_id", "s", "e", "tb",
+        ).collect()
+    }
+    assert got == _naive_coalesce(rows)
+
+
+def test_coalesce_intervals_single_exchange(spark):
+    """The island-extent groupBy must reuse the window's hash partitioning
+    (grouping key has the window key as a prefix): exactly ONE Exchange."""
+    from service_alerts_connector_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 0, 10, 1), (7, 5, 20, 2)], "user_id long, s long, e long, tb long"
+    )
+    plan = (
+        coalesce_intervals(df, "user_id", "s", "e", "tb")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
