@@ -25,7 +25,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "bloom_semi_join", "ann_sq8",
         "hll_distinct", "dedup_prefix_filter", "dq_rule_screen",
         "vocab_coverage", "q5_region_volume",
-        "q19_disjunctive", "q21_waiting_suppliers"]
+        "q19_disjunctive", "q21_waiting_suppliers",
+        "zone_map_prune", "interval_coalesce", "weighted_sample"]
 NOTES = {
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
@@ -56,6 +57,9 @@ NOTES = {
     "q5_region_volume": "six-table snowflake: every dimension chain a BroadcastHashJoin, only the fact tables shuffle, exact-integer revenue agg",
     "q19_disjunctive": "OR-of-ANDs across the join with a manual CNF envelope: brand IN-list + size bound pushed to the part scan, quantity bound pushed to lineitem, broadcast join, ZERO hashpartitioning exchanges",
     "q21_waiting_suppliers": "EXISTS + NOT-EXISTS as equi-semi/anti joins with inequality residuals on ONE key (l_orderkey); lateness is a post-join filter, never a theta join; dim chain broadcast",
+    "zone_map_prune": "two map-side-combined zone-map builds (insertion + clustered layouts) unioned; no join, no window — the stats table is files-sized metadata",
+    "interval_coalesce": "running-max island window + island-extent agg share ONE hashpartitioning exchange (grouping key has the window key as prefix)",
+    "weighted_sample": "zero-exchange narrow projection + TakeOrderedAndProject: global weighted bottom-k with per-partition partial top-k",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
