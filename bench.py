@@ -149,6 +149,7 @@ HEADLINE = [
     "zone_map_prune",
     "table_digest",
     "weighted_sample",
+    "sorted_neighborhood",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1418,6 +1418,62 @@ GROUP BY a.cell, e.i
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking — entity-resolution candidate generation
+# ---------------------------------------------------------------------------
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup candidates over the documents' first
+    token (the fuzzy "name" key): rank by (key, doc_id), pair every row
+    with its 3 rank-successors, keep pairs within 2 Levenshtein edits —
+    `operators/textdedup.sorted_neighborhood_pairs`.
+
+    The rank is assigned WITHOUT a global row_number window (two-phase
+    monotone first-byte buckets, ≤256-row driver offset table); the
+    oracle's plain ``row_number() OVER (ORDER BY key, doc_id)`` is the
+    semantic spec the distributed plan must reproduce exactly — which
+    pins the bucketing's global-order claim cross-engine.
+    """
+    from service_alerts_connector_spark.functions.text import tokens
+    from service_alerts_connector_spark.operators.textdedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.element_at(tokens(F.col("text")), 1), F.lit("")).alias(
+            "first_tok"
+        ),
+    )
+    return sorted_neighborhood_pairs(
+        docs, "first_tok", "doc_id", window=3, max_dist=2
+    ).orderBy("id_a", "id_b")
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH keyed AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) IS NULL OR trim(lower(text)) = ''
+              THEN ''
+              ELSE string_split_regex(trim(lower(text)), '\\s+')[1]
+         END AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, k,
+         row_number() OVER (ORDER BY k ASC, doc_id ASC) - 1 AS rank
+  FROM keyed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.k AS key_a, b.k AS key_b,
+       CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+FROM ranked a
+JOIN ranked b
+  ON b.rank - a.rank BETWEEN 1 AND 3
+WHERE levenshtein(a.k, b.k) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -1439,6 +1495,7 @@ TEXT_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_prefix_filter": q_dedup_prefix_filter,
+    "sorted_neighborhood": q_sorted_neighborhood,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
@@ -1480,6 +1537,7 @@ TEXT_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_jaccard": SQL_JACCARD,
     "dedup_prefix_filter": SQL_PREFIX_FILTER,
+    "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,

@@ -815,3 +815,94 @@ def exact_ngram_overlap(
             .alias("overlap_pm"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (the classic entity-
+    resolution blocking method): rank rows by a fuzzy sort key, emit every
+    pair within ``window`` positions of each other, keep pairs whose keys
+    are within ``max_dist`` Levenshtein edits.
+
+    Complements the LSH family: where MinHash/SimHash bucket on hashed
+    content (probabilistic recall), sorted-neighborhood guarantees that any
+    two rows whose SORT KEYS land within ``window`` ranks are compared —
+    the right tool when near-duplicates share a sortable prefix (names,
+    titles, normalized addresses) rather than token sets.
+
+    Rank assignment avoids the global row_number() window (banned at
+    scale — one task sorts everything) with the two-phase pattern of
+    ``chunking.assign_sequential_ids`` generalized to a SEMANTIC order:
+    rows bucket by the sort key's first byte (monotone, so (bucket, key,
+    id) order == global (key, id) order), per-bucket counts (≤ 256 rows)
+    prefix-sum on the driver into offsets, and each bucket sorts only its
+    own slice.  Pair expansion is a bounded ``explode(1..window)`` +
+    equi-join on the rank — candidates are n×window rows, never a
+    self-join on the key.
+
+    At 100 TB: two bounded shuffles (bucket window, rank equi-join);
+    neighborhoods spanning bucket boundaries still pair because ranks are
+    globally dense across buckets.  Skew: a hot first byte makes one
+    bucket large — widen to a 2-byte monotone bucket before the corpus
+    outgrows a single task's sort budget.
+
+    Output: ``id_a``/``id_b`` (id_a < id_b by rank), both keys, ``dist``.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    s = F.coalesce(F.col(key_col), F.lit(""))
+    # clamp keeps the bucket map total AND monotone for codepoints > 255
+    # (everything above folds into the last bucket; within-bucket ordering
+    # by the full key preserves the global order)
+    first_byte = F.least(
+        F.coalesce(F.ascii(F.substring(s, 1, 1)), F.lit(0)), F.lit(255)
+    ).cast("int")
+    bucketed = df.select(
+        F.col(id_col), s.alias("_k"), first_byte.alias("_b")
+    )
+    counts = {
+        r["_b"]: r["n"]
+        for r in bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(256):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    offset_expr = F.element_at(
+        F.array(*[F.lit(offsets[b]) for b in range(256)]), F.col("_b") + 1
+    )
+    w = Window.partitionBy("_b").orderBy(F.asc("_k"), F.asc(id_col))
+    ranked = bucketed.withColumn(
+        "rank", (F.row_number().over(w) - 1 + offset_expr).cast("long")
+    ).select(id_col, "_k", "rank")
+    right = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_k").alias("key_b"),
+        F.col("rank").alias("rank_b"),
+    )
+    probes = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, window + 1)])
+        ).alias("_dlt"),
+        F.col("rank").alias("rank_a"),
+    ).withColumn("rank_b", F.col("rank_a") + F.col("_dlt"))
+    return (
+        probes.join(right, "rank_b")
+        .where(F.levenshtein("key_a", "key_b") <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            F.levenshtein("key_a", "key_b").cast("long").alias("dist"),
+        )
+    )

@@ -736,3 +736,68 @@ def test_two_stage_ann_recall_beats_coarse(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 1  # candidate semi-join broadcasts
+
+
+def test_sorted_neighborhood_matches_brute_force(spark):
+    """Every pair within `window` ranks of the global (key, id) order and
+    within `max_dist` edits must be found — including pairs that straddle
+    a first-byte bucket boundary (e.g. 'azzz' vs 'baaa')."""
+    import itertools
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "az"), (2, "b"),        # adjacent ranks, different buckets, lev=2
+        (3, "baab"), (4, "smith"), (5, "smyth"), (6, "smith"),
+        (7, ""), (8, ""),           # empty keys pair with each other
+        (9, "zzz"),
+    ]
+    window, max_dist = 3, 2
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "k", "doc_id", window=window, max_dist=max_dist
+        ).collect()
+    }
+
+    def lev(a, b):
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = set()
+    for i, j in itertools.combinations(range(len(ranked)), 2):
+        if j - i <= window and lev(ranked[i][1], ranked[j][1]) <= max_dist:
+            want.add((ranked[i][0], ranked[j][0]))
+    assert got == want
+    assert (1, 2) in got  # the cross-bucket pair specifically
+
+
+def test_sorted_neighborhood_plan_shape(spark):
+    """No unpartitioned window (ranks come from the bucketed two-phase
+    pattern) and no nested-loop join (pair expansion is an equi-join on
+    the rank)."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, k string")
+    q = sorted_neighborhood_pairs(df, "k", "doc_id")
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition()" not in opt.replace(" ", "")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
