@@ -150,6 +150,7 @@ HEADLINE = [
     "table_digest",
     "weighted_sample",
     "sorted_neighborhood",
+    "hierarchy_roots",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -859,6 +859,67 @@ ORDER BY user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening — pointer-jumping root resolution vs recursive CTE
+# ---------------------------------------------------------------------------
+def q_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten a forest to (node → root, exact depth) via
+    ``operators/graph.pointer_jump_roots`` — the recursive-CTE workload
+    (org charts, BOM rollups, category trees) Spark must express as a
+    bounded self-join loop, done in O(log depth) pointer-jumping rounds
+    instead of O(depth) chained joins.
+
+    The forest derives deterministically from the event users: parent(u)
+    = u - 8 for u ≥ 8, else u — eight chains whose depth grows linearly
+    with the user count (187 levels at sf0.1), so the log-round claim is
+    actually exercised: 8 rounds cover depth 256 where a naive walk would
+    chain 187 joins.  The DuckDB oracle IS the recursive CTE, making this
+    one of the few iterative-algorithm entries with a full value-hash
+    differential (alongside the unrolled PageRank).
+    """
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    nodes = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("node")
+    ).distinct()
+    edges = nodes.withColumn(
+        "parent",
+        F.when(F.col("node") >= 8, F.col("node") - 8).otherwise(
+            F.col("node")
+        ),
+    )
+    return pointer_jump_roots(edges, "node", "parent", iterations=8).orderBy(
+        "node"
+    )
+
+
+SQL_HIERARCHY_ROOTS = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT user_id AS node FROM events
+), edges AS (
+  SELECT node,
+         CASE WHEN node >= 8 THEN node - 8 ELSE node END AS parent
+  FROM nodes
+), walk AS (
+  SELECT node, node AS cur, 0 AS d FROM nodes
+  UNION ALL
+  SELECT w.node, e.parent, w.d + 1
+  FROM walk w JOIN edges e ON w.cur = e.node
+  WHERE e.parent <> e.node
+)
+SELECT node,
+       arg_max(cur, d) AS root_id,
+       CAST(max(d) AS BIGINT) AS depth,
+       TRUE AS converged
+FROM walk
+GROUP BY node
+ORDER BY node
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -874,6 +935,7 @@ EVENTS_QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "interval_coalesce": q_interval_coalesce,
     "group_mode": q_group_mode,
+    "hierarchy_roots": q_hierarchy_roots,
 }
 
 EVENTS_ORACLES = {
@@ -891,4 +953,5 @@ EVENTS_ORACLES = {
     "event_value_quantiles": _sql_event_value_quantiles(),
     "interval_coalesce": SQL_INTERVAL_COALESCE,
     "group_mode": SQL_GROUP_MODE,
+    "hierarchy_roots": SQL_HIERARCHY_ROOTS,
 }

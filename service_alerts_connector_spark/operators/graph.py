@@ -145,3 +145,69 @@ def triangle_count(
         .crossJoin(F.broadcast(n_wedges))
         .crossJoin(F.broadcast(n_tri))
     )
+
+
+def pointer_jump_roots(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    iterations: int = 8,
+) -> DataFrame:
+    """Resolve every node of a forest to its root (+ exact depth) in
+    O(log depth) rounds by pointer jumping — the hierarchy-flattening /
+    org-chart / BOM-rollup primitive relational engines express as a
+    recursive CTE and Spark must express as a bounded self-join loop.
+
+    A sequential walk is O(depth) chained joins; pointer jumping squares
+    the reach each round — after round i every pointer spans min(2^i,
+    dist-to-root) edges, so ``iterations`` rounds resolve any tree of
+    depth ≤ 2^iterations.  Roots are rows with ``parent == node`` (their
+    pointer is a fixed point at distance 0, which is what freezes
+    converged rows in later rounds: joining a root's own entry adds 0).
+
+    Scale shape per round: ONE equi-join of the node-sized pointer table
+    with itself on the pointer key (both sides node-sized — unlike
+    PageRank there is no edge-sized side), then ``localCheckpoint``
+    truncating lineage so the loop never replans a deepening tree.  12
+    rounds cover depth 4096; the ``converged`` flag (pointer is a root)
+    makes an undersized ``iterations`` detectable rather than silently
+    wrong.
+
+    Output: node, ``root_id`` (the pointer after the final round),
+    ``depth`` (exact edge count to the root), ``converged``.
+    """
+    ptr = edges.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("ptr"),
+        F.when(F.col(parent_col) == F.col(node_col), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(iterations):
+        hop = ptr.select(
+            F.col("node").alias("_pn"),
+            F.col("ptr").alias("_pp"),
+            F.col("dist").alias("_pd"),
+        )
+        ptr = (
+            ptr.join(hop, ptr["ptr"] == hop["_pn"], "inner")
+            .select(
+                "node",
+                F.col("_pp").alias("ptr"),
+                (F.col("dist") + F.col("_pd")).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    roots = edges.where(F.col(parent_col) == F.col(node_col)).select(
+        F.col(node_col).alias("_root")
+    )
+    return (
+        ptr.join(roots, ptr["ptr"] == roots["_root"], "left")
+        .select(
+            "node",
+            F.col("ptr").alias("root_id"),
+            F.col("dist").alias("depth"),
+            F.col("_root").isNotNull().alias("converged"),
+        )
+    )

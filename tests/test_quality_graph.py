@@ -121,3 +121,37 @@ def test_triangle_count_matches_brute_force(spark):
     assert row["n_triangles"] == brute
     assert row["n_edges"] == len(edge_set)
     assert brute > 0  # non-vacuous at this density
+
+
+def test_pointer_jump_roots_forest(spark):
+    """Mixed forest: two chains + a binary tree + isolated roots; exact
+    depths and roots vs closed form, and the converged flag flips FALSE
+    when iterations are too few for the depth."""
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    # chain A: 0<-1<-2<-...<-9 (root 0); tree B: root 100, children
+    # 101,102, grandchildren 103..106; isolated root 200
+    edges = (
+        [(i, i - 1) for i in range(1, 10)]
+        + [(0, 0), (100, 100), (101, 100), (102, 100),
+           (103, 101), (104, 101), (105, 102), (106, 102), (200, 200)]
+    )
+    df = spark.createDataFrame(edges, "node long, parent long")
+    got = {
+        r["node"]: (r["root_id"], r["depth"], r["converged"])
+        for r in pointer_jump_roots(df, iterations=4).collect()
+    }
+    for i in range(10):
+        assert got[i] == (0, i, True)
+    assert got[100] == (100, 0, True)
+    assert got[103] == (100, 2, True)
+    assert got[200] == (200, 0, True)
+
+    # depth 9 chain with 2^2 = 4 reach: node 9 cannot resolve in 2 rounds
+    short = {
+        r["node"]: r["converged"]
+        for r in pointer_jump_roots(df, iterations=2).collect()
+    }
+    assert short[9] is False and short[3] is True
