@@ -151,6 +151,7 @@ HEADLINE = [
     "weighted_sample",
     "sorted_neighborhood",
     "hierarchy_roots",
+    "bitmap_intersect",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1521,6 +1521,106 @@ ORDER BY bucket_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Bitmap-index intersection — set algebra on packed user bitmaps
+# ---------------------------------------------------------------------------
+def q_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: pack each event type's user set into
+    32-bit words (word = user div 32, bit = user mod 32, OR-folded per
+    word), then answer "users who did A and B / A or B / A but not B"
+    with bitwise ops on word-aligned bitmaps — the roaring-bitmap /
+    OLAP-bitmap-index pattern that replaces a users×types semi-join
+    cascade with KB-sized bitmap algebra.
+
+    Scale shape: ONE map-side-combinable groupBy (type, word) builds every
+    bitmap in a single event scan (shuffle carries ≤ types × users/32
+    words); the intersection is a word equi-join of two bitmap slices and
+    a bit_count sum — cardinality of any boolean combination without
+    touching events again.  Exactly how ClickHouse/Druid/Pinot answer
+    segment-membership counts at 100 TB.
+
+    Cross-engine: << on BIGINT, bit_or aggregate, bit_count — all
+    bit-identical; bits stay in the low 32 of a 64-bit word so sign never
+    enters.  Output: one row with exact distinct-user cardinalities for
+    click, purchase, and their AND/OR/ANDNOT combinations.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # time-sliced segments keep the sets partial (every user eventually
+    # does everything in the synthetic stream): segment A = day-1 clickers,
+    # segment B = first-48h purchasers
+    sliced = ev.where(
+        (
+            (F.col("event_type") == "click")
+            & (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        )
+        | (
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        )
+    )
+    words = (
+        sliced
+        .select(
+            "event_type",
+            F.expr("user_id div 32").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    a = words.where(F.col("event_type") == "click").select(
+        "word", F.col("bits").alias("bits_a")
+    )
+    b = words.where(F.col("event_type") == "purchase").select(
+        "word", F.col("bits").alias("bits_b")
+    )
+    joined = a.join(b, "word", "full_outer").select(
+        F.coalesce("bits_a", F.lit(0)).alias("ba"),
+        F.coalesce("bits_b", F.lit(0)).alias("bb"),
+    )
+    return joined.agg(
+        F.sum(F.bit_count(F.col("ba"))).cast("long").alias("n_click"),
+        F.sum(F.bit_count(F.col("bb"))).cast("long").alias("n_purchase"),
+        F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
+        .cast("long")
+        .alias("n_either"),
+        F.sum(F.bit_count(F.expr("ba & ~bb")))
+        .cast("long")
+        .alias("n_click_only"),
+    )
+
+
+SQL_BITMAP_INTERSECT = """
+WITH words AS (
+  SELECT event_type, user_id // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits
+  FROM events
+  WHERE (event_type = 'click' AND ts < TIMESTAMP '2024-01-02 00:00:00')
+     OR (event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03 00:00:00')
+  GROUP BY event_type, word
+), a AS (
+  SELECT word, bits AS bits_a FROM words WHERE event_type = 'click'
+), b AS (
+  SELECT word, bits AS bits_b FROM words WHERE event_type = 'purchase'
+), joined AS (
+  SELECT coalesce(bits_a, 0) AS ba, coalesce(bits_b, 0) AS bb
+  FROM a FULL OUTER JOIN b ON a.word = b.word
+)
+SELECT CAST(sum(bit_count(ba)) AS BIGINT) AS n_click,
+       CAST(sum(bit_count(bb)) AS BIGINT) AS n_purchase,
+       CAST(sum(bit_count(ba & bb)) AS BIGINT) AS n_both,
+       CAST(sum(bit_count(ba | bb)) AS BIGINT) AS n_either,
+       CAST(sum(bit_count(ba & ~bb)) AS BIGINT) AS n_click_only
+FROM joined
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -1552,6 +1652,7 @@ ANALYTICS_QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "zone_map_prune": q_zone_map_prune,
     "table_digest": q_table_digest,
+    "bitmap_intersect": q_bitmap_intersect,
 }
 
 ANALYTICS_ORACLES = {
@@ -1585,4 +1686,5 @@ ANALYTICS_ORACLES = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "zone_map_prune": SQL_ZONE_MAP_PRUNE,
     "table_digest": SQL_TABLE_DIGEST,
+    "bitmap_intersect": SQL_BITMAP_INTERSECT,
 }

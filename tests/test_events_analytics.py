@@ -140,3 +140,33 @@ def test_ohlc_invariants_and_order_sensitivity(spark, tmp_path):
     assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
     assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
     assert r["n_events"] == 3
+
+
+def test_bitmap_intersect_matches_set_algebra(spark):
+    """The packed-bitmap cardinalities must equal plain Python set algebra
+    on the same events — an independent ground truth, since the DuckDB
+    oracle mirrors the bitmap formula itself."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_bitmap_intersect,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = q_bitmap_intersect(spark, sf).collect()[0]
+    from service_alerts_connector_spark.catalog import _t
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    clicks = {
+        r["user_id"] for r in ev
+        if r["event_type"] == "click" and str(r["ts"]) < "2024-01-02"
+    }
+    buys = {
+        r["user_id"] for r in ev
+        if r["event_type"] == "purchase" and str(r["ts"]) < "2024-01-03"
+    }
+    assert row["n_click"] == len(clicks)
+    assert row["n_purchase"] == len(buys)
+    assert row["n_both"] == len(clicks & buys)
+    assert row["n_either"] == len(clicks | buys)
+    assert row["n_click_only"] == len(clicks - buys)
