@@ -152,6 +152,7 @@ HEADLINE = [
     "sorted_neighborhood",
     "hierarchy_roots",
     "bitmap_intersect",
+    "k_anonymity_audit",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

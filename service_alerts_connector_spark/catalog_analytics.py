@@ -1621,6 +1621,89 @@ FROM joined
 """
 
 
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit — privacy screening for released data
+# ---------------------------------------------------------------------------
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of an event release keyed on quasi-identifiers —
+    the aggregate-level complement to row-level PII redaction
+    (``text_pii_redact``): before a 100 TB behavioral dataset ships to a
+    training pipeline, every quasi-identifier combination must cover
+    enough distinct people (k-anonymity) with enough spread in the
+    sensitive attribute (l-diversity), or those rows re-identify.
+
+    Quasi-identifier = (event_type, day, value decile-band); sensitive
+    attribute = user_id.  ONE map-side-combinable groupBy computes each
+    equivalence class's row count and distinct-user count (= both k and
+    l here, making the two metrics distinct: a class can have many ROWS
+    but one USER — k-anonymous by row count yet fully identifying);
+    a class-sized rollup then reports the audit verdict: minimum k,
+    minimum l, classes and rows below threshold 5.
+
+    Scale shape: the class groupBy is the only event-sized shuffle
+    (count_distinct adds its partial pass); the verdict agg runs on the
+    class table.  Decile band via exact integer floor(value*10) div 10 —
+    cross-engine floor on non-negative doubles.
+    """
+    ev = _t(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.floor(
+                F.least(F.abs(F.coalesce(F.col("value"), F.lit(0.0))), F.lit(99.0))
+                / 10.0
+            )
+            .cast("long")
+            .alias("value_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("n_users").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("n_users") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k5"),
+        F.sum(F.when(F.col("n_users") < 5, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum(F.when(F.col("n_users") == 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_identifying"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH classes AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(least(abs(coalesce(value, 0.0)), 99.0) / 10.0) AS BIGINT)
+           AS value_band,
+         count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY event_type, day, value_band
+)
+SELECT count(*) AS n_classes,
+       CAST(min(n_users) AS BIGINT) AS k_min,
+       CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k5,
+       CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(sum(CASE WHEN n_users = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_identifying,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total
+FROM classes
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -1653,6 +1736,7 @@ ANALYTICS_QUERIES = {
     "zone_map_prune": q_zone_map_prune,
     "table_digest": q_table_digest,
     "bitmap_intersect": q_bitmap_intersect,
+    "k_anonymity_audit": q_k_anonymity_audit,
 }
 
 ANALYTICS_ORACLES = {
@@ -1687,4 +1771,5 @@ ANALYTICS_ORACLES = {
     "zone_map_prune": SQL_ZONE_MAP_PRUNE,
     "table_digest": SQL_TABLE_DIGEST,
     "bitmap_intersect": SQL_BITMAP_INTERSECT,
+    "k_anonymity_audit": SQL_K_ANONYMITY,
 }
