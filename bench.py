@@ -153,6 +153,8 @@ HEADLINE = [
     "hierarchy_roots",
     "bitmap_intersect",
     "k_anonymity_audit",
+    "benford_audit",
+    "seq_gap_audit",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

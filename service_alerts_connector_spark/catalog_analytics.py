@@ -1704,6 +1704,146 @@ FROM classes
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — large-scale numeric forensics
+# ---------------------------------------------------------------------------
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic forensic screen for fabricated or truncated numeric
+    columns, run as ONE map-side-combinable digit groupBy however large
+    the fact table.
+
+    The first digit comes from string arithmetic (``substring(cast(floor
+    (x) as string), 1, 1)`` on positive totals — no log10, whose last-ulp
+    behaviour differs per libm); expected Benford shares are pinned
+    integer micro-constants (301030 ppm for digit 1, …), so the deviation
+    column is exact integer arithmetic: observed_ppm = n·10⁶ div total,
+    delta_ppm = observed − expected.  A fabricated-uniform column would
+    show ~111111 ppm per digit — the |delta| column localizes it.
+
+    Output: one row per digit 1-9 with counts, observed/expected ppm,
+    and signed delta.
+    """
+    benford_ppm = [
+        301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+    ]
+    li = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(v) for v in benford_ppm]), F.col("digit").cast("int")
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div _total").alias("observed_ppm"),
+            expected.alias("benford_ppm"),
+            (
+                F.expr("(n * 1000000) div _total") - expected
+            ).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), counts AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+), tot AS (
+  SELECT sum(n) AS t FROM counts
+), exp AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                        (9, 45757)) e(digit, benford_ppm)
+)
+SELECT c.digit, c.n,
+       (c.n * 1000000) // t.t AS observed_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       (c.n * 1000000) // t.t - e.benford_ppm AS delta_ppm
+FROM counts c, tot t
+JOIN exp e ON e.digit = c.digit
+ORDER BY c.digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence integrity audit — missing-key islands without a global window
+# ---------------------------------------------------------------------------
+def q_seq_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of a supposedly-dense key sequence (order keys):
+    how many ids are missing, and how fragmented is the coverage — the
+    ingestion-completeness check every CDC/replay pipeline runs.
+
+    The naive islands query is a global row_number window (one task sorts
+    everything); here both island and gap counts come from O(n) equi-
+    anti-joins on shifted keys: an ISLAND starts at every key k whose
+    predecessor k-1 is absent, and a GAP starts at every key k whose
+    successor k+1 is absent (except the max).  One scalar row aggregates:
+    span, present, missing, islands (= gap count + 1 on a fragmented
+    range), plus the largest key.  All shuffles are key equi-joins;
+    nothing sorts globally.
+    """
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    pred = keys.select((F.col("k") + 1).alias("k"))
+    island_starts = keys.join(pred, "k", "left_anti")
+    bounds = keys.agg(
+        F.min("k").alias("kmin"),
+        F.max("k").alias("kmax"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    n_islands = island_starts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands")
+    )
+    return (
+        bounds.crossJoin(F.broadcast(n_islands))
+        .select(
+            F.col("kmin").cast("long").alias("key_min"),
+            F.col("kmax").cast("long").alias("key_max"),
+            F.col("present").cast("long").alias("n_present"),
+            (F.col("kmax") - F.col("kmin") + 1 - F.col("present"))
+            .cast("long")
+            .alias("n_missing"),
+            F.col("n_islands"),
+        )
+    )
+
+
+SQL_SEQ_GAP_AUDIT = """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
+), island_starts AS (
+  SELECT k FROM keys
+  WHERE k - 1 NOT IN (SELECT k FROM keys)
+)
+SELECT min(k) AS key_min, max(k) AS key_max,
+       count(*) AS n_present,
+       max(k) - min(k) + 1 - count(*) AS n_missing,
+       (SELECT count(*) FROM island_starts) AS n_islands
+FROM keys
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -1737,6 +1877,8 @@ ANALYTICS_QUERIES = {
     "table_digest": q_table_digest,
     "bitmap_intersect": q_bitmap_intersect,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "benford_audit": q_benford_audit,
+    "seq_gap_audit": q_seq_gap_audit,
 }
 
 ANALYTICS_ORACLES = {
@@ -1772,4 +1914,6 @@ ANALYTICS_ORACLES = {
     "table_digest": SQL_TABLE_DIGEST,
     "bitmap_intersect": SQL_BITMAP_INTERSECT,
     "k_anonymity_audit": SQL_K_ANONYMITY,
+    "benford_audit": SQL_BENFORD_AUDIT,
+    "seq_gap_audit": SQL_SEQ_GAP_AUDIT,
 }
