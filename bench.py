@@ -155,6 +155,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "benford_audit",
     "seq_gap_audit",
+    "gap_fill_interp",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -176,14 +176,84 @@ LEFT JOIN per_day p ON p.user_id = c.user_id AND p.day = c.day
 """
 
 
+
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user resample with exact-integer LINEAR INTERPOLATION
+    across gap days (`operators/temporal.gap_fill_interp`) — the
+    level-series counterpart to `gap_fill_locf`; both bracketing windows
+    share one exchange+sort."""
+    from service_alerts_connector_spark.operators.temporal import (
+        gap_fill_interp,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = gap_fill_interp(ev, "user_id", "day", "cents")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "cents_filled",
+        "is_observed",
+    )
+
+
+SQL_GAP_FILL_INTERP = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM per_day
+  GROUP BY user_id
+), calendar AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), staged AS (
+  SELECT c.user_id, c.day,
+         coalesce(p.n_events, 0) AS n_events,
+         p.cents,
+         last_value(p.cents IGNORE NULLS)
+           OVER (PARTITION BY c.user_id ORDER BY c.day) AS pc,
+         last_value(CASE WHEN p.cents IS NOT NULL THEN c.day END IGNORE NULLS)
+           OVER (PARTITION BY c.user_id ORDER BY c.day) AS pd,
+         first_value(p.cents IGNORE NULLS)
+           OVER (PARTITION BY c.user_id ORDER BY c.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+         first_value(CASE WHEN p.cents IS NOT NULL THEN c.day END IGNORE NULLS)
+           OVER (PARTITION BY c.user_id ORDER BY c.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM calendar c
+  LEFT JOIN per_day p ON p.user_id = c.user_id AND p.day = c.day
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+            ELSE (pc * date_diff('day', day, nd)
+                  + nc * date_diff('day', pd, day))
+                 // date_diff('day', pd, nd)
+       END AS BIGINT) AS cents_filled,
+       cents IS NOT NULL AS is_observed
+FROM staged
+"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join_agg": q_range_join_agg,
     "gap_fill_locf": q_gap_fill_locf,
+    "gap_fill_interp": q_gap_fill_interp,
 }
 
 TEMPORAL_ORACLES = {
     "asof_join": SQL_ASOF,
     "range_join_agg": SQL_RANGE,
     "gap_fill_locf": SQL_GAP_FILL,
+    "gap_fill_interp": SQL_GAP_FILL_INTERP,
 }

@@ -260,3 +260,84 @@ def coalesce_intervals(
             F.count(F.lit(1)).cast("long").alias("n_intervals"),
         )
     )
+
+
+def gap_fill_interp(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Per-key daily resample with LINEAR INTERPOLATION across gaps — the
+    other half of ``gap_fill_locf``: where LOCF carries the last value
+    flat, interpolation draws the straight line between the surrounding
+    observations (the right densification for level-like series feeding
+    windowed models).
+
+    Same calendar skeleton as LOCF (per-key [first, last] span via
+    sequence-explode, left join to per-day aggregates); each gap day then
+    reads its bracketing observations from two keyed windows (running
+    ``last`` before, running ``first`` after — same partitioning and sort
+    order, so Spark computes both over ONE exchange+sort) and fills
+
+        interp = (prev·(d₁−d) + next·(d−d₀)) div (d₁−d₀)
+
+    in exact integer arithmetic: cents are non-negative, so the floored
+    integer division is identical in Spark (truncate) and DuckDB (floor)
+    — no float enters the fill.  Interior gaps always have both brackets
+    (the calendar spans observation to observation).
+
+    Output: key, ``day``, ``n_events``, ``cents_filled``,
+    ``is_observed``.
+    """
+    per_day = df.groupBy(key_col, day_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents_col).cast("long").alias("cents"),
+    )
+    bounds = per_day.groupBy(key_col).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    calendar = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    joined = calendar.join(per_day, [key_col, day_col], "left")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col(day_col))
+    staged = joined.select(
+        key_col,
+        F.col(day_col).alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("cents"),
+        F.last("cents", ignorenulls=True).over(w_prev).alias("_pc"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("_pd"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("_nc"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("_nd"),
+    )
+    den = F.datediff("_nd", "_pd")
+    num = F.col("_pc") * F.datediff("_nd", "day") + F.col("_nc") * F.datediff(
+        "day", "_pd"
+    )
+    return staged.select(
+        key_col,
+        "day",
+        "n_events",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(
+            (num - (num % den)) / den
+        )
+        .cast("long")
+        .alias("cents_filled"),
+        F.col("cents").isNotNull().alias("is_observed"),
+    )

@@ -259,3 +259,33 @@ def test_coalesce_intervals_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_gap_fill_interp_hand_computed(spark):
+    """Gap days draw the exact integer line between brackets: observations
+    at day 0 (100c) and day 4 (500c) fill 200/300/400; an uneven span
+    floors: day 1..2 between 0c@0 and 100c@3 -> 33, 66."""
+    from datetime import date
+
+    from service_alerts_connector_spark.operators.temporal import (
+        gap_fill_interp,
+    )
+
+    rows = [
+        (1, date(2024, 1, 1), 100),
+        (1, date(2024, 1, 5), 500),
+        (2, date(2024, 1, 1), 0),
+        (2, date(2024, 1, 4), 100),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day date, cents long")
+    got = {
+        (r["user_id"], str(r["day"])): (r["cents_filled"], r["is_observed"])
+        for r in gap_fill_interp(df, "user_id", "day", "cents").collect()
+    }
+    assert got[(1, "2024-01-01")] == (100, True)
+    assert got[(1, "2024-01-02")] == (200, False)
+    assert got[(1, "2024-01-03")] == (300, False)
+    assert got[(1, "2024-01-04")] == (400, False)
+    assert got[(1, "2024-01-05")] == (500, True)
+    assert got[(2, "2024-01-02")] == (33, False)
+    assert got[(2, "2024-01-03")] == (66, False)
