@@ -156,6 +156,7 @@ HEADLINE = [
     "benford_audit",
     "seq_gap_audit",
     "gap_fill_interp",
+    "join_profile",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1844,6 +1844,131 @@ FROM keys
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Joinability profiling — FK-candidate containment discovery
+# ---------------------------------------------------------------------------
+def q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joinability profile of candidate key pairs — the data-catalog
+    discovery primitive ("which columns join, and in which direction?"):
+    for each candidate (fact column, dimension column) pair report
+    distinct cardinalities, the shared-value count, and directional
+    containment in exact ppm.
+
+    Containment ≈ 10⁶ on the fact side with a smaller distinct count is
+    the FK signature; symmetric high containment flags mirrored tables;
+    low both ways kills the candidate.  Per pair: two distinct
+    aggregations + one semi-join count — at 100 TB the distincts are the
+    only fact-sized shuffles, and real profilers swap them for the KMV
+    synopses (`join_size_estimate`) when even that is too hot; this is
+    the exact tier run on the survivors.
+
+    Cross-engine: counts are exact bigints; ppm via non-negative integer
+    div.  Output: one row per candidate pair, ordered by pair name.
+    """
+
+    def profile(pair: str, a, b) -> DataFrame:
+        da = a.distinct()
+        db = b.distinct()
+        shared = da.join(db, da["k"] == db["k2"], "left_semi")
+        na = da.agg(F.count(F.lit(1)).alias("n_a"))
+        nb = db.agg(F.count(F.lit(1)).alias("n_b"))
+        ns = shared.agg(F.count(F.lit(1)).alias("n_shared"))
+        return (
+            na.crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(ns))
+            .select(
+                F.lit(pair).alias("pair"),
+                F.col("n_a").cast("long").alias("n_distinct_fact"),
+                F.col("n_b").cast("long").alias("n_distinct_dim"),
+                F.col("n_shared").cast("long").alias("n_shared"),
+                F.expr("(n_shared * 1000000) div n_a").alias(
+                    "fact_in_dim_ppm"
+                ),
+                F.expr("(n_shared * 1000000) div n_b").alias(
+                    "dim_in_fact_ppm"
+                ),
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        profile(
+            "lineitem.l_partkey->part.p_partkey",
+            li.select(F.col("l_partkey").alias("k")),
+            _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k2")),
+        ),
+        profile(
+            "lineitem.l_suppkey->supplier.s_suppkey",
+            li.select(F.col("l_suppkey").alias("k")),
+            _t(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("k2")
+            ),
+        ),
+        profile(
+            # deliberately bad candidate: keys collide numerically but the
+            # asymmetric containment (low fact-side, total dim-side) is
+            # exactly the signature that kills it in triage
+            "lineitem.l_partkey->supplier.s_suppkey",
+            li.select(F.col("l_partkey").alias("k")),
+            _t(spark, sf_dir, "supplier").select(
+                F.col("s_suppkey").alias("k2")
+            ),
+        ),
+        profile(
+            "orders.o_custkey->customer.c_custkey",
+            _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")),
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k2")
+            ),
+        ),
+    ]
+    out = pairs[0]
+    for x in pairs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("pair")
+
+
+SQL_JOIN_PROFILE = """
+WITH p1 AS (
+  SELECT 'lineitem.l_partkey->part.p_partkey' AS pair,
+         (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_a,
+         (SELECT count(DISTINCT p_partkey) FROM part) AS n_b,
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) f
+           WHERE f.l_partkey IN (SELECT p_partkey FROM part)) AS n_shared
+), p2 AS (
+  SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS pair,
+         (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_a,
+         (SELECT count(DISTINCT s_suppkey) FROM supplier) AS n_b,
+         (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) f
+           WHERE f.l_suppkey IN (SELECT s_suppkey FROM supplier)) AS n_shared
+), p4 AS (
+  SELECT 'lineitem.l_partkey->supplier.s_suppkey' AS pair,
+         (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_a,
+         (SELECT count(DISTINCT s_suppkey) FROM supplier) AS n_b,
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) f
+           WHERE f.l_partkey IN (SELECT s_suppkey FROM supplier)) AS n_shared
+), p3 AS (
+  SELECT 'orders.o_custkey->customer.c_custkey' AS pair,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS n_a,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS n_b,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) f
+           WHERE f.o_custkey IN (SELECT c_custkey FROM customer)) AS n_shared
+), u AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+  UNION ALL SELECT * FROM p4
+)
+SELECT pair,
+       CAST(n_a AS BIGINT) AS n_distinct_fact,
+       CAST(n_b AS BIGINT) AS n_distinct_dim,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       (n_shared * 1000000) // n_a AS fact_in_dim_ppm,
+       (n_shared * 1000000) // n_b AS dim_in_fact_ppm
+FROM u
+ORDER BY pair
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -1879,6 +2004,7 @@ ANALYTICS_QUERIES = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "benford_audit": q_benford_audit,
     "seq_gap_audit": q_seq_gap_audit,
+    "join_profile": q_join_profile,
 }
 
 ANALYTICS_ORACLES = {
@@ -1916,4 +2042,5 @@ ANALYTICS_ORACLES = {
     "k_anonymity_audit": SQL_K_ANONYMITY,
     "benford_audit": SQL_BENFORD_AUDIT,
     "seq_gap_audit": SQL_SEQ_GAP_AUDIT,
+    "join_profile": SQL_JOIN_PROFILE,
 }
