@@ -157,6 +157,7 @@ HEADLINE = [
     "seq_gap_audit",
     "gap_fill_interp",
     "join_profile",
+    "distribution_drift",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

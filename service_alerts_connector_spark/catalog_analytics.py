@@ -1969,6 +1969,143 @@ ORDER BY pair
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitor — exact L1 distance between period histograms
+# ---------------------------------------------------------------------------
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor between two observation periods — the
+    ML-ops screen that decides "has this feature's distribution moved
+    enough to retrain / investigate?" per feature slice.
+
+    For each event type, the value distribution (10-unit bands) of week 1
+    is compared against week 4 as total-variation-style L1 distance in
+    exact ppm: per band, share_1 = n·10⁶ div total_1 and share_2
+    likewise, drift = Σ|share_1 − share_2|.  Division only by each
+    period's own total (non-negative → engine-identical), absolute
+    difference of integers — no float, no log, unlike PSI/KL whose libm
+    terms don't hash across engines (drift RANKS identically under L1).
+
+    Scale shape: one map-side-combinable groupBy (type, period, band)
+    over the filtered scan, then band-table-sized reshaping; a full
+    outer band alignment keeps bands present in only one period (their
+    entire share counts as drift).  Output: one row per event type with
+    the drift, band count, and the single worst-drifting band.
+    """
+    ev = _t(spark, sf_dir, "events")
+    p1 = (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    p2 = (F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-29 00:00:00").cast("timestamp")
+    )
+    banded = (
+        ev.where(p1 | p2)
+        .select(
+            "event_type",
+            F.when(p1, F.lit(1)).otherwise(F.lit(2)).alias("period"),
+            F.floor(
+                F.least(
+                    F.abs(F.coalesce(F.col("value"), F.lit(0.0))),
+                    F.lit(499.0),
+                )
+                / 10.0
+            )
+            .cast("long")
+            .alias("band"),
+        )
+        .groupBy("event_type", "period", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = banded.groupBy("event_type", "period").agg(
+        F.sum("n").alias("t")
+    )
+    shares = banded.join(totals, ["event_type", "period"]).select(
+        "event_type",
+        "period",
+        "band",
+        F.expr("(n * 1000000) div t").alias("ppm"),
+    )
+    a = shares.where(F.col("period") == 1).select(
+        "event_type", "band", F.col("ppm").alias("ppm_1")
+    )
+    b = shares.where(F.col("period") == 2).select(
+        "event_type", "band", F.col("ppm").alias("ppm_2")
+    )
+    aligned = (
+        a.join(b, ["event_type", "band"], "full_outer")
+        .select(
+            "event_type",
+            "band",
+            F.coalesce("ppm_1", F.lit(0)).alias("ppm_1"),
+            F.coalesce("ppm_2", F.lit(0)).alias("ppm_2"),
+        )
+        .withColumn("band_drift", F.abs(F.col("ppm_1") - F.col("ppm_2")))
+    )
+    sel = F.concat(
+        F.lpad((F.lit(999999999999) - F.col("band_drift")).cast("string"), 12, "0"),
+        F.lpad(F.col("band").cast("string"), 6, "0"),
+    )
+    return (
+        aligned.withColumn("_sel", sel)
+        .groupBy("event_type")
+        .agg(
+            F.sum("band_drift").cast("long").alias("l1_drift_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+            F.min_by("band", F.col("_sel")).cast("long").alias("worst_band"),
+            F.max("band_drift").cast("long").alias("worst_band_drift_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTRIBUTION_DRIFT = """
+WITH banded AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 2
+         END AS period,
+         CAST(floor(least(abs(coalesce(value, 0.0)), 499.0) / 10.0)
+              AS BIGINT) AS band,
+         count(*) AS n
+  FROM events
+  WHERE (ts >= TIMESTAMP '2024-01-01 00:00:00'
+         AND ts < TIMESTAMP '2024-01-08 00:00:00')
+     OR (ts >= TIMESTAMP '2024-01-22 00:00:00'
+         AND ts < TIMESTAMP '2024-01-29 00:00:00')
+  GROUP BY event_type, period, band
+), totals AS (
+  SELECT event_type, period, sum(n) AS t FROM banded
+  GROUP BY event_type, period
+), shares AS (
+  SELECT b.event_type, b.period, b.band, (b.n * 1000000) // t.t AS ppm
+  FROM banded b JOIN totals t
+    ON t.event_type = b.event_type AND t.period = b.period
+), a AS (
+  SELECT event_type, band, ppm AS ppm_1 FROM shares WHERE period = 1
+), b AS (
+  SELECT event_type, band, ppm AS ppm_2 FROM shares WHERE period = 2
+), aligned AS (
+  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         coalesce(a.band, b.band) AS band,
+         abs(coalesce(ppm_1, 0) - coalesce(ppm_2, 0)) AS band_drift
+  FROM a FULL OUTER JOIN b
+    ON a.event_type = b.event_type AND a.band = b.band
+)
+SELECT event_type,
+       CAST(sum(band_drift) AS BIGINT) AS l1_drift_ppm,
+       count(*) AS n_bands,
+       CAST(arg_min(band,
+            lpad(CAST(999999999999 - band_drift AS VARCHAR), 12, '0')
+              || lpad(CAST(band AS VARCHAR), 6, '0')) AS BIGINT)
+         AS worst_band,
+       CAST(max(band_drift) AS BIGINT) AS worst_band_drift_ppm
+FROM aligned
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2005,6 +2142,7 @@ ANALYTICS_QUERIES = {
     "benford_audit": q_benford_audit,
     "seq_gap_audit": q_seq_gap_audit,
     "join_profile": q_join_profile,
+    "distribution_drift": q_distribution_drift,
 }
 
 ANALYTICS_ORACLES = {
@@ -2043,4 +2181,5 @@ ANALYTICS_ORACLES = {
     "benford_audit": SQL_BENFORD_AUDIT,
     "seq_gap_audit": SQL_SEQ_GAP_AUDIT,
     "join_profile": SQL_JOIN_PROFILE,
+    "distribution_drift": SQL_DISTRIBUTION_DRIFT,
 }
