@@ -121,7 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest", "weighted_sample", "sorted_neighborhood",
         "hierarchy_roots", "bitmap_intersect", "k_anonymity_audit",
         "benford_audit", "seq_gap_audit", "gap_fill_interp",
-        "join_profile", "distribution_drift",
+        "join_profile", "distribution_drift", "golden_record",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

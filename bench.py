@@ -158,6 +158,7 @@ HEADLINE = [
     "gap_fill_interp",
     "join_profile",
     "distribution_drift",
+    "golden_record",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1474,6 +1474,120 @@ ORDER BY id_a, id_b
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Golden record / survivorship — merge a duplicate group into one canonical row
+# ---------------------------------------------------------------------------
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record construction) — the step AFTER
+    candidate generation in an MDM/dedup pipeline: every blocking group
+    collapses to ONE canonical row under explicit field-level rules.
+
+    Blocking key = (lang, first token); survivorship rules exercised:
+    "richest value wins" (representative = longest text, doc_id
+    tiebreak — a min_by on the complement-length‖id selector),
+    "most frequent wins" (modal source via a (group, source) pre-count +
+    the same selector pattern), and "aggregate" (member count, total
+    chars).  Only groups that actually merge (≥ 2 members) surface.
+
+    Scale shape: two map-side-combinable aggregations (group×source,
+    then group) + one broadcast-sized join of the modal-source slice —
+    no window, no self-join; at 100 TB the group agg is the only
+    corpus-sized shuffle.
+    """
+    from service_alerts_connector_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.coalesce(F.element_at(tokens(F.col("text")), 1), F.lit("")).alias(
+            "block_key"
+        ),
+    )
+    rep_sel = F.concat(
+        F.lpad((F.lit(999999999999) - F.col("n_chars")).cast("string"), 12, "0"),
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+    )
+    groups = (
+        docs.withColumn("_sel", rep_sel)
+        .groupBy("lang", "block_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min_by("doc_id", F.col("_sel")).cast("long").alias("rep_doc_id"),
+            F.max("n_chars").cast("long").alias("rep_n_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    src_counts = docs.groupBy("lang", "block_key", "source").agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    modal_sel = F.concat(
+        F.lpad((F.lit(999999999999) - F.col("n_src")).cast("string"), 12, "0"),
+        F.col("source"),
+    )
+    modal = (
+        src_counts.withColumn("_msel", modal_sel)
+        .groupBy("lang", "block_key")
+        .agg(F.min_by("source", F.col("_msel")).alias("modal_source"))
+    )
+    return (
+        groups.where(F.col("n_members") >= 2)
+        .join(modal, ["lang", "block_key"])
+        .select(
+            "lang",
+            "block_key",
+            "n_members",
+            "rep_doc_id",
+            "rep_n_chars",
+            "modal_source",
+            "total_chars",
+        )
+        .orderBy("lang", "block_key")
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH docs AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN trim(lower(text)) IS NULL OR trim(lower(text)) = ''
+              THEN ''
+              ELSE string_split_regex(trim(lower(text)), '\\s+')[1]
+         END AS block_key
+  FROM documents
+), groups AS (
+  SELECT lang, block_key,
+         count(*) AS n_members,
+         arg_min(doc_id,
+                 lpad(CAST(999999999999 - n_chars AS VARCHAR), 12, '0')
+                   || lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS rep_doc_id,
+         max(n_chars) AS rep_n_chars,
+         sum(n_chars) AS total_chars
+  FROM docs GROUP BY lang, block_key
+), src_counts AS (
+  SELECT lang, block_key, source, count(*) AS n_src
+  FROM docs GROUP BY lang, block_key, source
+), modal AS (
+  SELECT lang, block_key,
+         arg_min(source,
+                 lpad(CAST(999999999999 - n_src AS VARCHAR), 12, '0')
+                   || source) AS modal_source
+  FROM src_counts GROUP BY lang, block_key
+)
+SELECT g.lang, g.block_key,
+       CAST(g.n_members AS BIGINT) AS n_members,
+       CAST(g.rep_doc_id AS BIGINT) AS rep_doc_id,
+       CAST(g.rep_n_chars AS BIGINT) AS rep_n_chars,
+       m.modal_source,
+       CAST(g.total_chars AS BIGINT) AS total_chars
+FROM groups g JOIN modal m
+  ON m.lang = g.lang AND m.block_key = g.block_key
+WHERE g.n_members >= 2
+ORDER BY g.lang, g.block_key
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -1496,6 +1610,7 @@ TEXT_QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "sorted_neighborhood": q_sorted_neighborhood,
+    "golden_record": q_golden_record,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
@@ -1538,6 +1653,7 @@ TEXT_ORACLES = {
     "dedup_jaccard": SQL_JACCARD,
     "dedup_prefix_filter": SQL_PREFIX_FILTER,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
+    "golden_record": SQL_GOLDEN_RECORD,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,
