@@ -159,6 +159,7 @@ HEADLINE = [
     "join_profile",
     "distribution_drift",
     "golden_record",
+    "twap_value",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

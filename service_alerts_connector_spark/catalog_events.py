@@ -920,6 +920,86 @@ ORDER BY node
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Time-weighted average — duration-weighted value per user
+# ---------------------------------------------------------------------------
+def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series (TWAP) — the
+    metrics/finance aggregate where a value "holds" until the next
+    observation, so sparse samples don't bias the mean the way a plain
+    row average does.
+
+    Each event's weight is the seconds until the user's NEXT event
+    (lead over one keyed window; final events carry no interval and drop
+    out), capped at 3600 s so an overnight gap cannot dominate.  All
+    arithmetic exact: cents × seconds accumulate as bigints, and the
+    final micro-unit average divides two non-negative integers (engine-
+    identical floored division).  Numerator and denominator surface
+    beside the quotient — at 100 TB the per-user partials are mergeable
+    across any partitioning, the same contract as the sketch tier.
+
+    One exchange: the lead window and the per-user aggregation share the
+    user_id hash partitioning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # order by the floored epoch second + id tiebreak (not raw ts) so the
+    # window order is exactly the oracle's — sub-second ties resolve by id
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_s("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("t_next", F.lead("t").over(w))
+    weighted = staged.where(F.col("t_next").isNotNull()).select(
+        "user_id",
+        "cents",
+        F.least(F.col("t_next") - F.col("t"), F.lit(3600)).alias("dur_s"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_s"))
+            .cast("long")
+            .alias("twap_num"),
+            F.sum("dur_s").cast("long").alias("twap_den_s"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .withColumn("twap_micro", F.expr("(twap_num * 10000) div twap_den_s"))
+        .orderBy("user_id")
+    )
+
+
+SQL_TWAP = """
+WITH staged AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC,
+                        event_id ASC) AS t_next
+  FROM events
+), weighted AS (
+  SELECT user_id, cents, least(t_next - t, 3600) AS dur_s
+  FROM staged WHERE t_next IS NOT NULL
+), agg AS (
+  SELECT user_id,
+         sum(cents * dur_s) AS twap_num,
+         sum(dur_s) AS twap_den_s,
+         count(*) AS n_intervals
+  FROM weighted GROUP BY user_id
+)
+SELECT user_id,
+       CAST(twap_num AS BIGINT) AS twap_num,
+       CAST(twap_den_s AS BIGINT) AS twap_den_s,
+       CAST(n_intervals AS BIGINT) AS n_intervals,
+       (twap_num * 10000) // twap_den_s AS twap_micro
+FROM agg
+ORDER BY user_id
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -936,6 +1016,7 @@ EVENTS_QUERIES = {
     "interval_coalesce": q_interval_coalesce,
     "group_mode": q_group_mode,
     "hierarchy_roots": q_hierarchy_roots,
+    "twap_value": q_twap_value,
 }
 
 EVENTS_ORACLES = {
@@ -954,4 +1035,5 @@ EVENTS_ORACLES = {
     "interval_coalesce": SQL_INTERVAL_COALESCE,
     "group_mode": SQL_GROUP_MODE,
     "hierarchy_roots": SQL_HIERARCHY_ROOTS,
+    "twap_value": SQL_TWAP,
 }
