@@ -160,6 +160,9 @@ HEADLINE = [
     "distribution_drift",
     "golden_record",
     "twap_value",
+    "ivm_merge",
+    "daily_streaks",
+    "pareto_analysis",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

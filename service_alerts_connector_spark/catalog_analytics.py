@@ -2106,6 +2106,286 @@ ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — mergeable-agg snapshot + delta refresh
+# ---------------------------------------------------------------------------
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of an aggregate view: a snapshot
+    (orders through 1996-12-31) merges with the delta (orders after) into
+    the refreshed view WITHOUT rescanning history — the algebraic-IVM
+    contract that sum/count partials are mergeable.
+
+    Both partials here derive from the same table split by a watermark
+    date (in production the snapshot is a stored table and only the delta
+    scans); the merge is a full-outer key join + coalesce-add, and the
+    ``check_full`` column re-derives each group from the unsplit table to
+    pin merged ≡ recomputed inside the SAME query — the self-auditing
+    refresh a lakehouse scheduler would run.
+
+    Scale shape: delta-sized scan + snapshot-sized join at refresh time;
+    the two partial aggs are map-side combinable.  Money in cents per the
+    catalog rules.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1996-12-31 23:59:59").cast("timestamp")
+
+    def part(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias(f"cents_{tag}"),
+        )
+
+    snap = part(orders.where(F.col("o_orderdate") <= cut), "snap")
+    delta = part(orders.where(F.col("o_orderdate") > cut), "delta")
+    full = part(orders, "full")
+    merged = (
+        snap.join(delta, "priority", "full_outer")
+        .select(
+            "priority",
+            (F.coalesce("n_snap", F.lit(0)) + F.coalesce("n_delta", F.lit(0)))
+            .cast("long")
+            .alias("n_merged"),
+            (
+                F.coalesce("cents_snap", F.lit(0))
+                + F.coalesce("cents_delta", F.lit(0))
+            )
+            .cast("long")
+            .alias("cents_merged"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+    return (
+        merged.join(full, "priority")
+        .select(
+            "priority",
+            "n_merged",
+            "cents_merged",
+            "n_delta",
+            (
+                (F.col("n_merged") == F.col("n_full"))
+                & (F.col("cents_merged") == F.col("cents_full"))
+            ).alias("check_full"),
+        )
+        .orderBy("priority")
+    )
+
+
+SQL_IVM_MERGE = """
+WITH snap AS (
+  SELECT o_orderpriority AS priority, count(*) AS n_snap,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents_snap
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+  GROUP BY priority
+), delta AS (
+  SELECT o_orderpriority AS priority, count(*) AS n_delta,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents_delta
+  FROM orders WHERE o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+  GROUP BY priority
+), fullv AS (
+  SELECT o_orderpriority AS priority, count(*) AS n_full,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents_full
+  FROM orders GROUP BY priority
+), merged AS (
+  SELECT coalesce(s.priority, d.priority) AS priority,
+         coalesce(n_snap, 0) + coalesce(n_delta, 0) AS n_merged,
+         coalesce(cents_snap, 0) + coalesce(cents_delta, 0) AS cents_merged,
+         coalesce(n_delta, 0) AS n_delta
+  FROM snap s FULL OUTER JOIN delta d ON s.priority = d.priority
+)
+SELECT m.priority,
+       CAST(m.n_merged AS BIGINT) AS n_merged,
+       CAST(m.cents_merged AS BIGINT) AS cents_merged,
+       CAST(m.n_delta AS BIGINT) AS n_delta,
+       (m.n_merged = f.n_full AND m.cents_merged = f.cents_full)
+         AS check_full
+FROM merged m JOIN fullv f ON f.priority = m.priority
+ORDER BY m.priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily activity streaks — rank-difference islands on the day grid
+# ---------------------------------------------------------------------------
+def q_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks — the product-analytics
+    staple ("longest streak", "how fragmented is engagement").
+
+    On the integer day grid, islands fall out of the rank-difference
+    trick: for each user's DISTINCT active days ordered ascending,
+    ``day_num − row_number()`` is constant exactly within a run of
+    consecutive days — no running max needed (contrast
+    ``interval_coalesce``, where variable interval lengths force one).
+    Two keyed aggregations + one keyed window, all on user_id.
+
+    Output per user: active days, streak count, longest/latest streak
+    lengths (latest = the island containing the user's last active day).
+    """
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    islands = (
+        days.withColumn(
+            "grp", F.col("day_num") - F.row_number().over(w)
+        )
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("len"),
+            F.max("day_num").alias("last_day"),
+        )
+    )
+    last_sel = F.concat(
+        F.lpad((F.lit(999999) - F.col("last_day")).cast("string"), 7, "0"),
+    )
+    return (
+        islands.withColumn("_lsel", last_sel)
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("max_streak"),
+            F.min_by("len", F.col("_lsel")).cast("long").alias("latest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_DAILY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+), ranked AS (
+  SELECT user_id, day_num,
+         day_num - row_number() OVER (
+           PARTITION BY user_id ORDER BY day_num) AS grp
+  FROM days
+), islands AS (
+  SELECT user_id, grp, count(*) AS len, max(day_num) AS last_day
+  FROM ranked GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak,
+       CAST(arg_min(len,
+            lpad(CAST(999999 - last_day AS VARCHAR), 7, '0')) AS BIGINT)
+         AS latest_streak
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration — who covers 80% of revenue, per segment
+# ---------------------------------------------------------------------------
+def q_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration per market segment: how many
+    customers, ranked by revenue, cover 80 % of the segment's total —
+    the revenue-concentration / whale-detection report.
+
+    Per segment the customer revenue agg shuffles once; the cumulative
+    share is a keyed window over the segment's CUSTOMER table (never raw
+    orders), ordered by (revenue desc, custkey) for determinism.  The
+    80 % membership test stays in exact integers — ``cum·5 < total·4``
+    counts customers strictly below the threshold, then +1 for the
+    customer that crosses it.  Output: per segment, customer count,
+    customers-to-80 %, and their ppm share of the population.
+    """
+    seg = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .join(seg, "custkey")
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("cents"), F.asc("custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = rev.select(
+        "segment",
+        "custkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+    )
+    totals = staged.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max("cum").alias("total"),
+    )
+    return (
+        staged.join(totals, "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("cum") * 5 < F.col("total") * 4, 1
+                    ).otherwise(0)
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("n_to_80pct"),
+        )
+        .withColumn(
+            "share_of_pop_ppm",
+            F.expr("(n_to_80pct * 1000000) div n_customers"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_PARETO = """
+WITH rev AS (
+  SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
+         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY custkey, segment
+), staged AS (
+  SELECT segment, custkey, cents,
+         sum(cents) OVER (PARTITION BY segment
+                          ORDER BY cents DESC, custkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+  FROM rev
+), totals AS (
+  SELECT segment, count(*) AS n_customers, max(cum) AS total
+  FROM staged GROUP BY segment
+)
+SELECT s.segment,
+       CAST(max(t.n_customers) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN s.cum * 5 < t.total * 4 THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS n_to_80pct,
+       ((sum(CASE WHEN s.cum * 5 < t.total * 4 THEN 1 ELSE 0 END) + 1)
+         * 1000000) // max(t.n_customers) AS share_of_pop_ppm
+FROM staged s JOIN totals t ON t.segment = s.segment
+GROUP BY s.segment
+ORDER BY s.segment
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2143,6 +2423,9 @@ ANALYTICS_QUERIES = {
     "seq_gap_audit": q_seq_gap_audit,
     "join_profile": q_join_profile,
     "distribution_drift": q_distribution_drift,
+    "ivm_merge": q_ivm_merge,
+    "daily_streaks": q_daily_streaks,
+    "pareto_analysis": q_pareto_analysis,
 }
 
 ANALYTICS_ORACLES = {
@@ -2182,4 +2465,7 @@ ANALYTICS_ORACLES = {
     "seq_gap_audit": SQL_SEQ_GAP_AUDIT,
     "join_profile": SQL_JOIN_PROFILE,
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
+    "ivm_merge": SQL_IVM_MERGE,
+    "daily_streaks": SQL_DAILY_STREAKS,
+    "pareto_analysis": SQL_PARETO,
 }
