@@ -163,6 +163,7 @@ HEADLINE = [
     "ivm_merge",
     "daily_streaks",
     "pareto_analysis",
+    "session_paths",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -2386,6 +2386,94 @@ ORDER BY s.segment
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Session path analysis — top navigation paths across sessionized streams
+# ---------------------------------------------------------------------------
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the first three event types of every
+    session (30-min gap sessionization via ``operators/sessions``),
+    ranked by frequency — the clickstream "how do journeys start"
+    report.
+
+    The path assembles WITHOUT an ordered collect_list (whose order
+    Spark does not guarantee across partitioner choices): a per-session
+    row_number picks steps 1-3, and three conditional ``max(CASE rn)``
+    aggregations pin each step deterministically — the same trick works
+    verbatim in the oracle.  ``concat_ws`` skips nulls, so shorter
+    sessions yield shorter paths instead of dangling separators.
+
+    Scale shape: the sessionize window, the step window, and the
+    per-session agg all share the user_id-prefixed partitioning; the
+    path groupBy carries one row per session; top-k is
+    TakeOrderedAndProject.
+    """
+    from service_alerts_connector_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_s=1800)
+    w = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    stepped = s.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 3
+    )
+    per_session = stepped.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+    )
+    return (
+        per_session.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sessed AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged
+), stepped AS (
+  SELECT user_id, session_idx, event_type,
+         row_number() OVER (PARTITION BY user_id, session_idx
+                            ORDER BY ts, event_id) AS rn
+  FROM sessed
+), per_session AS (
+  SELECT user_id, session_idx,
+         max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+         max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+         max(CASE WHEN rn = 3 THEN event_type END) AS e3
+  FROM stepped WHERE rn <= 3
+  GROUP BY user_id, session_idx
+)
+SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n_sessions
+FROM per_session
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2426,6 +2514,7 @@ ANALYTICS_QUERIES = {
     "ivm_merge": q_ivm_merge,
     "daily_streaks": q_daily_streaks,
     "pareto_analysis": q_pareto_analysis,
+    "session_paths": q_session_paths,
 }
 
 ANALYTICS_ORACLES = {
@@ -2468,4 +2557,5 @@ ANALYTICS_ORACLES = {
     "ivm_merge": SQL_IVM_MERGE,
     "daily_streaks": SQL_DAILY_STREAKS,
     "pareto_analysis": SQL_PARETO,
+    "session_paths": SQL_SESSION_PATHS,
 }
