@@ -164,6 +164,7 @@ HEADLINE = [
     "daily_streaks",
     "pareto_analysis",
     "session_paths",
+    "quota_allocation",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

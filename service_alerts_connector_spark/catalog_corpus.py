@@ -1042,6 +1042,98 @@ LIMIT 100
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota allocation — exact apportionment of a budget
+# ---------------------------------------------------------------------------
+def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a fixed sampling budget (10 000 slots) across sources
+    proportionally to their document counts with the largest-remainder
+    (Hamilton) method — the exact-integer allocator behind "build a 10k
+    training mix that mirrors the corpus" (floats would drop or invent
+    slots; this allocation sums to the budget EXACTLY by construction).
+
+    base_i = n_i·B div N floors every share; the R = B − Σbase leftover
+    slots go to the R largest remainders (n_i·B mod N, source tiebreak).
+    The top-R pick is ``orderBy().limit(R)`` on the source-sized table —
+    TakeOrderedAndProject, no unpartitioned window even though the frame
+    is tiny (R itself comes from a one-row aggregate, crossJoin-broadcast
+    like every scalar anchor in this catalog).  A final ``bonus``
+    semi-join flags winners.
+
+    Scale shape: ONE corpus-sized groupBy; everything after runs on the
+    ≤|sources| table.  Output: per source, count, base, bonus flag,
+    final allocation — allocations sum to 10 000 (pinned in pytest).
+    """
+    B = 10000
+    docs = _t(spark, sf_dir, "documents")
+    # weight by total characters (doc counts are uniform per source in
+    # the synthetic corpus — char mass actually exercises the remainders)
+    counts = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n")
+    )
+    # "ntot", not "N": Spark resolves identifiers case-insensitively, so
+    # a column named N collides with n
+    total = counts.agg(F.sum("n").alias("ntot"))
+    staged = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {B}) div ntot").alias("base"),
+        F.expr(f"(n * {B}) % ntot").alias("rem"),
+    )
+    pool = staged.agg((F.lit(B) - F.sum("base")).cast("int").alias("R"))
+    r = pool.collect()[0]["R"]
+    winners = (
+        staged.orderBy(F.desc("rem"), F.asc("source"))
+        .limit(int(r))
+        .select(F.col("source").alias("_ws"))
+    )
+    return (
+        staged.join(
+            winners, staged["source"] == winners["_ws"], "left"
+        )
+        .select(
+            "source",
+            "n",
+            "base",
+            F.col("_ws").isNotNull().alias("got_bonus"),
+            (
+                F.col("base")
+                + F.when(F.col("_ws").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocation"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_QUOTA_ALLOCATION = """
+WITH counts AS (
+  SELECT source, sum(n_chars) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n) AS N FROM counts
+), staged AS (
+  SELECT c.source, c.n,
+         (c.n * 10000) // t.N AS base,
+         (c.n * 10000) % t.N AS rem
+  FROM counts c, tot t
+), pool AS (
+  SELECT 10000 - sum(base) AS R FROM staged
+), winners AS (
+  SELECT source FROM staged, pool
+  ORDER BY rem DESC, source ASC
+  LIMIT (SELECT R FROM pool)
+)
+SELECT s.source, s.n, CAST(s.base AS BIGINT) AS base,
+       w.source IS NOT NULL AS got_bonus,
+       CAST(s.base + CASE WHEN w.source IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS allocation
+FROM staged s LEFT JOIN winners w ON w.source = s.source
+ORDER BY s.source
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -1066,6 +1158,7 @@ CORPUS_QUERIES = {
     "bm25_rank": q_bm25_rank,
     "pmi_top_pairs": q_pmi_top_pairs,
     "weighted_sample": q_weighted_sample,
+    "quota_allocation": q_quota_allocation,
 }
 
 CORPUS_ORACLES = {
@@ -1092,4 +1185,5 @@ CORPUS_ORACLES = {
     "bm25_rank": SQL_BM25,
     "pmi_top_pairs": SQL_PMI,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "quota_allocation": SQL_QUOTA_ALLOCATION,
 }

@@ -232,3 +232,20 @@ def test_bpe_merge_step_matches_pure_python(spark, tmp_path):
         counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
     )[:20]
     assert got == want
+
+
+def test_quota_allocation_sums_to_budget(spark):
+    """Largest-remainder apportionment must hit the budget EXACTLY and
+    never deviate from a source's fair share by more than one slot."""
+    from service_alerts_connector_spark.catalog_corpus import (
+        q_quota_allocation,
+    )
+
+    rows = q_quota_allocation(spark, "/root/testdata/sf0.001").collect()
+    total_alloc = sum(r["allocation"] for r in rows)
+    assert total_alloc == 10000
+    n_total = sum(r["n"] for r in rows)
+    for r in rows:
+        fair = r["n"] * 10000 / n_total
+        assert abs(r["allocation"] - fair) < 1.0
+        assert r["allocation"] - r["base"] in (0, 1)
