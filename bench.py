@@ -165,6 +165,7 @@ HEADLINE = [
     "pareto_analysis",
     "session_paths",
     "quota_allocation",
+    "phrase_search",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1134,6 +1134,75 @@ ORDER BY s.source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Positional phrase search — adjacency join over a positional index
+# ---------------------------------------------------------------------------
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash") via a positional inverted
+    index — the IR capability a bag-of-words index (`inverted_index`)
+    cannot answer: both terms must appear at ADJACENT positions.
+
+    The positional postings build is one posexplode projection; the
+    phrase match is an equi-join on (doc, position+1) restricted to the
+    two query terms BEFORE the join (term selectivity does the pruning,
+    so the join sides are posting-list-sized, never corpus-sized — the
+    standard positional-index evaluation order).  Longer phrases chain
+    one join per extra term.
+
+    Output: matching docs with occurrence counts and the first match
+    position, ordered by doc.  Scale shape: narrow scan + two tiny
+    filtered frames + one equi-join; the only corpus-sized work is the
+    tokenizer projection feeding the filters.
+    """
+    from service_alerts_connector_spark.functions.text import tokens
+
+    t1, t2 = "table", "hash"
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = pos.where(F.col("term") == t1).select("doc_id", "pos")
+    b = pos.where(F.col("term") == t2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    hits = a.join(b, ["doc_id", "pos"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(text)) IS NULL OR trim(lower(text)) = ''
+              THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+')
+         END AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(l) AS term,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM toks
+), a AS (
+  SELECT doc_id, pos FROM pos WHERE term = 'table'
+), b AS (
+  SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'hash'
+)
+SELECT a.doc_id,
+       count(*) AS n_occurrences,
+       CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -1159,6 +1228,7 @@ CORPUS_QUERIES = {
     "pmi_top_pairs": q_pmi_top_pairs,
     "weighted_sample": q_weighted_sample,
     "quota_allocation": q_quota_allocation,
+    "phrase_search": q_phrase_search,
 }
 
 CORPUS_ORACLES = {
@@ -1186,4 +1256,5 @@ CORPUS_ORACLES = {
     "pmi_top_pairs": SQL_PMI,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "quota_allocation": SQL_QUOTA_ALLOCATION,
+    "phrase_search": SQL_PHRASE_SEARCH,
 }
