@@ -166,6 +166,7 @@ HEADLINE = [
     "session_paths",
     "quota_allocation",
     "phrase_search",
+    "ann_recall_eval",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

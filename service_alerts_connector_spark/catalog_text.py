@@ -1588,6 +1588,70 @@ ORDER BY g.lang, g.block_key
 """
 
 
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — approx-vs-exact retrieval quality as a query
+# ---------------------------------------------------------------------------
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the SQ8-served ANN against exact
+    cosine, as one self-contained query: recall@10 and MRR of the exact
+    top-10 within the approximate list — the metrics every vector-store
+    deployment tracks before trading precision for speed.
+
+    Ranks inside the 10-row approximate list come from a 10×10 ordering
+    self-join (count of rows at-or-before under the (score desc, id)
+    total order) — NOT a window, keeping the catalog's no-unpartitioned-
+    window invariant even on tiny frames.  recall_ppm and mrr_micro stay
+    in exact integers (10⁶ div k, Σ 10⁶ div rank).
+
+    Scale shape: both candidate lists are corpus-scan + TakeOrdered
+    pipelines (their own catalog entries); everything in this query
+    beyond them touches ≤ 10-row frames.
+    """
+    exact = q_ann_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("eid")
+    )
+    approx = q_ann_sq8(spark, sf_dir).select("vec_id", "qcos")
+    other = approx.select(
+        F.col("vec_id").alias("ovid"), F.col("qcos").alias("oq")
+    )
+    ranked = (
+        approx.join(
+            other,
+            (F.col("oq") > F.col("qcos"))
+            | ((F.col("oq") == F.col("qcos")) & (F.col("ovid") <= F.col("vec_id"))),
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rank"))
+    )
+    hits = exact.join(ranked, F.col("eid") == F.col("vec_id"), "inner")
+    return hits.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.expr("(count(1) * 1000000) div 10").alias("recall_ppm"),
+        F.sum(F.expr("1000000 div rank")).cast("long").alias("mrr_sum_micro"),
+    )
+
+
+SQL_ANN_RECALL_EVAL = f"""
+WITH exact AS (
+  SELECT vec_id AS eid FROM ({SQL_ANN_TOPK})
+), approx AS (
+  SELECT * FROM ({SQL_ANN_SQ8})
+), ranked AS (
+  SELECT a.vec_id, count(*) AS rank
+  FROM approx a JOIN approx o
+    ON (o.qcos > a.qcos) OR (o.qcos = a.qcos AND o.vec_id <= a.vec_id)
+  GROUP BY a.vec_id
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       count(*) AS n_hits,
+       (count(*) * 1000000) // 10 AS recall_ppm,
+       CAST(sum(1000000 // rank) AS BIGINT) AS mrr_sum_micro
+FROM exact e JOIN ranked r ON r.vec_id = e.eid
+"""
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -1611,6 +1675,7 @@ TEXT_QUERIES = {
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "sorted_neighborhood": q_sorted_neighborhood,
     "golden_record": q_golden_record,
+    "ann_recall_eval": q_ann_recall_eval,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
@@ -1654,6 +1719,7 @@ TEXT_ORACLES = {
     "dedup_prefix_filter": SQL_PREFIX_FILTER,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "golden_record": SQL_GOLDEN_RECORD,
+    "ann_recall_eval": SQL_ANN_RECALL_EVAL,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "ann_bucketed": SQL_ANN_BUCKETED,
