@@ -167,6 +167,7 @@ HEADLINE = [
     "quota_allocation",
     "phrase_search",
     "ann_recall_eval",
+    "fd_check",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

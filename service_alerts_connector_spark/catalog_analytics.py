@@ -2474,6 +2474,104 @@ LIMIT 20
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Functional-dependency check — schema-rule profiling (A → B violations)
+# ---------------------------------------------------------------------------
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: does column A determine column B?
+    The schema-discovery sibling of ``join_profile`` (which finds join
+    edges) and ``dq_rule_screen`` (which enforces row rules) — FDs decide
+    normalization, dedup keys, and whether a "dimension" column is safe
+    to collapse.
+
+    For each candidate FD the per-LHS distinct-RHS count comes from ONE
+    (lhs, rhs) distinct + LHS rollup; a violating LHS has > 1 RHS.
+    Candidates: n_name → n_regionkey (true — nation names are unique),
+    p_brand → p_type (false — brands span types),
+    o_orderpriority → o_orderstatus (false — priorities span statuses),
+    and c_nationkey → c_mktsegment (false).  Output per FD: LHS distinct
+    count, violating-LHS count, max RHS-per-LHS, and a holds flag.
+
+    Scale shape: per FD one map-side-combinable distinct on the (lhs,
+    rhs) pair (the only input-sized shuffle) and one LHS-sized rollup.
+    """
+
+    def check(fd: str, df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        pairs = df.select(
+            F.col(lhs).alias("l"), F.col(rhs).alias("r")
+        ).distinct()
+        per_lhs = pairs.groupBy("l").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rhs")
+        )
+        return per_lhs.agg(
+            F.lit(fd).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+            (F.max("n_rhs") == 1).alias("holds"),
+        )
+
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    out = check("n_name->n_regionkey", nation, "n_name", "n_regionkey")
+    out = out.unionByName(check("p_brand->p_type", part, "p_brand", "p_type"))
+    out = out.unionByName(
+        check(
+            "o_orderpriority->o_orderstatus",
+            orders,
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+    )
+    out = out.unionByName(
+        check("c_nationkey->c_mktsegment", cust, "c_nationkey", "c_mktsegment")
+    )
+    return out.orderBy("fd")
+
+
+SQL_FD_CHECK = """
+WITH c0 AS (
+  SELECT 'n_name->n_regionkey' AS fd, count(*) AS n_lhs,
+         sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(n_rhs) AS max_rhs_per_lhs, max(n_rhs) = 1 AS holds
+  FROM (SELECT n_name, count(*) AS n_rhs
+        FROM (SELECT DISTINCT n_name, n_regionkey FROM nation)
+        GROUP BY n_name)
+), c1 AS (
+  SELECT 'p_brand->p_type' AS fd, count(*) AS n_lhs,
+         sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(n_rhs) AS max_rhs_per_lhs, max(n_rhs) = 1 AS holds
+  FROM (SELECT p_brand, count(*) AS n_rhs
+        FROM (SELECT DISTINCT p_brand, p_type FROM part) GROUP BY p_brand)
+), c2 AS (
+  SELECT 'o_orderpriority->o_orderstatus' AS fd, count(*) AS n_lhs,
+         sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(n_rhs) AS max_rhs_per_lhs, max(n_rhs) = 1 AS holds
+  FROM (SELECT o_orderpriority, count(*) AS n_rhs
+        FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        GROUP BY o_orderpriority)
+), c3 AS (
+  SELECT 'c_nationkey->c_mktsegment' AS fd, count(*) AS n_lhs,
+         sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(n_rhs) AS max_rhs_per_lhs, max(n_rhs) = 1 AS holds
+  FROM (SELECT c_nationkey, count(*) AS n_rhs
+        FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        GROUP BY c_nationkey)
+)
+SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+       CAST(n_violating AS BIGINT) AS n_violating,
+       CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs, holds
+FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL
+      SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+ORDER BY fd
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2515,6 +2613,7 @@ ANALYTICS_QUERIES = {
     "daily_streaks": q_daily_streaks,
     "pareto_analysis": q_pareto_analysis,
     "session_paths": q_session_paths,
+    "fd_check": q_fd_check,
 }
 
 ANALYTICS_ORACLES = {
@@ -2558,4 +2657,5 @@ ANALYTICS_ORACLES = {
     "daily_streaks": SQL_DAILY_STREAKS,
     "pareto_analysis": SQL_PARETO,
     "session_paths": SQL_SESSION_PATHS,
+    "fd_check": SQL_FD_CHECK,
 }
