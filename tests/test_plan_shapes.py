@@ -483,3 +483,40 @@ def test_round5b_queries_plan_shapes(spark):
     p = _plan(q_table_digest(spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round5c_queries_plan_shapes(spark):
+    """Final round-5 batch.  twap_value: the lead window and the per-user
+    agg share ONE hashpartitioning exchange over events.  phrase_search:
+    the adjacency join is an equi hash join (term filters bound the
+    sides), never BNLJ/cartesian.  quota_allocation: the remainder pick is
+    TakeOrderedAndProject.  golden_record / fd_check: aggregation-only —
+    no window anywhere.  daily_streaks: the islands window is keyed."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_daily_streaks,
+        q_fd_check,
+    )
+    from service_alerts_connector_spark.catalog_corpus import (
+        q_phrase_search,
+        q_quota_allocation,
+    )
+    from service_alerts_connector_spark.catalog_events import q_twap_value
+    from service_alerts_connector_spark.catalog_text import q_golden_record
+
+    p = _plan(q_twap_value(spark, SF_DIR))
+    # one exchange for the user window; agg reuses it (orderBy adds range)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    p = _plan(q_phrase_search(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = _plan(q_quota_allocation(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+    for q in (q_golden_record, q_fd_check):
+        assert "Window" not in _plan(q(spark, SF_DIR))
+
+    p = _plan(q_daily_streaks(spark, SF_DIR))
+    assert "windowspecdefinition(user_id" in p  # islands window is keyed

@@ -26,7 +26,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "hll_distinct", "dedup_prefix_filter", "dq_rule_screen",
         "vocab_coverage", "q5_region_volume",
         "q19_disjunctive", "q21_waiting_suppliers",
-        "zone_map_prune", "interval_coalesce", "weighted_sample"]
+        "zone_map_prune", "interval_coalesce", "weighted_sample",
+        "bitmap_intersect", "phrase_search", "twap_value"]
 NOTES = {
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
@@ -60,6 +61,9 @@ NOTES = {
     "zone_map_prune": "two map-side-combined zone-map builds (insertion + clustered layouts) unioned; no join, no window — the stats table is files-sized metadata",
     "interval_coalesce": "running-max island window + island-extent agg share ONE hashpartitioning exchange (grouping key has the window key as prefix)",
     "weighted_sample": "zero-exchange narrow projection + TakeOrderedAndProject: global weighted bottom-k with per-partition partial top-k",
+    "bitmap_intersect": "one map-side-combined (type, word) groupBy builds every bitmap; set algebra is a word equi-join + bit_count - events never re-shuffle",
+    "phrase_search": "positional postings; term filters land BEFORE the (doc, pos+1) equi-join so both sides are posting-list-sized",
+    "twap_value": "lead window + per-user agg share ONE hashpartitioning exchange; cents x seconds partials mergeable",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
