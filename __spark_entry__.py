@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_profile", "distribution_drift", "golden_record",
         "twap_value", "ivm_merge", "daily_streaks", "pareto_analysis",
         "session_paths", "quota_allocation", "phrase_search",
-        "ann_recall_eval", "fd_check",
+        "ann_recall_eval", "fd_check", "keyset_pagination",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

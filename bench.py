@@ -168,6 +168,7 @@ HEADLINE = [
     "phrase_search",
     "ann_recall_eval",
     "fd_check",
+    "keyset_pagination",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -2572,6 +2572,76 @@ ORDER BY fd
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Keyset pagination — O(1)-per-page serving over a composite sort key
+# ---------------------------------------------------------------------------
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three consecutive 100-row pages of the order feed via KEYSET
+    pagination — the serving pattern that stays O(page) at any depth,
+    where OFFSET N re-scans and re-sorts N rows to throw them away.
+
+    Page k+1 seeks past page k's last row with the composite-key
+    predicate ``(date, key) > (last_date, last_key)`` expressed as the
+    index-friendly disjunction ``date > d OR (date = d AND key > k)`` —
+    the date bound pushes into the parquet scan, and each page plans
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    The page boundaries are themselves computed as scalar anchors (the
+    100th row of the previous page), mirroring how a cursor-based API
+    carries the "next page token".
+
+    Output: 300 rows tagged with their page number; identical rows to
+    OFFSET pagination, without its O(depth) cost.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("od"),
+    )
+
+    def page(after) -> DataFrame:
+        df = orders
+        if after is not None:
+            d, k = after
+            df = df.where(
+                (F.col("od") > d)
+                | ((F.col("od") == d) & (F.col("o_orderkey") > k))
+            )
+        return df.orderBy(F.asc("od"), F.asc("o_orderkey")).limit(100)
+
+    pages = []
+    cursor = None
+    for i in range(3):
+        p = page(cursor)
+        rows = p.collect()  # page-sized (100 rows) — the cursor round-trip
+        cursor = (rows[-1]["od"], rows[-1]["o_orderkey"])
+        pages.append(
+            p.select(
+                F.lit(i + 1).cast("long").alias("page"),
+                "o_orderkey",
+                "od",
+            )
+        )
+    out = pages[0]
+    for x in pages[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("page", "od", "o_orderkey")
+
+
+SQL_KEYSET_PAGINATION = """
+WITH ordered AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+  FROM orders
+), ranked AS (
+  SELECT o_orderkey, od,
+         row_number() OVER (ORDER BY od, o_orderkey) AS rn
+  FROM ordered
+)
+SELECT CAST((rn - 1) // 100 + 1 AS BIGINT) AS page, o_orderkey, od
+FROM ranked WHERE rn <= 300
+ORDER BY page, od, o_orderkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2614,6 +2684,7 @@ ANALYTICS_QUERIES = {
     "pareto_analysis": q_pareto_analysis,
     "session_paths": q_session_paths,
     "fd_check": q_fd_check,
+    "keyset_pagination": q_keyset_pagination,
 }
 
 ANALYTICS_ORACLES = {
@@ -2658,4 +2729,5 @@ ANALYTICS_ORACLES = {
     "pareto_analysis": SQL_PARETO,
     "session_paths": SQL_SESSION_PATHS,
     "fd_check": SQL_FD_CHECK,
+    "keyset_pagination": SQL_KEYSET_PAGINATION,
 }

@@ -139,3 +139,41 @@ def test_round5_operators_on_empty_input(spark):
     )
     row = kmv_set_overlap(some, syn, k=16).collect()[0]
     assert row["union_est"] == 5 and row["c_common"] == 0
+
+
+def test_coalesce_intervals_empty(spark):
+    from service_alerts_connector_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame([], "user_id long, s long, e long, tb long")
+    assert coalesce_intervals(df, "user_id", "s", "e", "tb").count() == 0
+
+
+def test_pointer_jump_roots_empty(spark):
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    df = spark.createDataFrame([], "node long, parent long")
+    assert pointer_jump_roots(df, iterations=2).count() == 0
+
+
+def test_gap_fill_interp_empty(spark):
+    from service_alerts_connector_spark.operators.temporal import (
+        gap_fill_interp,
+    )
+
+    df = spark.createDataFrame([], "user_id long, day date, cents long")
+    assert gap_fill_interp(df, "user_id", "day", "cents").count() == 0
+
+
+def test_sorted_neighborhood_empty_and_singleton(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, k string")
+    assert sorted_neighborhood_pairs(empty, "k", "doc_id").count() == 0
+    one = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    assert sorted_neighborhood_pairs(one, "k", "doc_id").count() == 0
