@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_value", "ivm_merge", "daily_streaks", "pareto_analysis",
         "session_paths", "quota_allocation", "phrase_search",
         "ann_recall_eval", "fd_check", "keyset_pagination",
+        "abandonment_rate", "anomaly_days",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

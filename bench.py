@@ -169,6 +169,8 @@ HEADLINE = [
     "ann_recall_eval",
     "fd_check",
     "keyset_pagination",
+    "abandonment_rate",
+    "anomaly_days",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

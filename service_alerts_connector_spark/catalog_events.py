@@ -1000,6 +1000,178 @@ ORDER BY user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Abandonment rate — "no follow-up within T" temporal anti-pattern
+# ---------------------------------------------------------------------------
+def q_abandonment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion vs abandonment: for every view, is there a purchase by
+    the same user within 30 minutes?  The temporal ANTI pattern (cart
+    abandonment, unacknowledged alerts, missed SLAs) — the complement of
+    the attribution join, answered WITHOUT a self-join: one keyed window
+    where ``first(purchase_ts, ignorenulls)`` over the forward frame
+    finds each view's next purchase in a single pass over the merged
+    stream.
+
+    Determinism: epoch seconds via the flooring cast; a view converting
+    at exactly +1800 s counts as converted (closed bound).  Output per
+    day: views, conversions, abandonments, conversion rate in exact ppm.
+
+    Scale shape: ONE exchange on user_id for the window; the daily
+    rollup is a map-side-combinable groupBy on the view rows.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_s("ts").alias("t"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", _epoch_s("ts")).alias(
+            "purchase_t"
+        ),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    views = staged.withColumn(
+        "next_purchase_t", F.first("purchase_t", ignorenulls=True).over(w_fwd)
+    ).where(F.col("event_type") == "view")
+    flagged = views.select(
+        "day",
+        (
+            F.col("next_purchase_t").isNotNull()
+            & (F.col("next_purchase_t") - F.col("t") <= 1800)
+        ).alias("converted"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(F.when(F.col("converted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+            F.sum(F.when(F.col("converted"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_abandoned"),
+        )
+        .withColumn(
+            "conversion_ppm", F.expr("(n_converted * 1000000) div n_views")
+        )
+        .orderBy("day")
+    )
+
+
+SQL_ABANDONMENT = """
+WITH staged AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS purchase_t
+  FROM events WHERE event_type IN ('view', 'purchase')
+), views AS (
+  SELECT day, t,
+         first_value(purchase_t IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, event_id ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_purchase_t,
+         event_type
+  FROM staged
+), flagged AS (
+  SELECT day,
+         next_purchase_t IS NOT NULL AND next_purchase_t - t <= 1800
+           AS converted
+  FROM views WHERE event_type = 'view'
+), agg AS (
+  SELECT day, count(*) AS n_views,
+         sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted,
+         sum(CASE WHEN converted THEN 0 ELSE 1 END) AS n_abandoned
+  FROM flagged GROUP BY day
+)
+SELECT day, CAST(n_views AS BIGINT) AS n_views,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       CAST(n_abandoned AS BIGINT) AS n_abandoned,
+       (n_converted * 1000000) // n_views AS conversion_ppm
+FROM agg
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anomaly days — integer-exact median/MAD outlier flags on daily volumes
+# ---------------------------------------------------------------------------
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection per event type: flag days whose event
+    count deviates from the type's median by more than 3× the median
+    absolute deviation — the robust (outlier-immune) alternative to
+    z-scores, in EXACT integers.
+
+    Median and MAD come from sorted-array indexing over each type's
+    ~30-day count vector (``element_at(array_sort(...), (n+1) div 2)`` —
+    the lower median, identical in DuckDB's list indexing), never a
+    float percentile whose interpolation differs per engine.  The flag
+    comparison is pure integers: ``|cnt − med| > 3·mad``.
+
+    Scale shape: the daily count groupBy is the only event-sized
+    shuffle; the per-type median pass touches types × days rows (the
+    collected vector is bounded by the calendar, not the data).
+    Output: the flagged (type, day) rows with their deviation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    meds = daily.groupBy("event_type").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(cnt)),"
+            " CAST((count(1) + 1) div 2 AS INT))"
+        ).alias("med")
+    )
+    with_med = daily.join(F.broadcast(meds), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mads = with_med.groupBy("event_type").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(adev)),"
+            " CAST((count(1) + 1) div 2 AS INT))"
+        ).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mads), "event_type")
+        .where(F.col("adev") > 3 * F.col("mad"))
+        .select("event_type", "day", "cnt", "med", "mad", "adev")
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, day
+), meds AS (
+  SELECT event_type,
+         list_sort(list(cnt))[CAST((count(*) + 1) // 2 AS INT)] AS med
+  FROM daily GROUP BY event_type
+), with_med AS (
+  SELECT d.event_type, d.day, d.cnt, m.med, abs(d.cnt - m.med) AS adev
+  FROM daily d JOIN meds m ON m.event_type = d.event_type
+), mads AS (
+  SELECT event_type,
+         list_sort(list(adev))[CAST((count(*) + 1) // 2 AS INT)] AS mad
+  FROM with_med GROUP BY event_type
+)
+SELECT w.event_type, w.day, w.cnt, w.med, m.mad, w.adev
+FROM with_med w JOIN mads m ON m.event_type = w.event_type
+WHERE w.adev > 3 * m.mad
+ORDER BY w.event_type, w.day
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1017,6 +1189,8 @@ EVENTS_QUERIES = {
     "group_mode": q_group_mode,
     "hierarchy_roots": q_hierarchy_roots,
     "twap_value": q_twap_value,
+    "abandonment_rate": q_abandonment_rate,
+    "anomaly_days": q_anomaly_days,
 }
 
 EVENTS_ORACLES = {
@@ -1036,4 +1210,6 @@ EVENTS_ORACLES = {
     "group_mode": SQL_GROUP_MODE,
     "hierarchy_roots": SQL_HIERARCHY_ROOTS,
     "twap_value": SQL_TWAP,
+    "abandonment_rate": SQL_ABANDONMENT,
+    "anomaly_days": SQL_ANOMALY_DAYS,
 }
