@@ -125,7 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_value", "ivm_merge", "daily_streaks", "pareto_analysis",
         "session_paths", "quota_allocation", "phrase_search",
         "ann_recall_eval", "fd_check", "keyset_pagination",
-        "abandonment_rate", "anomaly_days",
+        "abandonment_rate", "anomaly_days", "feature_hashing",
+        "target_encoding", "temporal_split_embargo",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

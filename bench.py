@@ -171,6 +171,9 @@ HEADLINE = [
     "keyset_pagination",
     "abandonment_rate",
     "anomaly_days",
+    "feature_hashing",
+    "target_encoding",
+    "temporal_split_embargo",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

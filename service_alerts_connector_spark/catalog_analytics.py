@@ -2642,6 +2642,125 @@ ORDER BY page, od, o_orderkey
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — leakage-safe categorical feature
+# ---------------------------------------------------------------------------
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the categorical-feature transform whose naive form leaks the
+    row's own label; LOO subtracts it: enc_i = (Σ_group − x_i)/(n − 1).
+
+    Exact integers end-to-end: cents sums per group come from one
+    map-side-combinable aggregate broadcast-joined back (never a window
+    over the fact table), the per-row encoding is (sum − own)·1000 div
+    (n − 1) in milli-cents (non-negative operands, engine-identical
+    div), and singleton groups yield NULL (no peers to encode from)
+    rather than a leaked self-mean.  Output: a deterministic 20-row
+    sample (smallest orderkeys) plus the group stats that produced it.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    grp = orders.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    enc = orders.join(F.broadcast(grp), "priority").select(
+        "o_orderkey",
+        "priority",
+        "cents",
+        "n",
+        F.when(
+            F.col("n") > 1,
+            F.expr("((sum_cents - cents) * 1000) div (n - 1)"),
+        ).alias("loo_enc_milli"),
+    )
+    return enc.orderBy("o_orderkey").limit(20)
+
+
+SQL_TARGET_ENCODING = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority AS priority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), grp AS (
+  SELECT priority, count(*) AS n, sum(cents) AS sum_cents
+  FROM o GROUP BY priority
+)
+SELECT o.o_orderkey, o.priority, o.cents, CAST(grp.n AS BIGINT) AS n,
+       CASE WHEN grp.n > 1
+            THEN ((grp.sum_cents - o.cents) * 1000) // (grp.n - 1)
+       END AS loo_enc_milli
+FROM o JOIN grp ON grp.priority = o.priority
+ORDER BY o.o_orderkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embargoed temporal split — time-series CV with a leakage gap
+# ---------------------------------------------------------------------------
+def q_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series train/test split with an EMBARGO: train < cut, a
+    2-day embargo absorbs look-ahead leakage (rolling features computed
+    at train time peek this far forward), test starts after it.  The
+    report also counts users active on BOTH sides — the entity-overlap
+    signal that decides between a temporal and a grouped split.
+
+    One pass tags each event's split; the overlap check is two distinct
+    user sets + a semi-join count.  All boundaries compare raw
+    TIMESTAMPs; counts exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    test_start = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    tagged = ev.select(
+        "user_id",
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") < test_start, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    train_u = tagged.where(F.col("split") == "train").select("user_id").distinct()
+    test_u = tagged.where(F.col("split") == "test").select("user_id").distinct()
+    overlap = train_u.join(test_u, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("users_in_both")
+    )
+    return counts.crossJoin(F.broadcast(overlap)).orderBy("split")
+
+
+SQL_TEMPORAL_SPLIT = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+              WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM events
+), counts AS (
+  SELECT split, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users
+  FROM tagged GROUP BY split
+), overlap AS (
+  SELECT count(*) AS users_in_both FROM (
+    SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+  ) t WHERE t.user_id IN (
+    SELECT DISTINCT user_id FROM tagged WHERE split = 'test')
+)
+SELECT c.split, CAST(c.n_events AS BIGINT) AS n_events,
+       CAST(c.n_users AS BIGINT) AS n_users,
+       CAST(o.users_in_both AS BIGINT) AS users_in_both
+FROM counts c, overlap o
+ORDER BY c.split
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2685,6 +2804,8 @@ ANALYTICS_QUERIES = {
     "session_paths": q_session_paths,
     "fd_check": q_fd_check,
     "keyset_pagination": q_keyset_pagination,
+    "target_encoding": q_target_encoding,
+    "temporal_split_embargo": q_temporal_split_embargo,
 }
 
 ANALYTICS_ORACLES = {
@@ -2730,4 +2851,6 @@ ANALYTICS_ORACLES = {
     "session_paths": SQL_SESSION_PATHS,
     "fd_check": SQL_FD_CHECK,
     "keyset_pagination": SQL_KEYSET_PAGINATION,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "temporal_split_embargo": SQL_TEMPORAL_SPLIT,
 }

@@ -1203,6 +1203,83 @@ ORDER BY a.doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Feature hashing — the hashing trick with a collision audit
+# ---------------------------------------------------------------------------
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical encoding: map each (lang, source) pair
+    into a fixed 256-bucket feature space via the md5-prefix hash, and
+    AUDIT the collisions — the question every hashed feature pipeline
+    must answer before trading a vocabulary for a fixed width.
+
+    One distinct + one bucket groupBy; the audit reports buckets used,
+    colliding buckets, distinct values lost to collisions, and the max
+    pile-up.  Per-bucket row mass joins back so the report also says how
+    many ROWS ride on colliding features (what actually hurts training).
+
+    Cross-engine: the bloom_semi_join md5→int idiom; all counts exact.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.concat_ws("|", "lang", "source").alias("value")
+    )
+    hashed = feat.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh:"), F.col("value"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 256,
+    )
+    per_bucket = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.sum(F.when(F.col("n_values") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("buckets_colliding"),
+        F.sum(F.when(F.col("n_values") > 1, F.col("n_values") - 1).otherwise(0))
+        .cast("long")
+        .alias("values_lost"),
+        F.max("n_values").cast("long").alias("max_pileup"),
+        F.sum(F.when(F.col("n_values") > 1, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_on_collisions"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+    )
+
+
+SQL_FEATURE_HASHING = """
+WITH vals AS (
+  SELECT concat_ws('|', lang, source) AS value, count(*) AS n_rows
+  FROM documents GROUP BY value
+), hashed AS (
+  SELECT value, n_rows,
+         ('0x' || substr(md5('fh:' || value), 1, 8))::BIGINT % 256 AS bucket
+  FROM vals
+), per_bucket AS (
+  SELECT bucket, count(*) AS n_values, sum(n_rows) AS n_rows
+  FROM hashed GROUP BY bucket
+)
+SELECT count(*) AS buckets_used,
+       CAST(sum(CASE WHEN n_values > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS buckets_colliding,
+       CAST(sum(CASE WHEN n_values > 1 THEN n_values - 1 ELSE 0 END)
+            AS BIGINT) AS values_lost,
+       CAST(max(n_values) AS BIGINT) AS max_pileup,
+       CAST(sum(CASE WHEN n_values > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_on_collisions,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total
+FROM per_bucket
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -1229,6 +1306,7 @@ CORPUS_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "quota_allocation": q_quota_allocation,
     "phrase_search": q_phrase_search,
+    "feature_hashing": q_feature_hashing,
 }
 
 CORPUS_ORACLES = {
@@ -1257,4 +1335,5 @@ CORPUS_ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "quota_allocation": SQL_QUOTA_ALLOCATION,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "feature_hashing": SQL_FEATURE_HASHING,
 }
