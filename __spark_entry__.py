@@ -126,7 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths", "quota_allocation", "phrase_search",
         "ann_recall_eval", "fd_check", "keyset_pagination",
         "abandonment_rate", "anomaly_days", "feature_hashing",
-        "target_encoding", "temporal_split_embargo",
+        "target_encoding", "temporal_split_embargo", "rule_eval_confusion",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

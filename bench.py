@@ -174,6 +174,7 @@ HEADLINE = [
     "feature_hashing",
     "target_encoding",
     "temporal_split_embargo",
+    "rule_eval_confusion",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1172,6 +1172,123 @@ ORDER BY w.event_type, w.day
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Rule-classifier evaluation — confusion matrix + exact-ppm metrics
+# ---------------------------------------------------------------------------
+def q_rule_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as one query: a candidate rule ("a view
+    worth ≥ 50 predicts a purchase within 30 min") scored against the
+    ground-truth conversions of ``abandonment_rate`` — confusion matrix
+    plus precision/recall/accuracy in exact ppm, the eval-tier
+    counterpart of ``ann_recall_eval`` for classification.
+
+    The label derivation reuses the forward-frame next-purchase window
+    (one keyed exchange); the confusion matrix is a single conditional
+    aggregate over the labeled views; metric divisions are non-negative
+    integer div.  Swap the rule predicate for a model score column and
+    this is the production eval job.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_s("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", _epoch_s("ts")).alias(
+            "purchase_t"
+        ),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    views = staged.withColumn(
+        "next_purchase_t", F.first("purchase_t", ignorenulls=True).over(w_fwd)
+    ).where(F.col("event_type") == "view")
+    labeled = views.select(
+        (
+            F.col("next_purchase_t").isNotNull()
+            & (F.col("next_purchase_t") - F.col("t") <= 1800)
+        ).alias("actual"),
+        (F.col("cents") >= 5000).alias("predicted"),
+    )
+    cm = labeled.agg(
+        F.sum(F.when(F.col("predicted") & F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("predicted") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("predicted") & F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("predicted") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(tp * 1000000) div (tp + fp)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("(tp * 1000000) div (tp + fn)"),
+        ).alias("recall_ppm"),
+        F.expr("((tp + tn) * 1000000) div (tp + fp + fn + tn)").alias(
+            "accuracy_ppm"
+        ),
+    )
+
+
+SQL_RULE_EVAL = """
+WITH staged AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS purchase_t
+  FROM events WHERE event_type IN ('view', 'purchase')
+), views AS (
+  SELECT t, cents, event_type,
+         first_value(purchase_t IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, event_id ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_purchase_t
+  FROM staged
+), labeled AS (
+  SELECT (next_purchase_t IS NOT NULL AND next_purchase_t - t <= 1800)
+           AS actual,
+         cents >= 5000 AS predicted
+  FROM views WHERE event_type = 'view'
+), cm AS (
+  SELECT
+    sum(CASE WHEN predicted AND actual THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN NOT predicted AND actual THEN 1 ELSE 0 END) AS fn,
+    sum(CASE WHEN NOT predicted AND NOT actual THEN 1 ELSE 0 END) AS tn
+  FROM labeled
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
+         AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END
+         AS recall_ppm,
+       ((tp + tn) * 1000000) // (tp + fp + fn + tn) AS accuracy_ppm
+FROM cm
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1191,6 +1308,7 @@ EVENTS_QUERIES = {
     "twap_value": q_twap_value,
     "abandonment_rate": q_abandonment_rate,
     "anomaly_days": q_anomaly_days,
+    "rule_eval_confusion": q_rule_eval_confusion,
 }
 
 EVENTS_ORACLES = {
@@ -1212,4 +1330,5 @@ EVENTS_ORACLES = {
     "twap_value": SQL_TWAP,
     "abandonment_rate": SQL_ABANDONMENT,
     "anomaly_days": SQL_ANOMALY_DAYS,
+    "rule_eval_confusion": SQL_RULE_EVAL,
 }
