@@ -175,6 +175,7 @@ HEADLINE = [
     "target_encoding",
     "temporal_split_embargo",
     "rule_eval_confusion",
+    "contribution_share",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

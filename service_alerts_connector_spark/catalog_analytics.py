@@ -2761,6 +2761,101 @@ ORDER BY c.split
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Contribution shares — percent-of-parent across a rollup hierarchy
+# ---------------------------------------------------------------------------
+def q_contribution_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution analysis down the region → nation
+    hierarchy: each nation's revenue as an exact-ppm share of its region
+    AND of the grand total — the drill-down share report every OLAP
+    frontend derives, computed WITHOUT a global window.
+
+    One fact aggregation at nation grain; the region and grand totals
+    re-aggregate the nation table (25 rows) and broadcast back — the
+    share denominators never touch the fact table again.  Revenue in
+    integer cents; shares via non-negative integer div.
+    """
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("nation"),
+                    "n_regionkey",
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").select(
+                    F.col("r_regionkey").alias("n_regionkey"),
+                    F.col("r_name").alias("region"),
+                )
+            ),
+            "n_regionkey",
+        )
+        .groupBy("region", "nation")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    region_tot = rev.groupBy("region").agg(
+        F.sum("cents").alias("region_cents")
+    )
+    grand = rev.agg(F.sum("cents").alias("grand_cents"))
+    return (
+        rev.join(F.broadcast(region_tot), "region")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.expr("(cents * 1000000) div region_cents").alias(
+                "share_of_region_ppm"
+            ),
+            F.expr("(cents * 1000000) div grand_cents").alias(
+                "share_of_total_ppm"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+SQL_CONTRIBUTION_SHARE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY region, nation
+), region_tot AS (
+  SELECT region, sum(cents) AS region_cents FROM rev GROUP BY region
+), grand AS (
+  SELECT sum(cents) AS grand_cents FROM rev
+)
+SELECT rev.region, rev.nation, rev.cents,
+       (rev.cents * 1000000) // rt.region_cents AS share_of_region_ppm,
+       (rev.cents * 1000000) // g.grand_cents AS share_of_total_ppm
+FROM rev JOIN region_tot rt ON rt.region = rev.region, grand g
+ORDER BY rev.region, rev.nation
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2806,6 +2901,7 @@ ANALYTICS_QUERIES = {
     "keyset_pagination": q_keyset_pagination,
     "target_encoding": q_target_encoding,
     "temporal_split_embargo": q_temporal_split_embargo,
+    "contribution_share": q_contribution_share,
 }
 
 ANALYTICS_ORACLES = {
@@ -2853,4 +2949,5 @@ ANALYTICS_ORACLES = {
     "keyset_pagination": SQL_KEYSET_PAGINATION,
     "target_encoding": SQL_TARGET_ENCODING,
     "temporal_split_embargo": SQL_TEMPORAL_SPLIT,
+    "contribution_share": SQL_CONTRIBUTION_SHARE,
 }

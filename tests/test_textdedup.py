@@ -801,3 +801,53 @@ def test_sorted_neighborhood_plan_shape(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_randomized(spark):
+    """Randomized keys (including duplicates, empties, multi-bucket
+    spread): pairs must exactly equal the brute-force windowed-rank
+    reference."""
+    import itertools
+    import random
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcxyz"
+    rows = [
+        (
+            i,
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(0, 5))
+            ),
+        )
+        for i in range(120)
+    ]
+    window, max_dist = 2, 1
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            spark.createDataFrame(rows, "doc_id long, k string"),
+            "k", "doc_id", window=window, max_dist=max_dist,
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {
+        (ranked[i][0], ranked[j][0])
+        for i, j in itertools.combinations(range(len(ranked)), 2)
+        if j - i <= window and lev(ranked[i][1], ranked[j][1]) <= max_dist
+    }
+    assert got == want and len(want) > 50
