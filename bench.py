@@ -176,6 +176,8 @@ HEADLINE = [
     "temporal_split_embargo",
     "rule_eval_confusion",
     "contribution_share",
+    "cohort_ltv",
+    "header_detail_recon",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

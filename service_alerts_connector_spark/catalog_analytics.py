@@ -2856,6 +2856,74 @@ ORDER BY rev.region, rev.nation
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Header-detail reconciliation — structural consistency across fact grains
+# ---------------------------------------------------------------------------
+def q_header_detail_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail structural reconciliation between orders and their
+    lineitems — the cross-grain audit every warehouse load runs: childless
+    headers (orders with zero lines), orphaned details (lines whose order
+    is missing), and the lines-per-order spread.
+
+    (The synthetic generator draws o_totalprice independently of the
+    lines, so an AMOUNT reconciliation is vacuous here — the structural
+    half is the meaningful audit, and 257 childless headers exist at
+    sf0.01.)  Two anti-join counts + one per-order line rollup; all
+    shuffles on the order key, scalar verdict row.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    lines = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    childless = orders.join(
+        per_order, orders["o_orderkey"] == per_order["l_orderkey"], "left_anti"
+    )
+    orphans = lines.join(
+        orders, lines["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    n_childless = childless.agg(
+        F.count(F.lit(1)).cast("long").alias("n_childless_headers")
+    )
+    n_orphans = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphan_lines")
+    )
+    spread = per_order.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_with_lines"),
+        F.sum("n_lines").cast("long").alias("n_lines_total"),
+        F.min("n_lines").cast("long").alias("min_lines_per_order"),
+        F.max("n_lines").cast("long").alias("max_lines_per_order"),
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_childless))
+        .crossJoin(F.broadcast(n_orphans))
+        .crossJoin(F.broadcast(spread))
+    )
+
+
+SQL_HEADER_DETAIL_RECON = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+)
+SELECT (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(*) FROM orders o
+         WHERE o.o_orderkey NOT IN (SELECT l_orderkey FROM per_order))
+         AS n_childless_headers,
+       (SELECT count(*) FROM lineitem l
+         WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         AS n_orphan_lines,
+       (SELECT count(*) FROM per_order) AS n_orders_with_lines,
+       (SELECT CAST(sum(n_lines) AS BIGINT) FROM per_order)
+         AS n_lines_total,
+       (SELECT CAST(min(n_lines) AS BIGINT) FROM per_order)
+         AS min_lines_per_order,
+       (SELECT CAST(max(n_lines) AS BIGINT) FROM per_order)
+         AS max_lines_per_order
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2902,6 +2970,7 @@ ANALYTICS_QUERIES = {
     "target_encoding": q_target_encoding,
     "temporal_split_embargo": q_temporal_split_embargo,
     "contribution_share": q_contribution_share,
+    "header_detail_recon": q_header_detail_recon,
 }
 
 ANALYTICS_ORACLES = {
@@ -2950,4 +3019,5 @@ ANALYTICS_ORACLES = {
     "target_encoding": SQL_TARGET_ENCODING,
     "temporal_split_embargo": SQL_TEMPORAL_SPLIT,
     "contribution_share": SQL_CONTRIBUTION_SHARE,
+    "header_detail_recon": SQL_HEADER_DETAIL_RECON,
 }

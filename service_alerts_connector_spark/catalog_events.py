@@ -1289,6 +1289,110 @@ FROM cm
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Cohort LTV — cumulative value per cohort-age with exact-ppm normalization
+# ---------------------------------------------------------------------------
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase value per
+    cohort day-offset, normalized per cohort member in exact milli-cents
+    — the retention grid's revenue twin (how much has a Jan-1 signup
+    been worth by day N?).
+
+    Users cohort by first-event day (same derivation as
+    ``cohort_retention``); purchase cents aggregate per (cohort,
+    offset); the cumulative sum is a window over the COHORT×OFFSET grid
+    (calendar-bounded, never event-sized), and per-member normalization
+    divides by the cohort's fixed size.
+
+    Scale shape: two keyed aggregations + one grid-sized keyed window;
+    the only event-sized shuffles are the per-user first-day agg and
+    the (cohort, offset) rollup.
+    """
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day"))
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .join(first, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            "cents",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = purchases.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(
+            F.broadcast(
+                sizes.select(
+                    F.date_format("cohort_day", "yyyy-MM-dd").alias(
+                        "cohort_day"
+                    ),
+                    "cohort_size",
+                )
+            ),
+            "cohort_day",
+        )
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cum_cents",
+            "cohort_size",
+            F.expr("(cum_cents * 1000) div cohort_size").alias(
+                "ltv_per_user_milli"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_COHORT_LTV = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+), sizes AS (
+  SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+         count(*) AS cohort_size
+  FROM first GROUP BY 1
+), purchases AS (
+  SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         sum(CAST(floor(e.value * 100) AS BIGINT)) AS cents
+  FROM events e JOIN first f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_day, day_offset,
+         sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_cents
+  FROM purchases
+)
+SELECT c.cohort_day, c.day_offset, CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       (c.cum_cents * 1000) // s.cohort_size AS ltv_per_user_milli
+FROM cum c JOIN sizes s ON s.cohort_day = c.cohort_day
+ORDER BY c.cohort_day, c.day_offset
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1309,6 +1413,7 @@ EVENTS_QUERIES = {
     "abandonment_rate": q_abandonment_rate,
     "anomaly_days": q_anomaly_days,
     "rule_eval_confusion": q_rule_eval_confusion,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 EVENTS_ORACLES = {
@@ -1331,4 +1436,5 @@ EVENTS_ORACLES = {
     "abandonment_rate": SQL_ABANDONMENT,
     "anomaly_days": SQL_ANOMALY_DAYS,
     "rule_eval_confusion": SQL_RULE_EVAL,
+    "cohort_ltv": SQL_COHORT_LTV,
 }
