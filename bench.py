@@ -178,6 +178,7 @@ HEADLINE = [
     "contribution_share",
     "cohort_ltv",
     "header_detail_recon",
+    "multitouch_attribution",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1393,6 +1393,96 @@ ORDER BY c.cohort_day, c.day_offset
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — linear credit split across qualifying touches
+# ---------------------------------------------------------------------------
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across every view by the same user in the preceding 30
+    minutes — the fractional-credit model beside the pairwise
+    (`attribution_join`) and anti (`abandonment_rate`) variants.
+
+    Credit stays exact: per purchase, credit = cents·1000 div n_touches
+    in milli-cents (floored; the ≤ n_touches−1 milli-cent remainder per
+    purchase is documented float-free rounding, verifiable from the
+    emitted n_touches).  The touch join is the same bounded equi-join
+    as `attribution_join` (user key + time predicate); touch counts and
+    credits roll up per touch day.
+
+    Output per day: touches credited, purchases reached, total credited
+    milli-cents.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touches = purchases.join(views, "user_id").where(
+        (F.col("view_ts") <= F.col("p_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    per_purchase = touches.groupBy("p_id", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credited = touches.join(
+        per_purchase.select("p_id", "n_touches"), "p_id"
+    ).select(
+        F.date_format("view_ts", "yyyy-MM-dd").alias("touch_day"),
+        "p_id",
+        F.expr("(cents * 1000) div n_touches").alias("credit_milli"),
+    )
+    return (
+        credited.groupBy("touch_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("p_id").cast("long").alias("n_purchases"),
+            F.sum("credit_milli").cast("long").alias("credited_milli"),
+        )
+        .orderBy("touch_day")
+    )
+
+
+SQL_MULTITOUCH = """
+WITH views AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT p.p_id, p.cents, v.view_ts
+  FROM purchases p JOIN views v
+    ON v.user_id = p.user_id
+   AND v.view_ts <= p.p_ts
+   AND v.view_ts >= p.p_ts - INTERVAL 30 MINUTE
+), per_purchase AS (
+  SELECT p_id, count(*) AS n_touches FROM touches GROUP BY p_id
+), credited AS (
+  SELECT strftime(t.view_ts, '%Y-%m-%d') AS touch_day, t.p_id,
+         (t.cents * 1000) // pp.n_touches AS credit_milli
+  FROM touches t JOIN per_purchase pp ON pp.p_id = t.p_id
+)
+SELECT touch_day,
+       count(*) AS n_touches,
+       count(DISTINCT p_id) AS n_purchases,
+       CAST(sum(credit_milli) AS BIGINT) AS credited_milli
+FROM credited
+GROUP BY touch_day
+ORDER BY touch_day
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1414,6 +1504,7 @@ EVENTS_QUERIES = {
     "anomaly_days": q_anomaly_days,
     "rule_eval_confusion": q_rule_eval_confusion,
     "cohort_ltv": q_cohort_ltv,
+    "multitouch_attribution": q_multitouch_attribution,
 }
 
 EVENTS_ORACLES = {
@@ -1437,4 +1528,5 @@ EVENTS_ORACLES = {
     "anomaly_days": SQL_ANOMALY_DAYS,
     "rule_eval_confusion": SQL_RULE_EVAL,
     "cohort_ltv": SQL_COHORT_LTV,
+    "multitouch_attribution": SQL_MULTITOUCH,
 }
