@@ -179,6 +179,9 @@ HEADLINE = [
     "cohort_ltv",
     "header_detail_recon",
     "multitouch_attribution",
+    "dau_new_vs_returning",
+    "stickiness_ratio",
+    "repurchase_intervals",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

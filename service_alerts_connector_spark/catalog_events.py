@@ -1483,6 +1483,183 @@ ORDER BY touch_day
 """
 
 
+
+# ---------------------------------------------------------------------------
+# DAU decomposition — new vs returning actives per day
+# ---------------------------------------------------------------------------
+def q_dau_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into NEW (first-ever day) vs
+    RETURNING — the growth-accounting baseline every product dashboard
+    leads with.  Per-user first day joins back to the distinct
+    (user, day) activity grid; both aggregations shuffle on the user
+    key, and the daily rollup is calendar-bounded.  Share in exact ppm.
+    """
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = days.join(first, "user_id").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("day") == F.col("first_day")).alias("is_new"),
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dau"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .withColumn("new_share_ppm", F.expr("(new_users * 1000000) div dau"))
+        .orderBy("day")
+    )
+
+
+SQL_DAU_NEW_RET = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+), tagged AS (
+  SELECT strftime(d.day, '%Y-%m-%d') AS day,
+         d.day = f.first_day AS is_new
+  FROM days d JOIN first f ON f.user_id = d.user_id
+), agg AS (
+  SELECT day, count(*) AS dau,
+         sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_users,
+         sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS returning_users
+  FROM tagged GROUP BY day
+)
+SELECT day, CAST(dau AS BIGINT) AS dau,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(returning_users AS BIGINT) AS returning_users,
+       (new_users * 1000000) // dau AS new_share_ppm
+FROM agg
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stickiness — DAU / calendar-month MAU in exact ppm
+# ---------------------------------------------------------------------------
+def q_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day against the day's CALENDAR-MONTH
+    exact MAU — the engagement-intensity ratio, float-free: both sides
+    are exact distinct counts and the ratio is integer ppm.
+
+    The MAU side distinct-counts (user, month) once — a month-grain
+    aggregate, not a 30-day sliding window (the sliding form lives in
+    ``rolling_distinct_hll``; this is the exact calendar variant
+    dashboards actually quote) — and broadcasts back to the daily grid.
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+    )
+    dau = d.select("user_id", "day", "month").distinct().groupBy(
+        "day", "month"
+    ).agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    mau = d.select("user_id", "month").distinct().groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("(dau * 1000000) div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_STICKINESS = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, strftime(ts, '%Y-%m') AS month
+  FROM events
+), dau AS (
+  SELECT day, month, count(*) AS dau FROM (
+    SELECT DISTINCT user_id, day, month FROM d) GROUP BY day, month
+), mau AS (
+  SELECT month, count(*) AS mau FROM (
+    SELECT DISTINCT user_id, month FROM d) GROUP BY month
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       (dau.dau * 1000000) // mau.mau AS stickiness_ppm
+FROM dau JOIN mau ON mau.month = dau.month
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repurchase intervals — inter-purchase gap distribution per user
+# ---------------------------------------------------------------------------
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval profile per user: gap seconds between
+    consecutive purchases via ONE keyed lag window, rolled up to count /
+    min / max / exact lower-median gap (the sorted-array indexing
+    pattern from ``anomaly_days`` — no float percentile).  The
+    replenishment-cycle signal behind churn prediction and send-time
+    optimization.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    staged = ev.select(
+        "user_id", "event_id", _epoch_s("ts").alias("t")
+    ).withColumn("prev_t", F.lag("t").over(w))
+    gaps = staged.where(F.col("prev_t").isNotNull()).select(
+        "user_id", (F.col("t") - F.col("prev_t")).alias("gap_s")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.expr(
+                "element_at(array_sort(collect_list(gap_s)),"
+                " CAST((count(1) + 1) div 2 AS INT))"
+            )
+            .cast("long")
+            .alias("median_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_REPURCHASE = """
+WITH staged AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           AS prev_t
+  FROM events WHERE event_type = 'purchase'
+), gaps AS (
+  SELECT user_id, t - prev_t AS gap_s FROM staged WHERE prev_t IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(list_sort(list(gap_s))[CAST((count(*) + 1) // 2 AS INT)]
+            AS BIGINT) AS median_gap_s
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1505,6 +1682,9 @@ EVENTS_QUERIES = {
     "rule_eval_confusion": q_rule_eval_confusion,
     "cohort_ltv": q_cohort_ltv,
     "multitouch_attribution": q_multitouch_attribution,
+    "dau_new_vs_returning": q_dau_new_vs_returning,
+    "stickiness_ratio": q_stickiness_ratio,
+    "repurchase_intervals": q_repurchase_intervals,
 }
 
 EVENTS_ORACLES = {
@@ -1529,4 +1709,7 @@ EVENTS_ORACLES = {
     "rule_eval_confusion": SQL_RULE_EVAL,
     "cohort_ltv": SQL_COHORT_LTV,
     "multitouch_attribution": SQL_MULTITOUCH,
+    "dau_new_vs_returning": SQL_DAU_NEW_RET,
+    "stickiness_ratio": SQL_STICKINESS,
+    "repurchase_intervals": SQL_REPURCHASE,
 }
