@@ -129,7 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding", "temporal_split_embargo", "rule_eval_confusion",
         "contribution_share", "cohort_ltv", "header_detail_recon",
         "multitouch_attribution", "dau_new_vs_returning",
-        "stickiness_ratio", "repurchase_intervals",
+        "stickiness_ratio", "repurchase_intervals", "basket_rules",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

@@ -182,6 +182,7 @@ HEADLINE = [
     "dau_new_vs_returning",
     "stickiness_ratio",
     "repurchase_intervals",
+    "basket_rules",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

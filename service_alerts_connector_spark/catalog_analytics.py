@@ -2924,6 +2924,100 @@ SELECT (SELECT count(*) FROM orders) AS n_orders,
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules — support + confidence over order baskets
+# ---------------------------------------------------------------------------
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: the top co-purchased part
+    pairs by support, with directional confidence in exact ppm — the
+    market-basket analysis behind "customers who bought X also bought Y".
+
+    Pair expansion is bounded by construction: pairs form WITHIN an
+    order (self-join on the order key with part_a < part_b), so the
+    blow-up is Σ lines² per order with lines ≤ ~13 — never a
+    catalog-wide part×part product.  Supports come from one distinct
+    (order, part) projection; confidence_a→b = pair_orders·10⁶ div
+    orders_with_a.  Top-20 by (support, pair) via TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders_both"))
+    )
+    part_orders = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            part_orders.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_orders").alias("n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            part_orders.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_orders").alias("n_b"),
+            ),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders_both",
+            "n_a",
+            "n_b",
+            F.expr("(n_orders_both * 1000000) div n_a").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr("(n_orders_both * 1000000) div n_b").alias(
+                "conf_b_to_a_ppm"
+            ),
+        )
+        .orderBy(
+            F.desc("n_orders_both"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(20)
+    )
+
+
+SQL_BASKET_RULES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders_both
+  FROM li a JOIN li b
+    ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+), part_orders AS (
+  SELECT l_partkey, count(*) AS n_orders FROM li GROUP BY l_partkey
+)
+SELECT p.part_a, p.part_b, p.n_orders_both,
+       CAST(pa.n_orders AS BIGINT) AS n_a,
+       CAST(pb.n_orders AS BIGINT) AS n_b,
+       (p.n_orders_both * 1000000) // pa.n_orders AS conf_a_to_b_ppm,
+       (p.n_orders_both * 1000000) // pb.n_orders AS conf_b_to_a_ppm
+FROM pairs p
+JOIN part_orders pa ON pa.l_partkey = p.part_a
+JOIN part_orders pb ON pb.l_partkey = p.part_b
+ORDER BY p.n_orders_both DESC, p.part_a ASC, p.part_b ASC
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -2971,6 +3065,7 @@ ANALYTICS_QUERIES = {
     "temporal_split_embargo": q_temporal_split_embargo,
     "contribution_share": q_contribution_share,
     "header_detail_recon": q_header_detail_recon,
+    "basket_rules": q_basket_rules,
 }
 
 ANALYTICS_ORACLES = {
@@ -3020,4 +3115,5 @@ ANALYTICS_ORACLES = {
     "temporal_split_embargo": SQL_TEMPORAL_SPLIT,
     "contribution_share": SQL_CONTRIBUTION_SHARE,
     "header_detail_recon": SQL_HEADER_DETAIL_RECON,
+    "basket_rules": SQL_BASKET_RULES,
 }
