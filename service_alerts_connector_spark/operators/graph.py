@@ -171,7 +171,9 @@ def pointer_jump_roots(
     truncating lineage so the loop never replans a deepening tree.  12
     rounds cover depth 4096; the ``converged`` flag (pointer is a root)
     makes an undersized ``iterations`` detectable rather than silently
-    wrong.
+    wrong.  CYCLES (corrupt hierarchies) also terminate: the fixed round
+    budget walks the cycle 2^iterations edges and leaves members
+    unconverged (pytest-pinned), never looping or mis-assigning a root.
 
     Output: node, ``root_id`` (the pointer after the final round),
     ``depth`` (exact edge count to the root), ``converged``.

@@ -155,3 +155,30 @@ def test_pointer_jump_roots_forest(spark):
         for r in pointer_jump_roots(df, iterations=2).collect()
     }
     assert short[9] is False and short[3] is True
+
+
+def test_pointer_jump_roots_cycle_degrades_gracefully(spark):
+    """A cycle (corrupt hierarchy: a->b->a) has no root.  The fixed
+    round budget must terminate with converged=False for cycle members
+    — never loop, never mis-assign a root — while legitimate trees in
+    the same frame still resolve."""
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    edges = [
+        (1, 2), (2, 1),          # 2-cycle, no root
+        (3, 3), (4, 3),          # healthy tree beside it
+    ]
+    df = spark.createDataFrame(edges, "node long, parent long")
+    got = {
+        r["node"]: (r["root_id"], r["depth"], r["converged"])
+        for r in pointer_jump_roots(df, iterations=5).collect()
+    }
+    assert got[3] == (3, 0, True)
+    assert got[4] == (3, 1, True)
+    for n in (1, 2):
+        root_id, depth, converged = got[n]
+        assert converged is False
+        assert root_id in (1, 2)  # pointer still inside the cycle
+        assert depth == 2 ** 5    # doubling walked the cycle, bounded
