@@ -183,6 +183,7 @@ HEADLINE = [
     "stickiness_ratio",
     "repurchase_intervals",
     "basket_rules",
+    "burst_windows",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1660,6 +1660,92 @@ ORDER BY user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Burst windows — threshold flags coalesced into burst periods
+# ---------------------------------------------------------------------------
+def q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (Kleinberg-lite): per event type, days whose
+    volume exceeds 5/4 of the type's median coalesce into maximal burst
+    PERIODS via the rank-difference islands trick — the composition of
+    ``anomaly_days``' robust threshold with ``daily_streaks``' island
+    machinery, reported as periods (start, end, peak, excess volume)
+    instead of isolated days.
+
+    All exact integers: lower-median via sorted-array indexing, the
+    threshold test ``cnt·4 > med·5`` (no division), excess = Σ(cnt −
+    med) over the burst.  Shuffles: the daily count groupBy (event-
+    sized), then type-keyed windows over the calendar-bounded grid.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    meds = daily.groupBy("event_type").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(cnt)),"
+            " CAST((count(1) + 1) div 2 AS INT))"
+        ).alias("med")
+    )
+    flagged = (
+        daily.join(F.broadcast(meds), "event_type")
+        .where(F.col("cnt") * 4 > F.col("med") * 5)
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num")
+    islands = (
+        flagged.withColumn(
+            "grp", F.col("day_num") - F.row_number().over(w)
+        )
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("day_num").cast("long").alias("burst_start_day"),
+            F.max("day_num").cast("long").alias("burst_end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("cnt").cast("long").alias("peak_cnt"),
+            F.sum(F.col("cnt") - F.col("med")).cast("long").alias(
+                "excess_events"
+            ),
+        )
+        .drop("grp")
+    )
+    return islands.orderBy("event_type", "burst_start_day")
+
+
+SQL_BURST_WINDOWS = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day_num
+), meds AS (
+  SELECT event_type,
+         list_sort(list(cnt))[CAST((count(*) + 1) // 2 AS INT)] AS med
+  FROM daily GROUP BY event_type
+), flagged AS (
+  SELECT d.event_type, d.day_num, d.cnt, m.med
+  FROM daily d JOIN meds m ON m.event_type = d.event_type
+  WHERE d.cnt * 4 > m.med * 5
+), ranked AS (
+  SELECT event_type, day_num, cnt, med,
+         day_num - row_number() OVER (
+           PARTITION BY event_type ORDER BY day_num) AS grp
+  FROM flagged
+)
+SELECT event_type,
+       CAST(min(day_num) AS BIGINT) AS burst_start_day,
+       CAST(max(day_num) AS BIGINT) AS burst_end_day,
+       count(*) AS n_days,
+       CAST(max(cnt) AS BIGINT) AS peak_cnt,
+       CAST(sum(cnt - med) AS BIGINT) AS excess_events
+FROM ranked
+GROUP BY event_type, grp
+ORDER BY event_type, burst_start_day
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1685,6 +1771,7 @@ EVENTS_QUERIES = {
     "dau_new_vs_returning": q_dau_new_vs_returning,
     "stickiness_ratio": q_stickiness_ratio,
     "repurchase_intervals": q_repurchase_intervals,
+    "burst_windows": q_burst_windows,
 }
 
 EVENTS_ORACLES = {
@@ -1712,4 +1799,5 @@ EVENTS_ORACLES = {
     "dau_new_vs_returning": SQL_DAU_NEW_RET,
     "stickiness_ratio": SQL_STICKINESS,
     "repurchase_intervals": SQL_REPURCHASE,
+    "burst_windows": SQL_BURST_WINDOWS,
 }
