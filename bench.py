@@ -184,6 +184,7 @@ HEADLINE = [
     "repurchase_intervals",
     "basket_rules",
     "burst_windows",
+    "lift_chart",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1746,6 +1746,134 @@ ORDER BY event_type, burst_start_day
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Lift chart — per-score-band conversion lift vs the base rate
+# ---------------------------------------------------------------------------
+def q_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded lift chart for the view-value score: conversion rate per
+    score band against the overall base rate, lift in exact ppm-of-ppm
+    (micro) — the continuous-score companion to
+    ``rule_eval_confusion``'s single-threshold confusion matrix, and the
+    chart that decides WHERE to put that threshold.
+
+    Bands are fixed 20-unit value slices (a global ntile would need an
+    unpartitioned window — banned; fixed bands keep the plan one
+    conditional aggregate and the chart still orders by score).  Labels
+    reuse the forward-frame next-purchase window.  lift_micro =
+    band_rate_ppm·10⁶ div base_rate_ppm.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_s("ts").alias("t"),
+        F.floor(
+            F.least(F.abs(F.coalesce(F.col("value"), F.lit(0.0))), F.lit(499.0))
+            / 20.0
+        )
+        .cast("long")
+        .alias("band"),
+        F.when(F.col("event_type") == "purchase", _epoch_s("ts")).alias(
+            "purchase_t"
+        ),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    labeled = (
+        staged.withColumn(
+            "next_purchase_t",
+            F.first("purchase_t", ignorenulls=True).over(w_fwd),
+        )
+        .where(F.col("event_type") == "view")
+        .select(
+            "band",
+            (
+                F.col("next_purchase_t").isNotNull()
+                & (F.col("next_purchase_t") - F.col("t") <= 1800)
+            ).alias("converted"),
+        )
+    )
+    bands = labeled.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    base = labeled.agg(
+        F.expr(
+            "(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        ).alias("base_rate_ppm")
+    )
+    return (
+        bands.crossJoin(F.broadcast(base))
+        .where(F.col("base_rate_ppm") > 0)
+        .select(
+            "band",
+            "n_views",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_views").alias(
+                "band_rate_ppm"
+            ),
+            "base_rate_ppm",
+            F.expr(
+                "(((n_converted * 1000000) div n_views) * 1000000)"
+                " div base_rate_ppm"
+            ).alias("lift_micro"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_LIFT_CHART = """
+WITH staged AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CAST(floor(least(abs(coalesce(value, 0.0)), 499.0) / 20.0)
+              AS BIGINT) AS band,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS purchase_t
+  FROM events WHERE event_type IN ('view', 'purchase')
+), labeled AS (
+  SELECT band,
+         next_purchase_t IS NOT NULL AND next_purchase_t - t <= 1800
+           AS converted
+  FROM (
+    SELECT band, t, event_type,
+           first_value(purchase_t IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY t ASC, event_id ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_purchase_t
+    FROM staged
+  ) WHERE event_type = 'view'
+), bands AS (
+  SELECT band, count(*) AS n_views,
+         sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_converted
+  FROM labeled GROUP BY band
+), base AS (
+  SELECT (sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1000000)
+           // count(*) AS base_rate_ppm
+  FROM labeled
+)
+SELECT b.band, CAST(b.n_views AS BIGINT) AS n_views,
+       CAST(b.n_converted AS BIGINT) AS n_converted,
+       (b.n_converted * 1000000) // b.n_views AS band_rate_ppm,
+       CAST(base.base_rate_ppm AS BIGINT) AS base_rate_ppm,
+       (((b.n_converted * 1000000) // b.n_views) * 1000000)
+         // base.base_rate_ppm AS lift_micro
+FROM bands b, base
+WHERE base.base_rate_ppm > 0
+ORDER BY b.band
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1772,6 +1900,7 @@ EVENTS_QUERIES = {
     "stickiness_ratio": q_stickiness_ratio,
     "repurchase_intervals": q_repurchase_intervals,
     "burst_windows": q_burst_windows,
+    "lift_chart": q_lift_chart,
 }
 
 EVENTS_ORACLES = {
@@ -1800,4 +1929,5 @@ EVENTS_ORACLES = {
     "stickiness_ratio": SQL_STICKINESS,
     "repurchase_intervals": SQL_REPURCHASE,
     "burst_windows": SQL_BURST_WINDOWS,
+    "lift_chart": SQL_LIFT_CHART,
 }
