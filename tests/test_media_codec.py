@@ -543,3 +543,41 @@ def test_video_frame_stats_null_on_corrupt(spark):
         by_id.setdefault(r["media_id"], []).append(r)
     assert len(by_id[1]) == 3 and all(r["gray_sum"] == 9 * 256 for r in by_id[1])
     assert len(by_id[2]) == 1 and by_id[2][0]["frame_idx"] is None
+
+
+def test_media_features_fuzz_never_fails_stage(spark):
+    """Adversarial blob fuzz through the full mapInPandas feature path:
+    random bytes, magic-prefixed truncations of every real format, and
+    valid-header-corrupt-body blobs must DEGRADE (hash fallback / null
+    stats), never raise and kill the Spark stage."""
+    import random
+
+    from service_alerts_connector_spark.media import bmp, gif, png, wav
+    from service_alerts_connector_spark.sources.multimodal import (
+        media_features,
+    )
+
+    rng = random.Random(99)
+    blobs = []
+    # pure junk of assorted sizes
+    for i in range(20):
+        blobs.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64))))
+    # magic-prefixed truncations: the decoder is committed to the format
+    # and must still fail gracefully
+    real = [
+        bmp.encode_bmp24(4, 4, bytes(48)),
+        png.encode_png(4, 4, bytes(48)),
+        gif.encode_gif_gray(4, 4, bytes(16)),
+        wav.encode_wav_pcm16(8000, [0] * 64),
+    ]
+    for blob in real:
+        for cut in (2, 8, len(blob) // 2, len(blob) - 1):
+            blobs.append(blob[:cut])
+        # valid header, flipped body byte
+        body = bytearray(blob)
+        body[len(body) // 2] ^= 0xFF
+        blobs.append(bytes(body))
+    rows = [(i, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = media_features(df).collect()  # must not raise
+    assert len(out) == len(blobs)
