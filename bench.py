@@ -185,6 +185,7 @@ HEADLINE = [
     "basket_rules",
     "burst_windows",
     "lift_chart",
+    "geo_zone_rollup",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -89,10 +89,71 @@ ORDER BY a.Id
 """
 
 
+
+def q_geo_zone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-side rollup of the SAME overlay result: alerts-per-zone —
+    the "how many incidents touch each suburb" report operators read,
+    and a second hash-matched angle on the planar J5 path (the per-alert
+    `geo_overlay_rect` zones explode and re-aggregate by feature, so any
+    clipping/threshold defect that survives one projection breaks the
+    other)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ax0 = (F.col("c_custkey") * 7) % 40
+    ay0 = (F.col("c_custkey") * 13) % 40
+    alerts = cust.select(
+        F.col("c_custkey").alias("Id"),
+        _rect_wkt(ax0, ay0, 6).alias("geospatial_footprint"),
+    )
+    fx0 = (F.col("n_nationkey") % 5) * 10
+    fy0 = F.floor(F.col("n_nationkey") / 5).cast("long") * 10
+    layer = nation.select(
+        F.col("n_name").alias("name"),
+        _rect_wkt(fx0, fy0, 10).alias("WKT"),
+    )
+    out = overlay_inference(alerts, layer, "zones", use_sedona=False)
+    return (
+        out.select("Id", F.explode("zones").alias("zone"))
+        .groupBy("zone")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_alerts"))
+        .orderBy("zone")
+    )
+
+
+SQL_GEO_ZONE_ROLLUP = """
+WITH alerts AS (
+  SELECT c_custkey AS Id,
+         CAST((c_custkey * 7) % 40 AS DOUBLE) AS ax0,
+         CAST((c_custkey * 13) % 40 AS DOUBLE) AS ay0
+  FROM customer
+), feats AS (
+  SELECT n_name,
+         CAST((n_nationkey % 5) * 10 AS DOUBLE) AS fx0,
+         CAST(CAST(floor(n_nationkey / 5) AS BIGINT) * 10 AS DOUBLE) AS fy0
+  FROM nation
+), pairs AS (
+  SELECT a.Id, f.n_name,
+         greatest(0, least(a.ax0 + 6, f.fx0 + 10) - greatest(a.ax0, f.fx0)) *
+         greatest(0, least(a.ay0 + 6, f.fy0 + 10) - greatest(a.ay0, f.fy0))
+           AS inter
+  FROM alerts a CROSS JOIN feats f
+), hits AS (
+  SELECT DISTINCT Id, n_name FROM pairs
+  WHERE inter > 0 AND (inter / 100.0 > 0.05 OR inter / 36.0 > 0.05)
+)
+SELECT n_name AS zone, count(*) AS n_alerts
+FROM hits
+GROUP BY zone
+ORDER BY zone
+"""
+
+
 GEO_QUERIES = {
     "geo_overlay_rect": q_geo_overlay_rect,
+    "geo_zone_rollup": q_geo_zone_rollup,
 }
 
 GEO_ORACLES = {
     "geo_overlay_rect": SQL_GEO_OVERLAY_RECT,
+    "geo_zone_rollup": SQL_GEO_ZONE_ROLLUP,
 }
