@@ -186,6 +186,8 @@ HEADLINE = [
     "burst_windows",
     "lift_chart",
     "geo_zone_rollup",
+    "containment_pairs",
+    "boxplot_stats",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -3018,6 +3018,115 @@ LIMIT 20
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Boxplot stats — exact order statistics per group (no float percentiles)
+# ---------------------------------------------------------------------------
+def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary of order value per customer nation — the
+    boxplot feed, with every quartile an EXACT order statistic via
+    sorted-array indexing (index (k·(n+1)) div 4, floored, lower-bounded
+    at 1) so both engines pick the identical element — never a float
+    percentile whose interpolation differs.
+
+    One fact aggregation to (nation, cents) rows; the per-group sort
+    touches each nation's ~n/25 values.  IQR and whisker counts (values
+    beyond q3 + 1.5·IQR, the standard outlier rule, in integer form
+    4·v > 4·q3 + 6·iqr) come along exactly.
+    """
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    idx = lambda k: F.expr(
+        f"CAST(greatest(1, ({k} * (count(1) + 1)) div 4) AS INT)"
+    )
+    stats = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("lo"),
+        F.expr(
+            "element_at(array_sort(collect_list(cents)),"
+            " CAST(greatest(1, (count(1) + 1) div 4) AS INT))"
+        ).cast("long").alias("q1"),
+        F.expr(
+            "element_at(array_sort(collect_list(cents)),"
+            " CAST(greatest(1, (2 * (count(1) + 1)) div 4) AS INT))"
+        ).cast("long").alias("med"),
+        F.expr(
+            "element_at(array_sort(collect_list(cents)),"
+            " CAST(greatest(1, (3 * (count(1) + 1)) div 4) AS INT))"
+        ).cast("long").alias("q3"),
+        F.max("cents").cast("long").alias("hi"),
+    )
+    outliers = (
+        rev.join(F.broadcast(stats.select("nation", "q1", "q3")), "nation")
+        .where(
+            F.col("cents") * 4 > F.col("q3") * 4 + (F.col("q3") - F.col("q1")) * 6
+        )
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_high_outliers"))
+    )
+    return (
+        stats.join(outliers, "nation", "left")
+        .select(
+            "nation",
+            "n",
+            "lo",
+            "q1",
+            "med",
+            "q3",
+            "hi",
+            F.coalesce("n_high_outliers", F.lit(0)).cast("long").alias(
+                "n_high_outliers"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_BOXPLOT = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), stats AS (
+  SELECT nation, count(*) AS n,
+         min(cents) AS lo,
+         list_sort(list(cents))[
+           CAST(greatest(1, (count(*) + 1) // 4) AS INT)] AS q1,
+         list_sort(list(cents))[
+           CAST(greatest(1, (2 * (count(*) + 1)) // 4) AS INT)] AS med,
+         list_sort(list(cents))[
+           CAST(greatest(1, (3 * (count(*) + 1)) // 4) AS INT)] AS q3,
+         max(cents) AS hi
+  FROM rev GROUP BY nation
+), outliers AS (
+  SELECT r.nation, count(*) AS n_high_outliers
+  FROM rev r JOIN stats s ON s.nation = r.nation
+  WHERE r.cents * 4 > s.q3 * 4 + (s.q3 - s.q1) * 6
+  GROUP BY r.nation
+)
+SELECT s.nation, CAST(s.n AS BIGINT) AS n,
+       CAST(s.lo AS BIGINT) AS lo, CAST(s.q1 AS BIGINT) AS q1,
+       CAST(s.med AS BIGINT) AS med, CAST(s.q3 AS BIGINT) AS q3,
+       CAST(s.hi AS BIGINT) AS hi,
+       CAST(coalesce(o.n_high_outliers, 0) AS BIGINT) AS n_high_outliers
+FROM stats s LEFT JOIN outliers o ON o.nation = s.nation
+ORDER BY s.nation
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -3066,6 +3175,7 @@ ANALYTICS_QUERIES = {
     "contribution_share": q_contribution_share,
     "header_detail_recon": q_header_detail_recon,
     "basket_rules": q_basket_rules,
+    "boxplot_stats": q_boxplot_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -3116,4 +3226,5 @@ ANALYTICS_ORACLES = {
     "contribution_share": SQL_CONTRIBUTION_SHARE,
     "header_detail_recon": SQL_HEADER_DETAIL_RECON,
     "basket_rules": SQL_BASKET_RULES,
+    "boxplot_stats": SQL_BOXPLOT,
 }

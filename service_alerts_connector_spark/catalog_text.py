@@ -1652,6 +1652,96 @@ FROM exact e JOIN ranked r ON r.vec_id = e.eid
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment — excerpt/quote detection (A ⊂ B, not A ≈ B)
+# ---------------------------------------------------------------------------
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / |A| per direction, in exact
+    per-mille — the asymmetric companion to Jaccard that catches
+    EXCERPTS (a short doc fully inside a long one scores containment
+    ≈ 1000 while its Jaccard stays tiny, so the symmetric tier never
+    surfaces it).  The dedup decision for quotes, boilerplate
+    inclusions, and retranslations.
+
+    Same candidate-restricted contract and per-shingle pair expansion
+    as ``dedup_jaccard`` (the LSH tier feeds this at scale); kept pairs
+    have max(containment) ≥ 500 ‰.  All arithmetic integer (n_inter ×
+    1000 div n_side).
+    """
+    from service_alerts_connector_spark.functions.text import (
+        tokens,
+        word_shingles_of,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sh = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles_of(F.col("_toks"), 3))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.expr("(n_inter * 1000) div n_a").alias("cont_a_in_b_pm"),
+            F.expr("(n_inter * 1000) div n_b").alias("cont_b_in_a_pm"),
+        )
+        .where(
+            (F.col("cont_a_in_b_pm") >= 500) | (F.col("cont_b_in_a_pm") >= 500)
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_CONTAINMENT = (
+    _SQL_SHINGLES
+    + """
+, ex AS (
+  SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                                  WHERE doc_id < 200)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       (i.n_inter * 1000) // sa.n AS cont_a_in_b_pm,
+       (i.n_inter * 1000) // sb.n AS cont_b_in_a_pm
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE (i.n_inter * 1000) // sa.n >= 500 OR (i.n_inter * 1000) // sb.n >= 500
+ORDER BY i.id_a, i.id_b
+"""
+)
+
+
 TEXT_QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "text_boilerplate": q_text_boilerplate,
@@ -1675,6 +1765,7 @@ TEXT_QUERIES = {
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "sorted_neighborhood": q_sorted_neighborhood,
     "golden_record": q_golden_record,
+    "containment_pairs": q_containment_pairs,
     "ann_recall_eval": q_ann_recall_eval,
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1719,6 +1810,7 @@ TEXT_ORACLES = {
     "dedup_prefix_filter": SQL_PREFIX_FILTER,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "golden_record": SQL_GOLDEN_RECORD,
+    "containment_pairs": SQL_CONTAINMENT,
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
     "dedup_simhash": SQL_SIMHASH,
     "ann_cosine_topk": SQL_ANN_TOPK,
