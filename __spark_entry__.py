@@ -131,7 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multitouch_attribution", "dau_new_vs_returning",
         "stickiness_ratio", "repurchase_intervals", "basket_rules",
         "burst_windows", "lift_chart", "geo_zone_rollup",
-        "containment_pairs", "boxplot_stats",
+        "containment_pairs", "boxplot_stats", "aging_report",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

@@ -188,6 +188,7 @@ HEADLINE = [
     "geo_zone_rollup",
     "containment_pairs",
     "boxplot_stats",
+    "aging_report",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -3127,6 +3127,67 @@ ORDER BY s.nation
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Aging report — open-order value by age bucket × priority (AR aging)
+# ---------------------------------------------------------------------------
+def q_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable-style aging of the OPEN order book: value and
+    count per 90-day age bucket × priority against a pinned as-of date —
+    the finance close-process artifact (30/60/90 buckets at month grain;
+    quarters here to fit the data's span).
+
+    Age in whole days via ``datediff`` against the as-of literal (no
+    now(): catalog determinism), bucket = age div 90 capped at 8 (the
+    ">2 years" tail bucket every aging report has), one
+    map-side-combinable groupBy; cents exact.
+    """
+    asof = F.lit("2002-01-01 00:00:00").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "O"
+    )
+    aged = orders.select(
+        "o_orderpriority",
+        F.least(
+            F.expr(
+                "datediff(CAST('2002-01-01 00:00:00' AS TIMESTAMP),"
+                " o_orderdate) div 90"
+            ),
+            F.lit(8),
+        )
+        .cast("long")
+        .alias("age_bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        aged.groupBy(
+            F.col("o_orderpriority").alias("priority"), "age_bucket"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_outstanding"),
+        )
+        .orderBy("priority", "age_bucket")
+    )
+
+
+SQL_AGING_REPORT = """
+WITH aged AS (
+  SELECT o_orderpriority AS priority,
+         least(date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '2002-01-01') // 90, 8) AS age_bucket,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT priority, CAST(age_bucket AS BIGINT) AS age_bucket,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS cents_outstanding
+FROM aged
+GROUP BY priority, age_bucket
+ORDER BY priority, age_bucket
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -3176,6 +3237,7 @@ ANALYTICS_QUERIES = {
     "header_detail_recon": q_header_detail_recon,
     "basket_rules": q_basket_rules,
     "boxplot_stats": q_boxplot_stats,
+    "aging_report": q_aging_report,
 }
 
 ANALYTICS_ORACLES = {
@@ -3227,4 +3289,5 @@ ANALYTICS_ORACLES = {
     "header_detail_recon": SQL_HEADER_DETAIL_RECON,
     "basket_rules": SQL_BASKET_RULES,
     "boxplot_stats": SQL_BOXPLOT,
+    "aging_report": SQL_AGING_REPORT,
 }
