@@ -189,6 +189,7 @@ HEADLINE = [
     "containment_pairs",
     "boxplot_stats",
     "aging_report",
+    "peak_concurrency",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

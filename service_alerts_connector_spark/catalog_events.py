@@ -1874,6 +1874,104 @@ ORDER BY b.band
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — max simultaneously open intervals per user
+# ---------------------------------------------------------------------------
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per user: the maximum number of simultaneously
+    open intervals (event + value-scaled duration, the
+    ``interval_coalesce`` construction) and the first moment it is
+    reached — the capacity-planning metric (max open sessions, max
+    concurrent calls) that a rollup of counts cannot answer.
+
+    The sweep-line in dataflow form: each interval emits +1 at start
+    and −1 at end+1 (half-open), a keyed running sum over (time, delta
+    desc, id) walks the sweep, and ``min_by`` on the lpad complement
+    selector picks the earliest peak moment deterministically.  One
+    exchange on user_id; per-user work is the O(n log n) sort.
+    """
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        _epoch_s("ts").alias("start_s"),
+        (
+            _epoch_s("ts")
+            + F.lit(60)
+            + F.floor(
+                F.least(
+                    F.abs(F.coalesce(F.col("value"), F.lit(0.0))),
+                    F.lit(300.0),
+                )
+            ).cast("long")
+        ).alias("end_s"),
+    )
+    deltas = iv.select(
+        "user_id",
+        F.col("start_s").alias("t"),
+        F.lit(1).alias("delta"),
+        F.col("event_id"),
+    ).unionByName(
+        iv.select(
+            "user_id",
+            (F.col("end_s") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            F.col("event_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.desc("delta"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.withColumn("open_now", F.sum("delta").over(w))
+    sel = F.concat(
+        F.lpad((F.lit(999999) - F.col("open_now")).cast("string"), 7, "0"),
+        F.lpad(F.col("t").cast("string"), 12, "0"),
+    )
+    return (
+        swept.withColumn("_sel", sel)
+        .groupBy("user_id")
+        .agg(
+            F.max("open_now").cast("long").alias("peak_open"),
+            F.min_by("t", F.col("_sel")).cast("long").alias("peak_at_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH iv AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 60
+           + CAST(floor(least(abs(coalesce(value, 0.0)), 300.0)) AS BIGINT)
+           AS end_s
+  FROM events
+), deltas AS (
+  SELECT user_id, start_s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT user_id, end_s + 1 AS t, -1 AS delta, event_id FROM iv
+), swept AS (
+  SELECT user_id, t,
+         sum(delta) OVER (PARTITION BY user_id
+                          ORDER BY t ASC, delta DESC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS open_now
+  FROM deltas
+)
+SELECT user_id,
+       CAST(max(open_now) AS BIGINT) AS peak_open,
+       CAST(arg_min(t,
+            lpad(CAST(999999 - open_now AS VARCHAR), 7, '0')
+              || lpad(CAST(t AS VARCHAR), 12, '0')) AS BIGINT) AS peak_at_s
+FROM swept
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -1901,6 +1999,7 @@ EVENTS_QUERIES = {
     "repurchase_intervals": q_repurchase_intervals,
     "burst_windows": q_burst_windows,
     "lift_chart": q_lift_chart,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 EVENTS_ORACLES = {
@@ -1930,4 +2029,5 @@ EVENTS_ORACLES = {
     "repurchase_intervals": SQL_REPURCHASE,
     "burst_windows": SQL_BURST_WINDOWS,
     "lift_chart": SQL_LIFT_CHART,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
 }
