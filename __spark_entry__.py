@@ -132,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness_ratio", "repurchase_intervals", "basket_rules",
         "burst_windows", "lift_chart", "geo_zone_rollup",
         "containment_pairs", "boxplot_stats", "aging_report",
-        "peak_concurrency",
+        "peak_concurrency", "dow_hour_heatmap", "language_mix",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

@@ -190,6 +190,8 @@ HEADLINE = [
     "boxplot_stats",
     "aging_report",
     "peak_concurrency",
+    "dow_hour_heatmap",
+    "language_mix",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -1280,6 +1280,72 @@ FROM per_bucket
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Language-mix pivot — corpus composition by source × language
+# ---------------------------------------------------------------------------
+def q_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition pivot: per source, document counts by language
+    column plus each source's dominant language share in exact ppm —
+    the one-glance mix report a multilingual training set is curated
+    against.  Native ``pivot`` over the bounded language dimension (the
+    values are pinned, so the plan never scans to discover columns).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pivoted = (
+        counts.groupBy("source")
+        .pivot("lang", langs)
+        .sum("n")
+        .na.fill(0)
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.max("n").alias("max_lang_n"),
+    )
+    return (
+        pivoted.join(totals, "source")
+        .select(
+            "source",
+            *[F.col(lang).cast("long").alias(f"n_{lang}") for lang in langs],
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(max_lang_n * 1000000) div n_docs").alias(
+                "dominant_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_LANGUAGE_MIX = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), totals AS (
+  SELECT source, sum(n) AS n_docs, max(n) AS max_lang_n
+  FROM counts GROUP BY source
+)
+SELECT t.source,
+       CAST(coalesce(sum(CASE WHEN lang = 'de' THEN n END), 0) AS BIGINT)
+         AS n_de,
+       CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n END), 0) AS BIGINT)
+         AS n_en,
+       CAST(coalesce(sum(CASE WHEN lang = 'es' THEN n END), 0) AS BIGINT)
+         AS n_es,
+       CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN n END), 0) AS BIGINT)
+         AS n_fr,
+       CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n END), 0) AS BIGINT)
+         AS n_zh,
+       CAST(max(t.n_docs) AS BIGINT) AS n_docs,
+       (max(t.max_lang_n) * 1000000) // max(t.n_docs) AS dominant_share_ppm
+FROM counts c JOIN totals t ON t.source = c.source
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 CORPUS_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "source_quota": q_source_quota,
@@ -1307,6 +1373,7 @@ CORPUS_QUERIES = {
     "quota_allocation": q_quota_allocation,
     "phrase_search": q_phrase_search,
     "feature_hashing": q_feature_hashing,
+    "language_mix": q_language_mix,
 }
 
 CORPUS_ORACLES = {
@@ -1336,4 +1403,5 @@ CORPUS_ORACLES = {
     "quota_allocation": SQL_QUOTA_ALLOCATION,
     "phrase_search": SQL_PHRASE_SEARCH,
     "feature_hashing": SQL_FEATURE_HASHING,
+    "language_mix": SQL_LANGUAGE_MIX,
 }

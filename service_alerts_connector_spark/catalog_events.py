@@ -1972,6 +1972,51 @@ ORDER BY user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Activity heatmap — day-of-week × hour event intensity
+# ---------------------------------------------------------------------------
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap with per-cell intensity in
+    exact ppm of the week's total — the seasonality fingerprint behind
+    send-time optimization and load forecasting.  One map-side-combined
+    groupBy over ≤ 168 cells; dow via ``dayofweek`` (1 = Sunday, matched
+    to DuckDB's ``dayofweek`` + 1 shift below).
+    """
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = cells.agg(F.sum("n_events").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.expr("(n_events * 1000000) div total").alias("intensity_ppm"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SQL_DOW_HOUR_HEATMAP = """
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY dow, hour
+), tot AS (
+  SELECT sum(n_events) AS total FROM cells
+)
+SELECT c.dow, c.hour, CAST(c.n_events AS BIGINT) AS n_events,
+       (c.n_events * 1000000) // t.total AS intensity_ppm
+FROM cells c, tot t
+ORDER BY c.dow, c.hour
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -2000,6 +2045,7 @@ EVENTS_QUERIES = {
     "burst_windows": q_burst_windows,
     "lift_chart": q_lift_chart,
     "peak_concurrency": q_peak_concurrency,
+    "dow_hour_heatmap": q_dow_hour_heatmap,
 }
 
 EVENTS_ORACLES = {
@@ -2030,4 +2076,5 @@ EVENTS_ORACLES = {
     "burst_windows": SQL_BURST_WINDOWS,
     "lift_chart": SQL_LIFT_CHART,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "dow_hour_heatmap": SQL_DOW_HOUR_HEATMAP,
 }
