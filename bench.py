@@ -192,6 +192,7 @@ HEADLINE = [
     "peak_concurrency",
     "dow_hour_heatmap",
     "language_mix",
+    "growth_accounting",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -2017,6 +2017,119 @@ ORDER BY c.dow, c.hour
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Growth accounting — new / retained / resurrected / churned per week
+# ---------------------------------------------------------------------------
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full growth-accounting decomposition at week grain: each week's
+    actives split into NEW (first-ever week), RETAINED (active the
+    previous week), and RESURRECTED (active before, but not last week),
+    plus the week's CHURNED (last week's actives who went quiet) — the
+    canonical DAU/MAU accounting identity
+    (actives_t = new_t + retained_t + resurrected_t;
+    churned_t = actives_{t−1} − retained_t), self-checked by
+    construction in the output.
+
+    Weeks are day-number div 7 from a pinned epoch (ISO week functions
+    differ across engines; integer division doesn't).  Everything
+    derives from ONE distinct (user, week) grid: first-week via min,
+    previous-week membership via a self-join on (user, week−1) — all
+    user-keyed equi-joins, no window.
+    """
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            / 7
+        )
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = weeks.select(
+        "user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("_prev")
+    )
+    tagged = (
+        weeks.join(first, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("week") == F.col("first_week"), "new")
+            .when(F.col("_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("kind"),
+        )
+    )
+    counts = tagged.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("actives"),
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("resurrected"),
+    )
+    prev_actives = weeks.groupBy(
+        (F.col("week") + 1).alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("prev_actives"))
+    return (
+        counts.join(prev_actives, "week", "left")
+        .select(
+            "week",
+            "actives",
+            "new_users",
+            "retained",
+            "resurrected",
+            (F.coalesce("prev_actives", F.lit(0)) - F.col("retained"))
+            .cast("long")
+            .alias("churned"),
+        )
+        .orderBy("week")
+    )
+
+
+SQL_GROWTH_ACCOUNTING = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS first_week FROM weeks GROUP BY user_id
+), tagged AS (
+  SELECT w.week,
+         CASE WHEN w.week = f.first_week THEN 'new'
+              WHEN p.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM weeks w
+  JOIN first f ON f.user_id = w.user_id
+  LEFT JOIN weeks p ON p.user_id = w.user_id AND p.week = w.week - 1
+), counts AS (
+  SELECT week, count(*) AS actives,
+         sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS new_users,
+         sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS retained,
+         sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+           AS resurrected
+  FROM tagged GROUP BY week
+), prev_actives AS (
+  SELECT week + 1 AS week, count(*) AS prev_actives
+  FROM weeks GROUP BY week + 1
+)
+SELECT c.week, CAST(c.actives AS BIGINT) AS actives,
+       CAST(c.new_users AS BIGINT) AS new_users,
+       CAST(c.retained AS BIGINT) AS retained,
+       CAST(c.resurrected AS BIGINT) AS resurrected,
+       CAST(coalesce(p.prev_actives, 0) - c.retained AS BIGINT) AS churned
+FROM counts c LEFT JOIN prev_actives p ON p.week = c.week
+ORDER BY c.week
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -2046,6 +2159,7 @@ EVENTS_QUERIES = {
     "lift_chart": q_lift_chart,
     "peak_concurrency": q_peak_concurrency,
     "dow_hour_heatmap": q_dow_hour_heatmap,
+    "growth_accounting": q_growth_accounting,
 }
 
 EVENTS_ORACLES = {
@@ -2077,4 +2191,5 @@ EVENTS_ORACLES = {
     "lift_chart": SQL_LIFT_CHART,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "dow_hour_heatmap": SQL_DOW_HOUR_HEATMAP,
+    "growth_accounting": SQL_GROWTH_ACCOUNTING,
 }
