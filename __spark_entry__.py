@@ -133,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_windows", "lift_chart", "geo_zone_rollup",
         "containment_pairs", "boxplot_stats", "aging_report",
         "peak_concurrency", "dow_hour_heatmap", "language_mix",
-        "growth_accounting",
+        "growth_accounting", "status_mix_trend", "rank_movers",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

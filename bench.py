@@ -193,6 +193,8 @@ HEADLINE = [
     "dow_hour_heatmap",
     "language_mix",
     "growth_accounting",
+    "status_mix_trend",
+    "rank_movers",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -3188,6 +3188,137 @@ ORDER BY priority, age_bucket
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Status-mix trend — composition share over order months
+# ---------------------------------------------------------------------------
+def q_status_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status composition per order month with exact-ppm shares —
+    the mix-shift trend report (is the open-order share creeping up?)
+    that complements `distribution_drift`'s two-period comparison with
+    a full time axis.  One map-side-combined (month, status) groupBy;
+    month totals re-aggregate the months × statuses cell table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = cells.groupBy("month").agg(F.sum("n").alias("month_total"))
+    return (
+        cells.join(F.broadcast(totals), "month")
+        .select(
+            "month",
+            "status",
+            "n",
+            F.expr("(n * 1000000) div month_total").alias("share_ppm"),
+        )
+        .orderBy("month", "status")
+    )
+
+
+SQL_STATUS_MIX_TREND = """
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         o_orderstatus AS status, count(*) AS n
+  FROM orders GROUP BY month, status
+), totals AS (
+  SELECT month, sum(n) AS month_total FROM cells GROUP BY month
+)
+SELECT c.month, c.status, CAST(c.n AS BIGINT) AS n,
+       (c.n * 1000000) // t.month_total AS share_ppm
+FROM cells c JOIN totals t ON t.month = c.month
+ORDER BY c.month, c.status
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rank movers — biggest rank changes between two periods
+# ---------------------------------------------------------------------------
+def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-rank movers: each nation's rank in the first half of the
+    order history vs the second, with the delta — the "biggest
+    climbers/fallers" leaderboard report.  Ranks come from a window
+    PARTITIONED BY period (25 rows per partition — keyed, never the
+    banned global window), ordered by (cents desc, nation) for total
+    determinism; the two periods join on the nation.
+    """
+    cut = F.lit("1998-06-30 23:59:59").cast("timestamp")
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy(
+            F.when(F.col("o_orderdate") <= cut, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.desc("cents"), F.asc("nation")
+    )
+    ranked = rev.withColumn("rank", F.row_number().over(w))
+    h1 = ranked.where(F.col("period") == 1).select(
+        "nation", F.col("rank").alias("rank_h1"), F.col("cents").alias("cents_h1")
+    )
+    h2 = ranked.where(F.col("period") == 2).select(
+        "nation", F.col("rank").alias("rank_h2"), F.col("cents").alias("cents_h2")
+    )
+    return (
+        h1.join(h2, "nation")
+        .select(
+            "nation",
+            F.col("rank_h1").cast("long").alias("rank_h1"),
+            F.col("rank_h2").cast("long").alias("rank_h2"),
+            (F.col("rank_h1") - F.col("rank_h2")).cast("long").alias(
+                "rank_delta"
+            ),
+            "cents_h1",
+            "cents_h2",
+        )
+        .orderBy(F.desc(F.abs(F.col("rank_delta"))), F.asc("nation"))
+        .limit(10)
+    )
+
+
+SQL_RANK_MOVERS = """
+WITH rev AS (
+  SELECT CASE WHEN o.o_orderdate <= TIMESTAMP '1998-06-30 23:59:59'
+              THEN 1 ELSE 2 END AS period,
+         c.c_nationkey AS nation,
+         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY period, nation
+), ranked AS (
+  SELECT period, nation, cents,
+         row_number() OVER (PARTITION BY period
+                            ORDER BY cents DESC, nation ASC) AS rank
+  FROM rev
+)
+SELECT a.nation,
+       CAST(a.rank AS BIGINT) AS rank_h1,
+       CAST(b.rank AS BIGINT) AS rank_h2,
+       CAST(a.rank - b.rank AS BIGINT) AS rank_delta,
+       a.cents AS cents_h1, b.cents AS cents_h2
+FROM ranked a JOIN ranked b ON b.nation = a.nation
+WHERE a.period = 1 AND b.period = 2
+ORDER BY abs(a.rank - b.rank) DESC, a.nation ASC
+LIMIT 10
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -3238,6 +3369,8 @@ ANALYTICS_QUERIES = {
     "basket_rules": q_basket_rules,
     "boxplot_stats": q_boxplot_stats,
     "aging_report": q_aging_report,
+    "status_mix_trend": q_status_mix_trend,
+    "rank_movers": q_rank_movers,
 }
 
 ANALYTICS_ORACLES = {
@@ -3290,4 +3423,6 @@ ANALYTICS_ORACLES = {
     "basket_rules": SQL_BASKET_RULES,
     "boxplot_stats": SQL_BOXPLOT,
     "aging_report": SQL_AGING_REPORT,
+    "status_mix_trend": SQL_STATUS_MIX_TREND,
+    "rank_movers": SQL_RANK_MOVERS,
 }
