@@ -195,6 +195,7 @@ HEADLINE = [
     "growth_accounting",
     "status_mix_trend",
     "rank_movers",
+    "hhi_concentration",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -3319,6 +3319,84 @@ LIMIT 10
 """
 
 
+
+# ---------------------------------------------------------------------------
+# HHI concentration — Herfindahl–Hirschman index per market
+# ---------------------------------------------------------------------------
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part-type market as the exact-integer
+    Herfindahl–Hirschman index: HHI = Σ share² over each supplier's
+    revenue share of the market — the antitrust/risk screen ("is this
+    part type single-sourced?").
+
+    Shares in ppm (non-negative integer div), HHI as Σ ppm² div 10⁶ —
+    micro-units on the standard 0–10 000 HHI scale ×100; a
+    single-supplier market scores 1 000 000, perfect 25-way split
+    40 000.  Two map-side-combinable aggregations ((market, supplier),
+    then market) + a broadcast totals join; the squares stay < 2⁶³.
+    Output: top-10 most concentrated markets with supplier counts.
+    """
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(
+            _t(spark, sf_dir, "part").select(
+                F.col("p_partkey").alias("l_partkey"), "p_type"
+            )
+        ),
+        "l_partkey",
+    )
+    cell = li.groupBy(
+        F.col("p_type").alias("market"), F.col("l_suppkey").alias("supplier")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    totals = cell.groupBy("market").agg(
+        F.sum("cents").alias("market_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = cell.join(F.broadcast(totals), "market").select(
+        "market",
+        "n_suppliers",
+        F.expr("(cents * 1000000) div market_cents").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("market")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000")
+            .cast("long")
+            .alias("hhi_micro"),
+        )
+        .orderBy(F.desc("hhi_micro"), F.asc("market"))
+        .limit(10)
+    )
+
+
+SQL_HHI = """
+WITH cell AS (
+  SELECT p.p_type AS market, l.l_suppkey AS supplier,
+         sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY market, supplier
+), totals AS (
+  SELECT market, sum(cents) AS market_cents, count(*) AS n_suppliers
+  FROM cell GROUP BY market
+), shares AS (
+  SELECT c.market, t.n_suppliers,
+         (c.cents * 1000000) // t.market_cents AS share_ppm
+  FROM cell c JOIN totals t ON t.market = c.market
+)
+SELECT market,
+       CAST(max(n_suppliers) AS BIGINT) AS n_suppliers,
+       CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_micro
+FROM shares
+GROUP BY market
+ORDER BY hhi_micro DESC, market ASC
+LIMIT 10
+"""
+
+
 ANALYTICS_QUERIES = {
     "kmv_distinct": q_kmv_distinct,
     "join_size_estimate": q_join_size_estimate,
@@ -3371,6 +3449,7 @@ ANALYTICS_QUERIES = {
     "aging_report": q_aging_report,
     "status_mix_trend": q_status_mix_trend,
     "rank_movers": q_rank_movers,
+    "hhi_concentration": q_hhi_concentration,
 }
 
 ANALYTICS_ORACLES = {
@@ -3425,4 +3504,5 @@ ANALYTICS_ORACLES = {
     "aging_report": SQL_AGING_REPORT,
     "status_mix_trend": SQL_STATUS_MIX_TREND,
     "rank_movers": SQL_RANK_MOVERS,
+    "hhi_concentration": SQL_HHI,
 }
