@@ -196,6 +196,7 @@ HEADLINE = [
     "status_mix_trend",
     "rank_movers",
     "hhi_concentration",
+    "user_feature_bundle",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

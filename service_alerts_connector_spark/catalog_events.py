@@ -2130,6 +2130,118 @@ ORDER BY c.week
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Feature-store bundle — one wide per-user frame from keyed aggregates
+# ---------------------------------------------------------------------------
+def q_user_feature_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-user feature frame: activity, recency, monetary,
+    and engagement-shape features joined into ONE wide row per user —
+    the feature-store pattern (compute each feature family as an
+    independent keyed aggregate, join on the entity key, ship to
+    training).  Every feature is exact: counts, floored epoch recency,
+    cents totals, distinct active days, and the modal event type via
+    the min_by selector.
+
+    Scale shape: four map-side-combinable user-keyed aggregates + three
+    user-key joins — at 100 TB each family computes in parallel and the
+    joins co-partition on the entity key; no window, no self-join of
+    raw events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(_epoch_s("ts")).cast("long").alias("last_seen_s"),
+        F.min(_epoch_s("ts")).cast("long").alias("first_seen_s"),
+    )
+    monetary = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    active_days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_days"))
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    sel = F.concat(
+        F.lpad((F.lit(999999999999) - F.col("cnt")).cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    modal = (
+        counts.withColumn("_sel", sel)
+        .groupBy("user_id")
+        .agg(F.min_by("event_type", F.col("_sel")).alias("modal_type"))
+    )
+    return (
+        base.join(monetary, "user_id", "left")
+        .join(active_days, "user_id")
+        .join(modal, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "first_seen_s",
+            "last_seen_s",
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias(
+                "n_purchases"
+            ),
+            F.coalesce("total_cents", F.lit(0)).cast("long").alias(
+                "total_cents"
+            ),
+            "n_active_days",
+            "modal_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_FEATURE_BUNDLE = """
+WITH base AS (
+  SELECT user_id, count(*) AS n_events,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen_s,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_seen_s
+  FROM events GROUP BY user_id
+), monetary AS (
+  SELECT user_id, count(*) AS n_purchases,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS total_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), active_days AS (
+  SELECT user_id, count(*) AS n_active_days FROM (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+  GROUP BY user_id
+), counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), modal AS (
+  SELECT user_id,
+         arg_min(event_type,
+                 lpad(CAST(999999999999 - cnt AS VARCHAR), 12, '0')
+                   || event_type) AS modal_type
+  FROM counts GROUP BY user_id
+)
+SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+       b.first_seen_s, b.last_seen_s,
+       CAST(coalesce(m.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(m.total_cents, 0) AS BIGINT) AS total_cents,
+       CAST(a.n_active_days AS BIGINT) AS n_active_days,
+       md.modal_type
+FROM base b
+LEFT JOIN monetary m ON m.user_id = b.user_id
+JOIN active_days a ON a.user_id = b.user_id
+JOIN modal md ON md.user_id = b.user_id
+ORDER BY b.user_id
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -2160,6 +2272,7 @@ EVENTS_QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "dow_hour_heatmap": q_dow_hour_heatmap,
     "growth_accounting": q_growth_accounting,
+    "user_feature_bundle": q_user_feature_bundle,
 }
 
 EVENTS_ORACLES = {
@@ -2192,4 +2305,5 @@ EVENTS_ORACLES = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "dow_hour_heatmap": SQL_DOW_HOUR_HEATMAP,
     "growth_accounting": SQL_GROWTH_ACCOUNTING,
+    "user_feature_bundle": SQL_USER_FEATURE_BUNDLE,
 }
