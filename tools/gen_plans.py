@@ -27,7 +27,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "vocab_coverage", "q5_region_volume",
         "q19_disjunctive", "q21_waiting_suppliers",
         "zone_map_prune", "interval_coalesce", "weighted_sample",
-        "bitmap_intersect", "phrase_search", "twap_value"]
+        "bitmap_intersect", "phrase_search", "twap_value",
+        "hierarchy_roots", "user_feature_bundle"]
 NOTES = {
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
@@ -64,6 +65,8 @@ NOTES = {
     "bitmap_intersect": "one map-side-combined (type, word) groupBy builds every bitmap; set algebra is a word equi-join + bit_count - events never re-shuffle",
     "phrase_search": "positional postings; term filters land BEFORE the (doc, pos+1) equi-join so both sides are posting-list-sized",
     "twap_value": "lead window + per-user agg share ONE hashpartitioning exchange; cents x seconds partials mergeable",
+    "hierarchy_roots": "O(log depth) pointer jumping: node-sized self-joins per round with localCheckpoint lineage truncation - plan stays flat however deep the tree",
+    "user_feature_bundle": "four independent user-keyed aggregates joined on the entity key - the feature-store materialization pattern, no window",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
