@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency", "dow_hour_heatmap", "language_mix",
         "growth_accounting", "status_mix_trend", "rank_movers",
         "hhi_concentration", "user_feature_bundle",
+        "conversion_delay_profile",
         "hll_distinct", "skew_salted_agg", "dedup_prefix_filter",
         "ngram_decontamination", "vocab_coverage",
         "label_centroid_similarity", "dq_rule_screen", "event_pagerank",

@@ -197,6 +197,7 @@ HEADLINE = [
     "rank_movers",
     "hhi_concentration",
     "user_feature_bundle",
+    "conversion_delay_profile",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -2242,6 +2242,105 @@ ORDER BY b.user_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Conversion-delay profile — time-to-convert distribution per day
+# ---------------------------------------------------------------------------
+def q_conversion_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every converted view (purchase
+    within 30 min, the `abandonment_rate` label), the delay's exact
+    quartiles per conversion day via sorted-array order statistics — the
+    latency-SLA-style profile of the conversion funnel, float-free.
+
+    One keyed forward-frame window labels the views; the quartile pass
+    groups the (day, delay) rows — calendar-bounded output, delays in
+    whole seconds.
+    """
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_s("ts").alias("t"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", _epoch_s("ts")).alias(
+            "purchase_t"
+        ),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    delays = (
+        staged.withColumn(
+            "next_purchase_t",
+            F.first("purchase_t", ignorenulls=True).over(w_fwd),
+        )
+        .where(
+            (F.col("event_type") == "view")
+            & F.col("next_purchase_t").isNotNull()
+            & (F.col("next_purchase_t") - F.col("t") <= 1800)
+        )
+        .select("day", (F.col("next_purchase_t") - F.col("t")).alias("delay_s"))
+    )
+    q = lambda k: (
+        "element_at(array_sort(collect_list(delay_s)),"
+        f" CAST(greatest(1, ({k} * (count(1) + 1)) div 4) AS INT))"
+    )
+    return (
+        delays.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.min("delay_s").cast("long").alias("min_s"),
+            F.expr(q(1)).cast("long").alias("q1_s"),
+            F.expr(q(2)).cast("long").alias("median_s"),
+            F.expr(q(3)).cast("long").alias("q3_s"),
+            F.max("delay_s").cast("long").alias("max_s"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_CONVERSION_DELAY = """
+WITH staged AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         strftime(ts, '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS purchase_t
+  FROM events WHERE event_type IN ('view', 'purchase')
+), delays AS (
+  SELECT day, next_purchase_t - t AS delay_s
+  FROM (
+    SELECT day, t, event_type,
+           first_value(purchase_t IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY t ASC, event_id ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_purchase_t
+    FROM staged
+  ) WHERE event_type = 'view' AND next_purchase_t IS NOT NULL
+      AND next_purchase_t - t <= 1800
+)
+SELECT day, count(*) AS n_conversions,
+       CAST(min(delay_s) AS BIGINT) AS min_s,
+       CAST(list_sort(list(delay_s))[
+         CAST(greatest(1, (count(*) + 1) // 4) AS INT)] AS BIGINT) AS q1_s,
+       CAST(list_sort(list(delay_s))[
+         CAST(greatest(1, (2 * (count(*) + 1)) // 4) AS INT)] AS BIGINT)
+         AS median_s,
+       CAST(list_sort(list(delay_s))[
+         CAST(greatest(1, (3 * (count(*) + 1)) // 4) AS INT)] AS BIGINT)
+         AS q3_s,
+       CAST(max(delay_s) AS BIGINT) AS max_s
+FROM delays
+GROUP BY day
+ORDER BY day
+"""
+
+
 EVENTS_QUERIES = {
     "event_throttle": q_event_throttle,
     "attribution_join": q_attribution_join,
@@ -2273,6 +2372,7 @@ EVENTS_QUERIES = {
     "dow_hour_heatmap": q_dow_hour_heatmap,
     "growth_accounting": q_growth_accounting,
     "user_feature_bundle": q_user_feature_bundle,
+    "conversion_delay_profile": q_conversion_delay_profile,
 }
 
 EVENTS_ORACLES = {
@@ -2306,4 +2406,5 @@ EVENTS_ORACLES = {
     "dow_hour_heatmap": SQL_DOW_HOUR_HEATMAP,
     "growth_accounting": SQL_GROWTH_ACCOUNTING,
     "user_feature_bundle": SQL_USER_FEATURE_BUNDLE,
+    "conversion_delay_profile": SQL_CONVERSION_DELAY,
 }
