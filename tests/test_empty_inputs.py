@@ -177,3 +177,50 @@ def test_sorted_neighborhood_empty_and_singleton(spark):
     assert sorted_neighborhood_pairs(empty, "k", "doc_id").count() == 0
     one = spark.createDataFrame([(1, "a")], "doc_id long, k string")
     assert sorted_neighborhood_pairs(one, "k", "doc_id").count() == 0
+
+
+def test_round5_operators_partitioning_invariant(spark):
+    """Repartitioning the input must not change any result — the
+    determinism contract of the two-phase rank (sorted_neighborhood),
+    running-max islands (coalesce_intervals), and pointer jumping."""
+    import random
+
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+    from service_alerts_connector_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+    from service_alerts_connector_spark.operators.textdedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = random.Random(3)
+    iv = [
+        (rng.randrange(4), s := rng.randrange(100), s + rng.randrange(20), i)
+        for i in range(200)
+    ]
+    ivdf = spark.createDataFrame(iv, "user_id long, s long, e long, tb long")
+    a = sorted(coalesce_intervals(ivdf, "user_id", "s", "e", "tb").collect())
+    b = sorted(
+        coalesce_intervals(
+            ivdf.repartition(7), "user_id", "s", "e", "tb"
+        ).collect()
+    )
+    assert a == b
+
+    keys = [(i, "".join(rng.choice("abc") for _ in range(3))) for i in range(80)]
+    kdf = spark.createDataFrame(keys, "doc_id long, k string")
+    a = sorted(sorted_neighborhood_pairs(kdf, "k", "doc_id").collect())
+    b = sorted(
+        sorted_neighborhood_pairs(kdf.repartition(5), "k", "doc_id").collect()
+    )
+    assert a == b
+
+    edges = [(i, max(0, i - 3)) for i in range(60)] + [(0, 0)]
+    edf = spark.createDataFrame(edges, "node long, parent long")
+    a = sorted(pointer_jump_roots(edf, iterations=6).collect())
+    b = sorted(
+        pointer_jump_roots(edf.repartition(9), iterations=6).collect()
+    )
+    assert a == b
