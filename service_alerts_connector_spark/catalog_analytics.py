@@ -422,7 +422,7 @@ WITH orders_n AS (
          ('5-LOW', 'low'), (NULL, 'unspecified')
 )
 SELECT label, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders_n JOIN labels ON prio IS NOT DISTINCT FROM prio_key
 GROUP BY label
 ORDER BY label
@@ -543,8 +543,9 @@ m AS (
   ORDER BY h LIMIT 256
 ), f AS (
   SELECT count(*) AS n_merged,
-         sum(CASE WHEN h IN (SELECT h FROM sa)
-                   AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS c_common,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM sa)
+                   AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_common,
          ('0x' || substr(max(h), 1, 8))::BIGINT AS v
   FROM m
 ), e AS (
@@ -564,8 +565,8 @@ m AS (
   )
 )
 SELECT k, n_merged, c_common, union_est,
-       CASE WHEN n_merged < 256 THEN c_common
-            ELSE (c_common * union_est) // 256 END AS intersect_est,
+       CAST(CASE WHEN n_merged < 256 THEN c_common
+            ELSE (c_common * union_est) // 256 END AS BIGINT) AS intersect_est,
        exact_intersect
 FROM e, x
 """
@@ -642,7 +643,7 @@ WITH based AS (
   FROM events
 )
 SELECT event_id, user_id, ts_s,
-       sum(cents) OVER w AS trailing_1h_cents,
+       CAST(sum(cents) OVER w AS BIGINT) AS trailing_1h_cents,
        count(*) OVER w AS trailing_1h_events
 FROM based
 WINDOW w AS (
@@ -675,7 +676,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_GROUPING_SETS = """
 SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
        count(*) AS n,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
@@ -703,7 +704,7 @@ def q_json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_TYPED = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY event_type
@@ -1008,7 +1009,7 @@ SQL_SKEW_REPORT = """
 WITH sizes AS (
   SELECT l_partkey AS key, count(*) AS n_rows FROM lineitem GROUP BY l_partkey
 ), summary AS (
-  SELECT sum(n_rows) AS total_rows, count(*) AS n_keys,
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows, count(*) AS n_keys,
          max(n_rows) AS max_rows
   FROM sizes
 )
@@ -1051,7 +1052,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SKEW_SALTED = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """
 
@@ -1135,8 +1136,8 @@ SQL_UNPIVOT = """
 WITH wide AS (
   SELECT l_returnflag AS returnflag,
          count(*) AS n_rows,
-         sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS qty_cents,
-         sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS price_cents
+         CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT returnflag, 'n_rows' AS metric, CAST(n_rows AS BIGINT) AS value FROM wide
@@ -1195,7 +1196,7 @@ SQL_Q3 = f"""
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority AS priority,
-       sum({_REV_C4_SQL}) AS revenue_c4
+       CAST(sum({_REV_C4_SQL}) AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1237,7 +1238,7 @@ def q_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q5 = f"""
-SELECT n_name AS nation, sum({_REV_C4_SQL}) AS revenue_c4
+SELECT n_name AS nation, CAST(sum({_REV_C4_SQL}) AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1277,7 +1278,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q10 = f"""
 SELECT c_custkey, c_name, n_name AS nation,
-       sum({_REV_C4_SQL}) AS revenue_c4
+       CAST(sum({_REV_C4_SQL}) AS BIGINT) AS revenue_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1766,7 +1767,7 @@ WITH digits AS (
 ), counts AS (
   SELECT digit, count(*) AS n FROM digits GROUP BY digit
 ), tot AS (
-  SELECT sum(n) AS t FROM counts
+  SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
 ), exp AS (
   SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
                         (5, 79181), (6, 66947), (7, 57992), (8, 51153),
@@ -2360,7 +2361,7 @@ def q_pareto_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PARETO = """
 WITH rev AS (
   SELECT o.o_custkey AS custkey, c.c_mktsegment AS segment,
-         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY custkey, segment
 ), staged AS (
@@ -2378,8 +2379,8 @@ SELECT s.segment,
        CAST(max(t.n_customers) AS BIGINT) AS n_customers,
        CAST(sum(CASE WHEN s.cum * 5 < t.total * 4 THEN 1 ELSE 0 END) + 1
             AS BIGINT) AS n_to_80pct,
-       ((sum(CASE WHEN s.cum * 5 < t.total * 4 THEN 1 ELSE 0 END) + 1)
-         * 1000000) // max(t.n_customers) AS share_of_pop_ppm
+       CAST(((sum(CASE WHEN s.cum * 5 < t.total * 4 THEN 1 ELSE 0 END) + 1)
+         * 1000000) // max(t.n_customers) AS BIGINT) AS share_of_pop_ppm
 FROM staged s JOIN totals t ON t.segment = s.segment
 GROUP BY s.segment
 ORDER BY s.segment
@@ -2691,9 +2692,9 @@ WITH o AS (
   FROM o GROUP BY priority
 )
 SELECT o.o_orderkey, o.priority, o.cents, CAST(grp.n AS BIGINT) AS n,
-       CASE WHEN grp.n > 1
+       CAST(CASE WHEN grp.n > 1
             THEN ((grp.sum_cents - o.cents) * 1000) // (grp.n - 1)
-       END AS loo_enc_milli
+       END AS BIGINT) AS loo_enc_milli
 FROM o JOIN grp ON grp.priority = o.priority
 ORDER BY o.o_orderkey
 LIMIT 20
@@ -2837,16 +2838,16 @@ def q_contribution_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTRIBUTION_SHARE = """
 WITH rev AS (
   SELECT r.r_name AS region, n.n_name AS nation,
-         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
   JOIN region r ON r.r_regionkey = n.n_regionkey
   GROUP BY region, nation
 ), region_tot AS (
-  SELECT region, sum(cents) AS region_cents FROM rev GROUP BY region
+  SELECT region, CAST(sum(cents) AS BIGINT) AS region_cents FROM rev GROUP BY region
 ), grand AS (
-  SELECT sum(cents) AS grand_cents FROM rev
+  SELECT CAST(sum(cents) AS BIGINT) AS grand_cents FROM rev
 )
 SELECT rev.region, rev.nation, rev.cents,
        (rev.cents * 1000000) // rt.region_cents AS share_of_region_ppm,
@@ -3223,7 +3224,7 @@ WITH cells AS (
          o_orderstatus AS status, count(*) AS n
   FROM orders GROUP BY month, status
 ), totals AS (
-  SELECT month, sum(n) AS month_total FROM cells GROUP BY month
+  SELECT month, CAST(sum(n) AS BIGINT) AS month_total FROM cells GROUP BY month
 )
 SELECT c.month, c.status, CAST(c.n AS BIGINT) AS n,
        (c.n * 1000000) // t.month_total AS share_ppm
@@ -3298,7 +3299,7 @@ WITH rev AS (
   SELECT CASE WHEN o.o_orderdate <= TIMESTAMP '1998-06-30 23:59:59'
               THEN 1 ELSE 2 END AS period,
          c.c_nationkey AS nation,
-         sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
   GROUP BY period, nation
 ), ranked AS (

@@ -263,7 +263,7 @@ WITH cell AS (
   )
 )
 SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
-       sum(micro) AS sum_micro, min(micro) AS min_micro,
+       CAST(sum(micro) AS BIGINT) AS sum_micro, min(micro) AS min_micro,
        max(micro) AS max_micro
 FROM cell GROUP BY dim
 """
@@ -343,7 +343,7 @@ WITH toks AS (
          1::BIGINT AS w
   FROM toks, (SELECT unnest([0, 1, 2]) AS row) j
 ), sketch AS (
-  SELECT row, col, sum(w) AS cnt FROM cells GROUP BY row, col
+  SELECT row, col, CAST(sum(w) AS BIGINT) AS cnt FROM cells GROUP BY row, col
 ), true_counts AS (
   SELECT term, count(*) AS true_n FROM toks GROUP BY term
 ), top AS (
@@ -624,7 +624,7 @@ WITH cell AS (
     FROM embeddings
   )
 ), agg AS (
-  SELECT label, dim, count(*) AS n, sum(micro) AS sum_micro,
+  SELECT label, dim, count(*) AS n, CAST(sum(micro) AS BIGINT) AS sum_micro,
          min(micro) AS min_micro, max(micro) AS max_micro
   FROM cell GROUP BY label, dim
 )
@@ -924,7 +924,7 @@ WITH sized AS (
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
 ), stats AS (
   SELECT count(*) AS n_docs,
-         (sum(doc_len) * 1000000) // count(*) AS avgdl_micro
+         CAST((sum(doc_len) * 1000000) // count(*) AS BIGINT) AS avgdl_micro
   FROM sized
 ), tf AS (
   SELECT doc, term, count(*) AS tf, max(doc_len) AS doc_len
@@ -943,7 +943,7 @@ WITH sized AS (
          AS score_micro
   FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
 )
-SELECT doc AS doc_id, sum(score_micro) AS bm25_micro,
+SELECT doc AS doc_id, CAST(sum(score_micro) AS BIGINT) AS bm25_micro,
        CAST(count(*) AS INTEGER) AS n_terms_hit
 FROM scored GROUP BY doc
 ORDER BY bm25_micro DESC, doc ASC LIMIT 12
@@ -1110,7 +1110,7 @@ def q_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUOTA_ALLOCATION = """
 WITH counts AS (
-  SELECT source, sum(n_chars) AS n FROM documents GROUP BY source
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY source
 ), tot AS (
   SELECT sum(n) AS N FROM counts
 ), staged AS (
@@ -1339,7 +1339,7 @@ SELECT t.source,
        CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n END), 0) AS BIGINT)
          AS n_zh,
        CAST(max(t.n_docs) AS BIGINT) AS n_docs,
-       (max(t.max_lang_n) * 1000000) // max(t.n_docs) AS dominant_share_ppm
+       CAST((max(t.max_lang_n) * 1000000) // max(t.n_docs) AS BIGINT) AS dominant_share_ppm
 FROM counts c JOIN totals t ON t.source = c.source
 GROUP BY t.source
 ORDER BY t.source

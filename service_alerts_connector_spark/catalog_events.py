@@ -560,7 +560,7 @@ SELECT user_id, day,
        max(c) AS high_cents,
        min(c) AS low_cents,
        arg_max(c, k) AS close_cents,
-       sum(c) AS sum_cents,
+       CAST(sum(c) AS BIGINT) AS sum_cents,
        count(*) AS n_events
 FROM keyed
 GROUP BY user_id, day
@@ -786,10 +786,10 @@ WITH iv AS (
   FROM iv
 ), numbered AS (
   SELECT user_id, start_s, end_s,
-         sum(new_island) OVER (PARTITION BY user_id
+         CAST(sum(new_island) OVER (PARTITION BY user_id
                                ORDER BY start_s ASC, event_id ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW) AS island_id
+                                        AND CURRENT ROW) AS BIGINT) AS island_id
   FROM flagged
 )
 SELECT user_id, island_id,
@@ -994,7 +994,7 @@ SELECT user_id,
        CAST(twap_num AS BIGINT) AS twap_num,
        CAST(twap_den_s AS BIGINT) AS twap_den_s,
        CAST(n_intervals AS BIGINT) AS n_intervals,
-       (twap_num * 10000) // twap_den_s AS twap_micro
+       CAST((twap_num * 10000) // twap_den_s AS BIGINT) AS twap_micro
 FROM agg
 ORDER BY user_id
 """
@@ -1096,7 +1096,7 @@ WITH staged AS (
 SELECT day, CAST(n_views AS BIGINT) AS n_views,
        CAST(n_converted AS BIGINT) AS n_converted,
        CAST(n_abandoned AS BIGINT) AS n_abandoned,
-       (n_converted * 1000000) // n_views AS conversion_ppm
+       CAST((n_converted * 1000000) // n_views AS BIGINT) AS conversion_ppm
 FROM agg
 ORDER BY day
 """
@@ -1280,11 +1280,11 @@ WITH staged AS (
 )
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
-         AS precision_ppm,
-       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END
-         AS recall_ppm,
-       ((tp + tn) * 1000000) // (tp + fp + fn + tn) AS accuracy_ppm
+       CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
+            AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END
+            AS BIGINT) AS recall_ppm,
+       CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn) AS BIGINT) AS accuracy_ppm
 FROM cm
 """
 
@@ -1387,7 +1387,7 @@ WITH days AS (
 )
 SELECT c.cohort_day, c.day_offset, CAST(c.cum_cents AS BIGINT) AS cum_cents,
        CAST(s.cohort_size AS BIGINT) AS cohort_size,
-       (c.cum_cents * 1000) // s.cohort_size AS ltv_per_user_milli
+       CAST((c.cum_cents * 1000) // s.cohort_size AS BIGINT) AS ltv_per_user_milli
 FROM cum c JOIN sizes s ON s.cohort_day = c.cohort_day
 ORDER BY c.cohort_day, c.day_offset
 """
@@ -1535,7 +1535,7 @@ WITH days AS (
 SELECT day, CAST(dau AS BIGINT) AS dau,
        CAST(new_users AS BIGINT) AS new_users,
        CAST(returning_users AS BIGINT) AS returning_users,
-       (new_users * 1000000) // dau AS new_share_ppm
+       CAST((new_users * 1000000) // dau AS BIGINT) AS new_share_ppm
 FROM agg
 ORDER BY day
 """
@@ -1864,10 +1864,10 @@ WITH staged AS (
 )
 SELECT b.band, CAST(b.n_views AS BIGINT) AS n_views,
        CAST(b.n_converted AS BIGINT) AS n_converted,
-       (b.n_converted * 1000000) // b.n_views AS band_rate_ppm,
+       CAST((b.n_converted * 1000000) // b.n_views AS BIGINT) AS band_rate_ppm,
        CAST(base.base_rate_ppm AS BIGINT) AS base_rate_ppm,
-       (((b.n_converted * 1000000) // b.n_views) * 1000000)
-         // base.base_rate_ppm AS lift_micro
+       CAST((((b.n_converted * 1000000) // b.n_views) * 1000000)
+         // base.base_rate_ppm AS BIGINT) AS lift_micro
 FROM bands b, base
 WHERE base.base_rate_ppm > 0
 ORDER BY b.band
@@ -2011,7 +2011,7 @@ WITH cells AS (
   SELECT sum(n_events) AS total FROM cells
 )
 SELECT c.dow, c.hour, CAST(c.n_events AS BIGINT) AS n_events,
-       (c.n_events * 1000000) // t.total AS intensity_ppm
+       CAST((c.n_events * 1000000) // t.total AS BIGINT) AS intensity_ppm
 FROM cells c, tot t
 ORDER BY c.dow, c.hour
 """

@@ -168,8 +168,8 @@ WITH per_day AS (
 SELECT c.user_id,
        strftime(c.day, '%Y-%m-%d') AS day,
        CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events,
-       last_value(p.cents IGNORE NULLS)
-         OVER (PARTITION BY c.user_id ORDER BY c.day) AS cents_locf,
+       CAST(last_value(p.cents IGNORE NULLS)
+         OVER (PARTITION BY c.user_id ORDER BY c.day) AS BIGINT) AS cents_locf,
        p.n_events IS NOT NULL AS is_observed
 FROM calendar c
 LEFT JOIN per_day p ON p.user_id = c.user_id AND p.day = c.day

@@ -1412,7 +1412,7 @@ WITH em AS (
   ) WHERE rn = 1
 )
 SELECT a.cell, CAST(e.i - 1 AS INTEGER) AS d,
-       count(*) AS n_members, sum(e.x) AS sum_milli
+       count(*) AS n_members, CAST(sum(e.x) AS BIGINT) AS sum_milli
 FROM assign a JOIN ed e USING (vec_id)
 GROUP BY a.cell, e.i
 """

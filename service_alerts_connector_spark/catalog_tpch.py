@@ -95,7 +95,7 @@ WITH li AS (
   FROM li GROUP BY l_partkey
 )
 SELECT count(*) AS n_small,
-       sum({_cents_sql('l_extendedprice')}) AS revenue_cents
+       CAST(sum({_cents_sql('l_extendedprice')}) AS BIGINT) AS revenue_cents
 FROM li JOIN pstats USING (l_partkey)
 WHERE CAST(floor(l_quantity) AS BIGINT) * 5 * cnt < sum_qty
 """
@@ -143,7 +143,7 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q18 = f"""
 WITH big AS (
-  SELECT l_orderkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 300
 )
@@ -215,7 +215,7 @@ def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q19 = f"""
-SELECT count(*) AS n_rows, sum({_REV_C4_SQL}) AS revenue_c4
+SELECT count(*) AS n_rows, CAST(sum({_REV_C4_SQL}) AS BIGINT) AS revenue_c4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 1 AND 11)
@@ -387,7 +387,7 @@ WITH cust AS (
 )
 SELECT c_mktsegment AS segment,
        count(*) AS n_custs,
-       sum(acctbal_cents) AS balance_cents
+       CAST(sum(acctbal_cents) AS BIGINT) AS balance_cents
 FROM cust JOIN seg_stats ON c_mktsegment = seg
 WHERE acctbal_cents * cnt > sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -473,9 +473,9 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q6 = """
 SELECT count(*) AS n_rows,
-       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
            * CAST(floor(l_discount * 10000) AS BIGINT))
-         AS discount_revenue_c4
+            AS BIGINT) AS discount_revenue_c4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -545,9 +545,9 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q8 = f"""
 SELECT strftime(o_orderdate, '%Y') AS order_year,
-       sum(CASE WHEN ns.n_name = 'NATION_5' THEN {_REV_C4_SQL}
-                ELSE 0 END) AS nation_c4,
-       sum({_REV_C4_SQL}) AS total_c4
+       CAST(sum(CASE WHEN ns.n_name = 'NATION_5' THEN {_REV_C4_SQL}
+                ELSE 0 END) AS BIGINT) AS nation_c4,
+       CAST(sum({_REV_C4_SQL}) AS BIGINT) AS total_c4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -601,10 +601,10 @@ def q_q12_late_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q12 = """
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
             THEN 'late' ELSE 'on-time' END AS ship_class,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS n_critical,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS n_other
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_other
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -690,7 +690,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q15 = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         sum({_REV_C4_SQL}) AS total_revenue_c4
+         CAST(sum({_REV_C4_SQL}) AS BIGINT) AS total_revenue_c4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -764,7 +764,7 @@ def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q7 = f"""
 SELECT supp_nation, cust_nation, ship_year,
-       sum(rev_c4) AS revenue_c4
+       CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
 FROM (
   SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          strftime(l_shipdate, '%Y') AS ship_year,
@@ -818,9 +818,9 @@ def q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q14 = f"""
-SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL} ELSE 0 END)
-         AS promo_c4,
-       sum({_REV_C4_SQL}) AS total_c4
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_C4_SQL} ELSE 0 END)
+            AS BIGINT) AS promo_c4,
+       CAST(sum({_REV_C4_SQL}) AS BIGINT) AS total_c4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'

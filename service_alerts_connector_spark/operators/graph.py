@@ -175,16 +175,39 @@ def pointer_jump_roots(
     budget walks the cycle 2^iterations edges and leaves members
     unconverged (pytest-pinned), never looping or mis-assigning a root.
 
+    DUPLICATE node rows (the other corrupt-hierarchy class) are collapsed
+    deterministically to the smallest parent BEFORE the loop — without
+    this, each self-join round multiplies the duplicates (k copies square
+    to k² per round: a single doubled node measurably blew up 66 → 262k
+    rows in 4 rounds and ~10¹⁹ by round 6, hanging the cluster instead of
+    erroring).  The min-parent collapse keeps the loop's per-round row
+    count exactly node-sized for ANY input.
+
     Output: node, ``root_id`` (the pointer after the final round),
     ``depth`` (exact edge count to the root), ``converged``.
     """
-    ptr = edges.select(
-        F.col(node_col).alias("node"),
-        F.col(parent_col).alias("ptr"),
-        F.when(F.col(parent_col) == F.col(node_col), F.lit(0))
-        .otherwise(F.lit(1))
-        .cast("long")
-        .alias("dist"),
+    ptr = (
+        edges.select(
+            F.col(node_col).alias("node"),
+            F.col(parent_col).alias("_rawptr"),
+        )
+        # corrupt inputs may repeat a node (possibly with conflicting
+        # parents): one deterministic pointer per node, or the per-round
+        # self-join squares the duplicates — see docstring
+        .groupBy("node")
+        .agg(F.min("_rawptr").alias("ptr"))
+        .select(
+            "node",
+            "ptr",
+            F.when(F.col("ptr") == F.col("node"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    roots = ptr.where(F.col("ptr") == F.col("node")).select(
+        F.col("node").alias("_root")
     )
     for _ in range(iterations):
         hop = ptr.select(
@@ -201,9 +224,6 @@ def pointer_jump_roots(
             )
             .localCheckpoint(eager=True)
         )
-    roots = edges.where(F.col(parent_col) == F.col(node_col)).select(
-        F.col(node_col).alias("_root")
-    )
     return (
         ptr.join(roots, ptr["ptr"] == roots["_root"], "left")
         .select(

@@ -33,6 +33,15 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v: Any) -> Any:
+    # numpy scalars / arrays come back from the pandas fetch path; unwrap
+    # them to Python natives FIRST so int64 stays int (not float repr).
+    if hasattr(v, "ndim"):  # numpy scalar or ndarray
+        if getattr(v, "ndim", 0) == 0:
+            v = v.item()
+        else:
+            return tuple(_norm(x) for x in v.tolist())
+    if v is None:
+        return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -45,13 +54,23 @@ def _norm(v: Any) -> Any:
 
 
 def compare(spark_df, con, sql: str) -> dict[str, Any]:
+    """Differential compare, DuckDB side fetched through pandas/Arrow.
+
+    The external driver harness fetches oracle results via a pandas
+    DataFrame, where DuckDB HUGEINT/DECIMAL columns (and NULL-bearing
+    integer columns) silently degrade to float64 — `222400` hashes as
+    `"222400.0"` and mismatches Spark's int.  Round 5 shipped 15 reds
+    exactly because this mirror used `fetchall()` (lossless Python ints)
+    and passed locally while the driver failed.  Fetching via `.df()`
+    reproduces the driver's type view, so any oracle whose SQL emits a
+    pandas-degrading type fails HERE first."""
     s_cols = sorted(spark_df.columns)
     s_rows = [
         tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()
     ]
-    res = con.execute(sql)
-    raw_cols = [d[0] for d in res.description]
-    raw_rows = res.fetchall()
+    pdf = con.execute(sql).df()
+    raw_cols = list(pdf.columns)
+    raw_rows = list(pdf.itertuples(index=False, name=None))
     order = sorted(range(len(raw_cols)), key=lambda i: raw_cols[i])
     d_cols = [raw_cols[i] for i in order]
     d_rows = [tuple(_norm(row[i]) for i in order) for row in raw_rows]
