@@ -9,6 +9,7 @@ mirroring how a resident engine would serve these.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -205,6 +206,26 @@ if _missing:
     raise SystemExit(f"HEADLINE names missing from catalog merge: {_missing}")
 
 
+def _tier_of(name: str) -> str:
+    """Bucket a headline query into a coarse tier for the compact
+    stdout summary (the full per-query map lives in BENCH_LOCAL.json)."""
+    if name.startswith("q") and name[1].isdigit():
+        return "tpch"
+    if name.startswith("multimodal"):
+        return "media"
+    if name.startswith(("ann_", "embedding_", "kmeans")):
+        return "ann"
+    if name.startswith(("dedup_", "text_", "bpe", "ngram", "passage",
+                        "contamination", "corpus", "vocab", "doc_",
+                        "tfidf", "bm25", "pmi", "phrase", "sorted_")):
+        return "text_dedup"
+    if name.startswith(("hll", "cms", "kmv", "bloom", "length_quantile",
+                        "rolling_distinct", "zone_map", "table_digest",
+                        "bitmap")):
+        return "sketch"
+    return "analytics"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -252,6 +273,16 @@ def main() -> None:
     stats: dict[str, dict[str, float]] = {}
     for name in headline:
         fn = CORE_QUERIES[name]
+        # settle the session between queries: a full collection on both
+        # sides of the Py4J bridge so the previous query's garbage (shuffle
+        # buffers, broadcast blocks, Arrow batches) is not charged to this
+        # one — round-5/6 bench tails drifted ~1.17x and spiked 10x spreads
+        # purely from end-of-run memory pressure.
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -267,16 +298,54 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_meta": {"n_runs": n_runs, "timing": "best_warm"},
+        "query_stats": stats,
+    }
+    full_line = json.dumps(payload)
+    # The external harness keeps only a bounded TAIL of stdout (~2000
+    # chars): rounds 5-6 recorded "parsed": null because the single full
+    # line (160+ queries x stats) overflows it.  So: (1) persist the full
+    # payload next to this script, (2) print the full line first for
+    # anyone capturing complete stdout, (3) END with a compact line —
+    # total, per-tier subtotals, worst-5 — guaranteed to fit the tail
+    # window and parse.
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(artifact, "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        artifact = None
+    tiers: dict[str, float] = {}
+    for name, secs in timings.items():
+        tiers[_tier_of(name)] = round(tiers.get(_tier_of(name), 0.0) + secs, 3)
+    worst5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    print(full_line)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": payload["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "bench_meta": {"n_runs": n_runs, "timing": "best_warm"},
-                "query_stats": stats,
+                "sf": payload["sf"],
+                "n_queries": len(timings),
+                "queries": worst5,
+                "tiers": tiers,
+                "bench_meta": {
+                    "n_runs": n_runs,
+                    "timing": "best_warm",
+                    "queries_truncated_to_worst5": True,
+                    "full_artifact": artifact,
+                },
             }
         )
     )

@@ -3030,10 +3030,17 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1) so both engines pick the identical element — never a float
     percentile whose interpolation differs.
 
-    One fact aggregation to (nation, cents) rows; the per-group sort
-    touches each nation's ~n/25 values.  IQR and whisker counts (values
-    beyond q3 + 1.5·IQR, the standard outlier rule, in integer form
-    4·v > 4·q3 + 6·iqr) come along exactly.
+    Two-pass rank-within-group, never a collect_list of raw fact rows:
+    pass 1 reduces the fact table to the per-nation VALUE HISTOGRAM
+    (groupBy (nation, cents) -> cnt, a scalable shuffle agg whose cell
+    count is bounded by the distinct-price domain, not the row count);
+    pass 2 runs a per-nation running-sum rank over those cells and picks
+    each quartile as the smallest cents whose cumulative count reaches
+    rank greatest(1, (k*(n+1)) div 4) — the identical element the old
+    array_sort(collect_list(...)) indexing chose, without ever building a
+    per-nation array of every order (the 100x scale-killer flagged in
+    round 6).  IQR and whisker counts (values beyond q3 + 1.5·IQR, in
+    integer form 4·v > 4·q3 + 6·iqr) come along exactly.
     """
     rev = (
         _t(spark, sf_dir, "orders")
@@ -3050,24 +3057,31 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    idx = lambda k: F.expr(
-        f"CAST(greatest(1, ({k} * (count(1) + 1)) div 4) AS INT)"
+    cells = rev.groupBy("nation", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    stats = rev.groupBy("nation").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+    w_nation = Window.partitionBy("nation")
+    w_cum = w_nation.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cells.select(
+        "nation",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_nation).alias("ntot"),
+    )
+    rank_of = lambda k: F.greatest(
+        F.lit(1).cast("long"), F.expr(f"({k} * (ntot + 1)) div 4")
+    )
+    pick = lambda k: F.min(
+        F.when(F.col("cum") >= rank_of(k), F.col("cents"))
+    )
+    stats = ranked.groupBy("nation").agg(
+        F.max("ntot").cast("long").alias("n"),
         F.min("cents").cast("long").alias("lo"),
-        F.expr(
-            "element_at(array_sort(collect_list(cents)),"
-            " CAST(greatest(1, (count(1) + 1) div 4) AS INT))"
-        ).cast("long").alias("q1"),
-        F.expr(
-            "element_at(array_sort(collect_list(cents)),"
-            " CAST(greatest(1, (2 * (count(1) + 1)) div 4) AS INT))"
-        ).cast("long").alias("med"),
-        F.expr(
-            "element_at(array_sort(collect_list(cents)),"
-            " CAST(greatest(1, (3 * (count(1) + 1)) div 4) AS INT))"
-        ).cast("long").alias("q3"),
+        pick(1).cast("long").alias("q1"),
+        pick(2).cast("long").alias("med"),
+        pick(3).cast("long").alias("q3"),
         F.max("cents").cast("long").alias("hi"),
     )
     outliers = (

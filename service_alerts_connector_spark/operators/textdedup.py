@@ -862,9 +862,15 @@ def sorted_neighborhood_pairs(
     first_byte = F.least(
         F.coalesce(F.ascii(F.substring(s, 1, 1)), F.lit(0)), F.lit(255)
     ).cast("int")
+    # Pin ONE evaluation of the input before the driver-side count
+    # collect: without it the lineage runs twice (once for the offsets,
+    # once for the ranked pass), and a nondeterministic or expensive
+    # upstream (sampled input, regenerated source) could hand the two
+    # passes different rows — offsets computed against data that no
+    # longer exists.  Same eager-build contract as pointer_jump_roots.
     bucketed = df.select(
         F.col(id_col), s.alias("_k"), first_byte.alias("_b")
-    )
+    ).localCheckpoint(eager=True)
     counts = {
         r["_b"]: r["n"]
         for r in bucketed.groupBy("_b")

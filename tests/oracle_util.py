@@ -44,7 +44,11 @@ def _norm(v: Any) -> Any:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas writes np.nan (not None) for NULLs in object columns
+            # (e.g. DuckDB nullable BOOLEAN) while Spark's toPandas writes
+            # None for the same NULL — collapse both to None, matching the
+            # driver (green on fixer_chain where the sides differ exactly so).
+            return None
         return repr(v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
@@ -64,10 +68,17 @@ def compare(spark_df, con, sql: str) -> dict[str, Any]:
     and passed locally while the driver failed.  Fetching via `.df()`
     reproduces the driver's type view, so any oracle whose SQL emits a
     pandas-degrading type fails HERE first."""
-    s_cols = sorted(spark_df.columns)
-    s_rows = [
-        tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()
-    ]
+    # BOTH sides must go through pandas: the driver fetches the Spark side
+    # through pandas too, so a NULL-bearing BIGINT column degrades to
+    # float64 symmetrically on both engines.  Round 6 fetched Spark via
+    # lossless .collect() and created 4 false reds (108 vs '108.0',
+    # None vs 'NaN') on queries the driver certifies green.
+    spdf = spark_df.toPandas()
+    s_raw_cols = list(spdf.columns)
+    s_raw_rows = list(spdf.itertuples(index=False, name=None))
+    s_order = sorted(range(len(s_raw_cols)), key=lambda i: s_raw_cols[i])
+    s_cols = [s_raw_cols[i] for i in s_order]
+    s_rows = [tuple(_norm(row[i]) for i in s_order) for row in s_raw_rows]
     pdf = con.execute(sql).df()
     raw_cols = list(pdf.columns)
     raw_rows = list(pdf.itertuples(index=False, name=None))
