@@ -50,6 +50,10 @@ from service_alerts_connector_spark.catalog_geo import (
     GEO_ORACLES,
     GEO_QUERIES,
 )
+from service_alerts_connector_spark.catalog_round7 import (
+    ROUND7_ORACLES,
+    ROUND7_QUERIES,
+)
 from service_alerts_connector_spark.catalog_temporal import (
     TEMPORAL_ORACLES,
     TEMPORAL_QUERIES,
@@ -159,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EVENTS_QUERIES,
         **TPCH_QUERIES,
         **EXTRA_QUERIES,
+        **ROUND7_QUERIES,
     }
     lead = {k: merged[k] for k in _R7_LEAD if k in merged}
     fresh = {
@@ -187,4 +192,5 @@ def oracle_sql() -> dict[str, str]:
         **EVENTS_ORACLES,
         **TPCH_ORACLES,
         **EXTRA_ORACLES,
+        **ROUND7_ORACLES,
     }

@@ -21,6 +21,9 @@ from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES as _EV
 from service_alerts_connector_spark.catalog_extras import EXTRA_QUERIES as _EX
 from service_alerts_connector_spark.catalog_fixer import FIXER_QUERIES as _FIX
 from service_alerts_connector_spark.catalog_geo import GEO_QUERIES as _GEO
+from service_alerts_connector_spark.catalog_round7 import (
+    ROUND7_QUERIES as _R7,
+)
 from service_alerts_connector_spark.catalog_temporal import (
     TEMPORAL_QUERIES as _TMP,
 )
@@ -30,7 +33,7 @@ from service_alerts_connector_spark.session import get_spark
 
 CORE_QUERIES = {
     **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX, **_TMP,
-    **_TPCH,
+    **_TPCH, **_R7,
 }
 
 
@@ -199,6 +202,12 @@ HEADLINE = [
     "hhi_concentration",
     "user_feature_bundle",
     "conversion_delay_profile",
+    # round-7 additions
+    "clamped_running_balance",
+    "cusum_changepoint",
+    "seasonal_dow_profile",
+    "cheapest_supplier_per_part",
+    "weighted_median_price",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

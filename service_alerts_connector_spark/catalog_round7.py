@@ -1,0 +1,488 @@
+"""Catalog — round-7 additions: recurrence, changepoint, seasonality,
+correlated-subquery join-back, and weighted order statistics.
+
+Five patterns the earlier tiers did not cover, each with a full DuckDB
+value-hash oracle and the catalog.py determinism rules (integer cents,
+floored epoch seconds, explicit tiebreaks, no unpartitioned windows):
+
+- `clamped_running_balance` — the Lindley recursion b_t = max(0,
+  b_{t-1} + x_t) (inventory that cannot go negative, queue waiting time,
+  battery charge).  NOT prefix-sum decomposable at first glance, but has
+  the exact closed form b_t = S_t - least(0, running_min(S_t)) over plain
+  keyed windows — the oracle deliberately computes the recurrence the
+  OTHER way (a DuckDB recursive CTE stepping row by row), so the
+  differential proves the closed-form identity rather than re-running the
+  same plan twice.
+- `cusum_changepoint` — exact integer CUSUM peak per event type: with D
+  days and total T, D·prefix_t − t·T is the scaled cumulative deviation
+  (never a float mean), and its absolute peak marks the level shift.
+- `seasonal_dow_profile` — day-of-week decomposition with engine-proof
+  weekday math (day_num mod 7 from a pinned epoch, NOT dayofweek(),
+  whose origin differs between Spark and DuckDB) and exact scaled
+  residual extremes (cnt·dow_days − dow_sum).
+- `cheapest_supplier_per_part` — TPC-H Q2's correlated-subquery shape
+  (min cost per part, then recover the row achieving it) as a
+  group-min + join-back, region-constrained through the dimension chain;
+  the repo's testdata has no partsupp, so lineitem plays the
+  part↔supplier price list (documented stand-in).
+- `weighted_median_price` — quantity-weighted exact median per return
+  flag via the round-7 histogram-rank pattern (groupBy (flag, cents) →
+  per-flag running weight sum → smallest cents reaching rank
+  (W+1) div 2): order statistics with weights, no per-group array ever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+from service_alerts_connector_spark.catalog_events import _epoch_s
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance — Lindley recursion via its prefix-sum closed form
+# ---------------------------------------------------------------------------
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user clamped balance: purchases draw down, every other event
+    deposits, and the balance floors at zero (b_t = max(0, b_{t-1} + x_t)).
+
+    The recursion looks inherently sequential, but Lindley's identity
+    makes it two keyed windows: with S_t the plain prefix sum of deltas,
+    b_t = S_t - least(0, min_{j<=t} S_j) exactly.  So the plan is ONE
+    exchange on user_id (prefix sum, then running min of that sum on the
+    same partitioning) — no loop, no UDF, no per-group array; at 100 TB
+    it scales like any other keyed window.
+
+    The oracle is a DuckDB recursive CTE that steps the recurrence row by
+    row — an independent derivation, so a green differential certifies
+    the closed form itself.  Cents clamp non-negative (twap_value's
+    generator-drift guard); value magnitudes keep S_t far below 2^63.
+    """
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        _epoch_s("ts").alias("t"),
+        F.when(
+            F.col("event_type") == "purchase",
+            -F.greatest(
+                F.floor(F.col("value") * 100).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .otherwise(
+            F.greatest(
+                F.floor(F.col("value") * 100).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        )
+        .alias("delta_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t"), F.asc("event_id"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_s = staged.withColumn("s", F.sum("delta_c").over(w_run))
+    with_bal = with_s.withColumn(
+        "bal",
+        F.col("s")
+        - F.least(F.lit(0).cast("long"), F.min("s").over(w_run)),
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        with_bal.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max_by("bal", "rn").cast("long").alias("final_balance_c"),
+            F.max("bal").cast("long").alias("peak_balance_c"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_CLAMPED_RUNNING_BALANCE = """
+WITH RECURSIVE staged AS (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC
+         ) AS rn,
+         CASE WHEN event_type = 'purchase'
+              THEN -greatest(CAST(floor(value * 100) AS BIGINT), 0)
+              ELSE  greatest(CAST(floor(value * 100) AS BIGINT), 0)
+         END AS delta_c
+  FROM events
+), rec AS (
+  SELECT user_id, rn, greatest(delta_c, 0) AS bal
+  FROM staged WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, greatest(r.bal + s.delta_c, 0)
+  FROM rec r JOIN staged s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(arg_max(bal, rn) AS BIGINT) AS final_balance_c,
+       CAST(max(bal) AS BIGINT) AS peak_balance_c
+FROM rec
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint — scaled integer cumulative-deviation peak per type
+# ---------------------------------------------------------------------------
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detector per event type: the day where the cumulative
+    deviation of daily counts from the type's mean peaks in magnitude.
+
+    Exact integers throughout: with D days observed and T total events,
+    stat_t = D·prefix_t − t·T is D times the float CUSUM — same argmax,
+    no float mean.  The peak day resolves ties to the EARLIEST day via a
+    max-abs aggregate joined back as a filter (both engines express the
+    same two-stage pick, so no arg_max-on-float hazards).
+
+    Scale shape: the calendar aggregation bounds everything — per type at
+    most 366 cells reach the window, the join-back is a broadcast of ≤25
+    rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_type = Window.partitionBy("event_type")
+    w_run = w_type.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cnt").over(w_run).alias("prefix"),
+        F.row_number().over(w_type.orderBy("day")).alias("t_idx"),
+        F.sum("cnt").over(w_type).alias("total"),
+        F.count(F.lit(1)).over(w_type).alias("n_days"),
+    ).withColumn(
+        "abs_stat",
+        F.abs(
+            F.col("n_days") * F.col("prefix") - F.col("t_idx") * F.col("total")
+        ),
+    )
+    peaks = cusum.groupBy("event_type").agg(
+        F.max("abs_stat").alias("peak_abs_stat"),
+        F.max("total").alias("total_events"),
+        F.max("n_days").alias("n_days_t"),
+    )
+    return (
+        cusum.join(F.broadcast(peaks), "event_type")
+        .where(F.col("abs_stat") == F.col("peak_abs_stat"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("peak_day"),
+            F.max("peak_abs_stat").cast("long").alias("peak_abs_stat"),
+            F.max("total_events").cast("long").alias("total_events"),
+            F.max("n_days_t").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, day
+), cusum AS (
+  SELECT event_type, day,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t_idx,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         count(*) OVER (PARTITION BY event_type) AS n_days
+  FROM daily
+), scored AS (
+  SELECT *, abs(n_days * prefix - t_idx * total) AS abs_stat FROM cusum
+), peaks AS (
+  SELECT event_type, max(abs_stat) AS peak_abs_stat,
+         max(total) AS total_events, max(n_days) AS n_days_t
+  FROM scored GROUP BY event_type
+)
+SELECT s.event_type,
+       min(s.day) AS peak_day,
+       CAST(max(p.peak_abs_stat) AS BIGINT) AS peak_abs_stat,
+       CAST(max(p.total_events) AS BIGINT) AS total_events,
+       CAST(max(p.n_days_t) AS BIGINT) AS n_days
+FROM scored s JOIN peaks p
+  ON p.event_type = s.event_type AND s.abs_stat = p.peak_abs_stat
+GROUP BY s.event_type
+ORDER BY s.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal day-of-week profile — engine-proof weekday decomposition
+# ---------------------------------------------------------------------------
+def q_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event type, weekday): how strong is the weekly cycle?  Mean
+    daily count in exact micro units plus the scaled residual extremes.
+
+    Weekday = pmod(day_num, 7) with day_num anchored at 2024-01-01 (a
+    Monday), because Spark's dayofweek() (1 = Sunday) and DuckDB's
+    dayofweek() (0 = Sunday) disagree at the origin — pinned integer
+    arithmetic is the only portable weekday.  Residuals stay integers by
+    scaling: r_d = cnt_d·dow_days − dow_sum (dow_days times the float
+    residual, same sign/ordering).  mean_micro divides non-negative
+    integers, so Spark `div` == DuckDB `//` (catalog.py negative-div
+    rule).  Calendar-bounded: ≤ 25·366 daily cells, output 25·7 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_num"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("dow", F.pmod(F.col("day_num"), F.lit(7)).cast("long"))
+    )
+    w_cell = Window.partitionBy("event_type", "dow")
+    scored = daily.select(
+        "event_type",
+        "dow",
+        "cnt",
+        F.count(F.lit(1)).over(w_cell).alias("nd"),
+        F.sum("cnt").over(w_cell).alias("sm"),
+    ).withColumn("resid", F.col("cnt") * F.col("nd") - F.col("sm"))
+    return (
+        scored.groupBy("event_type", "dow")
+        .agg(
+            F.max("nd").cast("long").alias("dow_days"),
+            F.max("sm").cast("long").alias("dow_sum"),
+            F.max("resid").cast("long").alias("max_resid"),
+            F.min("resid").cast("long").alias("min_resid"),
+        )
+        .withColumn("mean_micro", F.expr("(dow_sum * 1000000) div dow_days"))
+        .select(
+            "event_type",
+            "dow",
+            "dow_days",
+            "dow_sum",
+            "mean_micro",
+            "max_resid",
+            "min_resid",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+SQL_SEASONAL_DOW_PROFILE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day_num
+), keyed AS (
+  SELECT event_type, ((day_num % 7) + 7) % 7 AS dow, day_num, cnt FROM daily
+), agg AS (
+  SELECT event_type, dow,
+         count(*) AS dow_days, sum(cnt) AS dow_sum
+  FROM keyed GROUP BY event_type, dow
+), resid AS (
+  SELECT k.event_type, k.dow,
+         max(k.cnt * a.dow_days - a.dow_sum) AS max_resid,
+         min(k.cnt * a.dow_days - a.dow_sum) AS min_resid
+  FROM keyed k JOIN agg a ON a.event_type = k.event_type AND a.dow = k.dow
+  GROUP BY k.event_type, k.dow
+)
+SELECT a.event_type,
+       CAST(a.dow AS BIGINT) AS dow,
+       CAST(a.dow_days AS BIGINT) AS dow_days,
+       CAST(a.dow_sum AS BIGINT) AS dow_sum,
+       CAST((a.dow_sum * 1000000) // a.dow_days AS BIGINT) AS mean_micro,
+       CAST(r.max_resid AS BIGINT) AS max_resid,
+       CAST(r.min_resid AS BIGINT) AS min_resid
+FROM agg a JOIN resid r ON r.event_type = a.event_type AND r.dow = a.dow
+ORDER BY a.event_type, a.dow
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cheapest supplier per part — TPC-H Q2's correlated subquery as join-back
+# ---------------------------------------------------------------------------
+def q_cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2's shape — `WHERE cost = (SELECT min(cost) ... WHERE same
+    part AND region)` — expressed Spark-first as a group-min + join-back
+    (Catalyst has no correlated-scalar-subquery pushdown worth fighting
+    for here; the two-pass form is the plan you'd want anyway).
+
+    This testdata ships no partsupp, so lineitem serves as the observed
+    part↔supplier price list (documented stand-in; reference semantics:
+    min over the region-eligible offers, then recover who offers it).
+    Region gating runs through supplier→nation→region broadcasts before
+    any aggregation, so the min is over EUROPE offers only — exactly the
+    correlated predicate.  Ties on min cost resolve to the smallest
+    supplier key (deterministic across engines).  Output: the 100
+    cheapest (cost, part) pairs — TakeOrderedAndProject, no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cost_c"),
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").where(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    offers = li.join(F.broadcast(sup), "l_suppkey")
+    mins = offers.groupBy("l_partkey").agg(F.min("cost_c").alias("min_cost_c"))
+    return (
+        offers.join(
+            mins,
+            (offers["l_partkey"] == mins["l_partkey"])
+            & (offers["cost_c"] == mins["min_cost_c"]),
+        )
+        .drop(mins["l_partkey"])
+        .groupBy("l_partkey", "min_cost_c")
+        .agg(
+            F.min("l_suppkey").cast("long").alias("cheapest_suppkey"),
+            F.count(F.lit(1)).cast("long").alias("n_min_offers"),
+        )
+        .orderBy(F.asc("min_cost_c"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+WITH sup AS (
+  SELECT s.s_suppkey
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+), offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cost_c
+  FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
+), mins AS (
+  SELECT l_partkey, min(cost_c) AS min_cost_c FROM offers GROUP BY l_partkey
+)
+SELECT o.l_partkey,
+       m.min_cost_c,
+       CAST(min(o.l_suppkey) AS BIGINT) AS cheapest_suppkey,
+       CAST(count(*) AS BIGINT) AS n_min_offers
+FROM offers o
+JOIN mins m ON m.l_partkey = o.l_partkey AND o.cost_c = m.min_cost_c
+GROUP BY o.l_partkey, m.min_cost_c
+ORDER BY m.min_cost_c ASC, o.l_partkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — histogram running-rank with weights
+# ---------------------------------------------------------------------------
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact median line price per return flag — the
+    "median unit actually shipped" statistic, where each price counts
+    l_quantity times.
+
+    The round-7 histogram-rank pattern with weights: reduce the fact
+    table to (flag, cents) → summed weight cells (scalable shuffle agg),
+    run a per-flag running weight sum over the cells, and the weighted
+    lower median is the smallest cents whose cumulative weight reaches
+    (W + 1) div 2.  No per-group array, no float percentile; quantities
+    floor to bigints on both engines (CLAUDE.md: DuckDB's double→bigint
+    CAST rounds, so the oracle floors explicitly).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    cells = li.groupBy("l_returnflag", "cents").agg(
+        F.sum("qty").alias("w")
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    w_run = w_flag.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cells.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_run).alias("cumw"),
+        F.sum("w").over(w_flag).alias("wtot"),
+        F.count(F.lit(1)).over(w_flag).alias("ncells"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("wtot").cast("long").alias("total_weight"),
+            F.max("ncells").cast("long").alias("n_cells"),
+            F.min(
+                F.when(
+                    F.col("cumw") >= F.expr("(wtot + 1) div 2"),
+                    F.col("cents"),
+                )
+            )
+            .cast("long")
+            .alias("wmedian_c"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH cells AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         sum(CAST(floor(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY l_returnflag, cents
+), ranked AS (
+  SELECT l_returnflag, cents,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS wtot,
+         count(*) OVER (PARTITION BY l_returnflag) AS ncells
+  FROM cells
+)
+SELECT l_returnflag,
+       CAST(max(wtot) AS BIGINT) AS total_weight,
+       CAST(max(ncells) AS BIGINT) AS n_cells,
+       CAST(min(CASE WHEN cumw >= (wtot + 1) // 2 THEN cents END)
+            AS BIGINT) AS wmedian_c
+FROM ranked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+ROUND7_QUERIES = {
+    "clamped_running_balance": q_clamped_running_balance,
+    "cusum_changepoint": q_cusum_changepoint,
+    "seasonal_dow_profile": q_seasonal_dow_profile,
+    "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+    "weighted_median_price": q_weighted_median_price,
+}
+
+ROUND7_ORACLES = {
+    "clamped_running_balance": SQL_CLAMPED_RUNNING_BALANCE,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "seasonal_dow_profile": SQL_SEASONAL_DOW_PROFILE,
+    "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
+    "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
+}
