@@ -152,6 +152,7 @@ def pointer_jump_roots(
     node_col: str = "node",
     parent_col: str = "parent",
     iterations: int = 8,
+    strict: bool = False,
 ) -> DataFrame:
     """Resolve every node of a forest to its root (+ exact depth) in
     O(log depth) rounds by pointer jumping — the hierarchy-flattening /
@@ -185,7 +186,27 @@ def pointer_jump_roots(
 
     Output: node, ``root_id`` (the pointer after the final round),
     ``depth`` (exact edge count to the root), ``converged``.
+
+    ``strict=True`` makes corrupt input DETECTABLE instead of silently
+    repaired: before the collapse, one cheap audit job counts nodes with
+    more than one distinct parent and raises ``ValueError`` naming the
+    count — callers who must not lose rows opt in; the default keeps the
+    documented deterministic min-parent repair.
     """
+    if strict:
+        conflicts = (
+            edges.groupBy(F.col(node_col).alias("node"))
+            .agg(F.countDistinct(parent_col).alias("_np"))
+            .where(F.col("_np") > 1)
+            .count()
+        )
+        if conflicts:
+            raise ValueError(
+                f"pointer_jump_roots(strict=True): {conflicts} node(s) "
+                "appear with conflicting duplicate parents — corrupt "
+                "hierarchy (rerun without strict to repair via "
+                "deterministic min-parent collapse)"
+            )
     ptr = (
         edges.select(
             F.col(node_col).alias("node"),

@@ -84,3 +84,21 @@ def test_pagerank_duplicate_edges_node_sized_output(spark):
     noisy = {r["node"]: r["rank_micro"] for r in rows}
     rank_order = lambda d: [n for n, _ in sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))]
     assert rank_order(noisy) == rank_order(clean)
+
+
+def test_pointer_jump_strict_raises_on_conflicting_parents(spark):
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (0, 0)], ["node", "parent"]
+    )
+    with pytest.raises(ValueError, match="conflicting duplicate parents"):
+        pointer_jump_roots(edges, iterations=2, strict=True)
+    # same-parent duplicates are NOT conflicts: strict accepts them
+    ok = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], ["node", "parent"]
+    )
+    out = pointer_jump_roots(ok, iterations=2, strict=True).collect()
+    assert len(out) == 2
