@@ -208,6 +208,8 @@ HEADLINE = [
     "seasonal_dow_profile",
     "cheapest_supplier_per_part",
     "weighted_median_price",
+    "scd2_temporal_join",
+    "delta_join_ivm",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

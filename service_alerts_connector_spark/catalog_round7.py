@@ -471,12 +471,249 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join — facts against the dimension version at event time
+# ---------------------------------------------------------------------------
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE warehouse temporal-correctness pattern: join each fact to the
+    dimension VERSION that was valid at the fact's timestamp, never the
+    current one (`scd2_history` builds the intervals; this consumes
+    them).  Dimension: each user's value band (cents div 2000) as last
+    set by their signup/click stream, SCD2-versioned.  Facts: the same
+    user's purchases.  A purchase before any band observation keeps a
+    null state — left-join semantics, surfaced not dropped.
+
+    Spark-first shape: NOT an inequality join (which would plan a
+    per-user fan-out or worse) — the interval containing ts is exactly
+    the run with the greatest valid_from <= ts, so the existing
+    `operators/temporal.asof_join` (union + one keyed window, ONE
+    user_id exchange) answers it; boundary ties (a zero-length version
+    at the same timestamp) resolve to the highest version on both
+    engines.  The oracle uses the classic
+    `valid_from <= ts < valid_to` inequality join + arg_max(version) —
+    an independent formulation of the same containment, so the
+    differential certifies the asof rewrite.
+    """
+    from service_alerts_connector_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+    from service_alerts_connector_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.where(
+        F.col("event_type").isin("signup", "click")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "greatest(CAST(floor(value * 100) AS BIGINT), 0L) div 2000"
+        ).alias("band"),
+    )
+    hist = scd2_from_changelog(
+        changelog,
+        key_col="user_id",
+        attr_col="band",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        facts,
+        hist.select("user_id", "valid_from", "band", "version"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        payload_cols=["band", "version"],
+        right_tiebreak="version",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("band").cast("long").alias("band"),
+        F.col("version").cast("long").alias("band_version"),
+    ).orderBy("user_id", "event_id")
+
+
+SQL_SCD2_TEMPORAL_JOIN = """
+WITH changelog AS (
+  SELECT user_id, ts, event_id,
+         greatest(CAST(floor(value * 100) AS BIGINT), 0) // 2000 AS band
+  FROM events WHERE event_type IN ('signup', 'click')
+), ordered AS (
+  SELECT user_id, band, ts, event_id,
+         lag(ts) OVER w AS prev_ts,
+         lag(band) OVER w AS prev_band
+  FROM changelog
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), points AS (
+  SELECT user_id, band, ts, event_id FROM ordered
+  WHERE prev_ts IS NULL OR band IS DISTINCT FROM prev_band
+), hist AS (
+  SELECT user_id, band, ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to,
+         row_number() OVER w2 AS version
+  FROM points
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), facts AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.event_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(arg_max(h.band, h.version) AS BIGINT) AS band,
+       CAST(max(h.version) AS BIGINT) AS band_version
+FROM facts f
+LEFT JOIN hist h
+  ON h.user_id = f.user_id
+ AND h.valid_from <= f.ts
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+GROUP BY f.user_id, f.event_id, f.ts
+ORDER BY f.user_id, f.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Delta-join IVM — three-term incremental refresh of a JOIN view
+# ---------------------------------------------------------------------------
+def q_delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under deltas on BOTH
+    inputs — the algebraic rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB that
+    `ivm_merge` (aggregate partials only) does not exercise.
+
+    The per-nation revenue view orders⋈customer refreshes from four
+    partial aggregates: the stored view A⋈B (orders through the cut ×
+    long-standing customers), plus the three delta terms (new orders ×
+    old customers, old orders × "new" customers — custkey ≡ 0 mod 7
+    plays the freshly-ingested dimension slice — and new×new).  Each
+    term aggregates map-side BEFORE the merge, so refresh cost is
+    delta-dominated; `cents_full` re-derives every group from the
+    unsplit join inside the same query, and `ok` pins merged ≡
+    recomputed — the self-auditing refresh contract.
+
+    All four joins are broadcast-dim equi-joins (customer side);
+    partials merge by nation key.  Money in integer cents.
+    """
+    cut = F.lit("1996-12-31 23:59:59").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    a_old = orders.where(F.col("o_orderdate") <= cut)
+    a_new = orders.where(F.col("o_orderdate") > cut)
+    b_old = cust.where(F.col("o_custkey") % 7 != 0)
+    b_new = cust.where(F.col("o_custkey") % 7 == 0)
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(F.broadcast(b), "o_custkey")
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_p"),
+                F.sum("cents").alias("cents_p"),
+            )
+        )
+
+    merged = (
+        term(a_old, b_old)
+        .unionByName(term(a_new, b_old))
+        .unionByName(term(a_old, b_new))
+        .unionByName(term(a_new, b_new))
+        .groupBy("nation")
+        .agg(
+            F.sum("n_p").cast("long").alias("n_merged"),
+            F.sum("cents_p").cast("long").alias("cents_merged"),
+        )
+    )
+    full = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_full"),
+            F.sum("cents").cast("long").alias("cents_full"),
+        )
+    )
+    return (
+        merged.join(full, "nation")
+        .select(
+            "nation",
+            "n_merged",
+            "cents_merged",
+            "n_full",
+            "cents_full",
+            (
+                (F.col("n_merged") == F.col("n_full"))
+                & (F.col("cents_merged") == F.col("cents_full"))
+            ).alias("ok"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_DELTA_JOIN_IVM = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), c AS (
+  SELECT c_custkey AS o_custkey, c_nationkey FROM customer
+), terms AS (
+  SELECT c.c_nationkey AS nation, count(*) AS n_p, sum(o.cents) AS cents_p
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  WHERE o.o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    AND c.o_custkey % 7 != 0
+  GROUP BY nation
+  UNION ALL
+  SELECT c.c_nationkey, count(*), sum(o.cents)
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  WHERE o.o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+    AND c.o_custkey % 7 != 0
+  GROUP BY c.c_nationkey
+  UNION ALL
+  SELECT c.c_nationkey, count(*), sum(o.cents)
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  WHERE o.o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    AND c.o_custkey % 7 = 0
+  GROUP BY c.c_nationkey
+  UNION ALL
+  SELECT c.c_nationkey, count(*), sum(o.cents)
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  WHERE o.o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+    AND c.o_custkey % 7 = 0
+  GROUP BY c.c_nationkey
+), merged AS (
+  SELECT nation,
+         CAST(sum(n_p) AS BIGINT) AS n_merged,
+         CAST(sum(cents_p) AS BIGINT) AS cents_merged
+  FROM terms GROUP BY nation
+), fullv AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(count(*) AS BIGINT) AS n_full,
+         CAST(sum(o.cents) AS BIGINT) AS cents_full
+  FROM o JOIN c ON c.o_custkey = o.o_custkey
+  GROUP BY nation
+)
+SELECT m.nation, m.n_merged, m.cents_merged, f.n_full, f.cents_full,
+       (m.n_merged = f.n_full AND m.cents_merged = f.cents_full) AS ok
+FROM merged m JOIN fullv f ON f.nation = m.nation
+ORDER BY m.nation
+"""
+
+
 ROUND7_QUERIES = {
     "clamped_running_balance": q_clamped_running_balance,
     "cusum_changepoint": q_cusum_changepoint,
     "seasonal_dow_profile": q_seasonal_dow_profile,
     "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
     "weighted_median_price": q_weighted_median_price,
+    "scd2_temporal_join": q_scd2_temporal_join,
+    "delta_join_ivm": q_delta_join_ivm,
 }
 
 ROUND7_ORACLES = {
@@ -485,4 +722,6 @@ ROUND7_ORACLES = {
     "seasonal_dow_profile": SQL_SEASONAL_DOW_PROFILE,
     "cheapest_supplier_per_part": SQL_CHEAPEST_SUPPLIER_PER_PART,
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
+    "scd2_temporal_join": SQL_SCD2_TEMPORAL_JOIN,
+    "delta_join_ivm": SQL_DELTA_JOIN_IVM,
 }

@@ -520,3 +520,49 @@ def test_round5c_queries_plan_shapes(spark):
 
     p = _plan(q_daily_streaks(spark, SF_DIR))
     assert "windowspecdefinition(user_id" in p  # islands window is keyed
+
+
+def test_round7_queries_plan_shapes(spark):
+    """Round-7 tier.  clamped_running_balance: the Lindley closed form is
+    keyed windows only — exactly ONE user_id hash exchange feeds them (the
+    final orderBy adds a range exchange), no join at all.  The two
+    rewritten quantile queries and weighted_median_price must never
+    collect per-group arrays (no collect_list in any plan).
+    scd2_temporal_join: the point-in-time join is the asof union+window
+    rewrite — no BNLJ, no CartesianProduct, and its windows are keyed.
+    delta_join_ivm: every join leg hash-joins (broadcast dims), nothing
+    sort-merges at this scale, no BNLJ."""
+    from service_alerts_connector_spark.catalog_analytics import (
+        q_boxplot_stats,
+    )
+    from service_alerts_connector_spark.catalog_events import (
+        q_conversion_delay_profile,
+    )
+    from service_alerts_connector_spark.catalog_round7 import (
+        q_clamped_running_balance,
+        q_delta_join_ivm,
+        q_scd2_temporal_join,
+        q_weighted_median_price,
+    )
+
+    p = _plan(q_clamped_running_balance(spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "windowspecdefinition(user_id" in p
+
+    for q in (
+        q_boxplot_stats,
+        q_conversion_delay_profile,
+        q_weighted_median_price,
+    ):
+        assert "collect_list" not in _plan(q(spark, SF_DIR))
+
+    p = _plan(q_scd2_temporal_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "windowspecdefinition(user_id" in p or "windowspecdefinition(_k" in p
+
+    p = _plan(q_delta_join_ivm(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
