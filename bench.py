@@ -210,6 +210,8 @@ HEADLINE = [
     "weighted_median_price",
     "scd2_temporal_join",
     "delta_join_ivm",
+    "ancestor_path_sum",
+    "winsorized_mean_value",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -706,6 +706,200 @@ ORDER BY m.nation
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Ancestor path sum — recursive value rollup in O(log depth) rounds
+# ---------------------------------------------------------------------------
+def q_ancestor_path_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inherited-cost rollup over the `hierarchy_roots` forest: every
+    node's exact sum of a value over its whole ancestor chain (self +
+    ancestors + root) — the recursive aggregation (rolled permissions,
+    cumulative org budget, BOM path cost) relational engines write as a
+    recursive CTE and Spark answers with
+    ``operators/graph.pointer_jump_path_sum`` (pointer jumping carrying
+    an additive accumulator, O(log depth) node-sized self-joins).
+
+    Node values are data-derived: each user-node weighs its clamped event
+    cents total (one keyed agg), so the rollup is a real fact-table
+    reduction feeding a real recursion.  The round budget derives from
+    the data exactly like `hierarchy_roots`.  The DuckDB oracle walks the
+    recurrence step by step (recursive CTE), independently deriving what
+    the doubling loop composes in log rounds.
+    """
+    import math
+
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_path_sum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.groupBy(F.col("user_id").alias("node")).agg(
+        F.sum(
+            F.greatest(
+                F.floor(F.col("value") * 100).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("value")
+    )
+    edges = vals.select(
+        "node",
+        F.when(F.col("node") >= 8, F.col("node") - 8)
+        .otherwise(F.col("node"))
+        .alias("parent"),
+        "value",
+    )
+    max_node = edges.agg(F.max("node")).collect()[0][0] or 0
+    depth = max(1, max_node // 8)
+    iters = max(1, math.ceil(math.log2(depth)) + 1)
+    return pointer_jump_path_sum(
+        edges, "node", "parent", "value", iterations=iters
+    ).orderBy("node")
+
+
+SQL_ANCESTOR_PATH_SUM = """
+WITH RECURSIVE vals AS (
+  SELECT user_id AS node,
+         sum(greatest(CAST(floor(value * 100) AS BIGINT), 0)) AS value
+  FROM events GROUP BY user_id
+), edges AS (
+  SELECT node,
+         CASE WHEN node >= 8 THEN node - 8 ELSE node END AS parent,
+         value
+  FROM vals
+), walk AS (
+  SELECT node, node AS cur, value AS s, 0 AS d FROM edges
+  UNION ALL
+  SELECT w.node, e.parent, w.s + p.value, w.d + 1
+  FROM walk w
+  JOIN edges e ON e.node = w.cur
+  JOIN edges p ON p.node = e.parent
+  WHERE e.parent <> e.node
+)
+SELECT node,
+       arg_max(cur, d) AS root_id,
+       CAST(max(d) AS BIGINT) AS depth,
+       CAST(arg_max(s, d) AS BIGINT) AS path_sum,
+       TRUE AS converged
+FROM walk
+GROUP BY node
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean — robust mean via histogram-rank bounds
+# ---------------------------------------------------------------------------
+def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-nation average order value: winsorize at the exact p5
+    and p95 LOWER order statistics (clamp, don't drop), then an exact
+    integer mean — the outlier-resistant KPI that plain AVG is not,
+    without the engine-divergent float percentile.
+
+    Third instance of the round-7 histogram-rank pattern: the bounds are
+    the smallest cents whose per-nation running count reaches rank
+    greatest(1, (k*(n+1)) div 100) for k in {5, 95}; a 25-row broadcast
+    join-back clamps every order and one aggregation emits the
+    winsorized mean in exact micro-cents ((sum*1e6) div n on non-negative
+    integers — Spark `div` ≡ DuckDB `//`).
+    """
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    cells = rev.groupBy("nation", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_nation = Window.partitionBy("nation")
+    w_cum = w_nation.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cells.select(
+        "nation",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_nation).alias("ntot"),
+    )
+    pick = lambda k: F.min(
+        F.when(
+            F.col("cum")
+            >= F.greatest(
+                F.lit(1).cast("long"), F.expr(f"({k} * (ntot + 1)) div 100")
+            ),
+            F.col("cents"),
+        )
+    )
+    bounds = ranked.groupBy("nation").agg(
+        F.max("ntot").alias("n"),
+        pick(5).alias("p5_c"),
+        pick(95).alias("p95_c"),
+    )
+    return (
+        rev.join(F.broadcast(bounds), "nation")
+        .select(
+            "nation",
+            "n",
+            "p5_c",
+            "p95_c",
+            F.greatest(
+                F.col("p5_c"), F.least(F.col("p95_c"), F.col("cents"))
+            ).alias("wcents"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("p5_c").cast("long").alias("p5_c"),
+            F.max("p95_c").cast("long").alias("p95_c"),
+            F.expr("(sum(wcents) * 1000000) div max(n)")
+            .cast("long")
+            .alias("wmean_micro"),
+        )
+        .orderBy("nation")
+    )
+
+
+SQL_WINSORIZED_MEAN_VALUE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), cells AS (
+  SELECT nation, cents, count(*) AS cnt FROM rev GROUP BY nation, cents
+), ranked AS (
+  SELECT nation, cents,
+         sum(cnt) OVER (PARTITION BY nation ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY nation) AS ntot
+  FROM cells
+), bounds AS (
+  SELECT nation, max(ntot) AS n,
+         min(CASE WHEN cum >= greatest(1, (5 * (ntot + 1)) // 100)
+                  THEN cents END) AS p5_c,
+         min(CASE WHEN cum >= greatest(1, (95 * (ntot + 1)) // 100)
+                  THEN cents END) AS p95_c
+  FROM ranked GROUP BY nation
+)
+SELECT r.nation,
+       CAST(max(b.n) AS BIGINT) AS n,
+       CAST(max(b.p5_c) AS BIGINT) AS p5_c,
+       CAST(max(b.p95_c) AS BIGINT) AS p95_c,
+       CAST((sum(greatest(b.p5_c, least(b.p95_c, r.cents))) * 1000000)
+            // max(b.n) AS BIGINT) AS wmean_micro
+FROM rev r JOIN bounds b ON b.nation = r.nation
+GROUP BY r.nation
+ORDER BY r.nation
+"""
+
+
 ROUND7_QUERIES = {
     "clamped_running_balance": q_clamped_running_balance,
     "cusum_changepoint": q_cusum_changepoint,
@@ -714,6 +908,8 @@ ROUND7_QUERIES = {
     "weighted_median_price": q_weighted_median_price,
     "scd2_temporal_join": q_scd2_temporal_join,
     "delta_join_ivm": q_delta_join_ivm,
+    "ancestor_path_sum": q_ancestor_path_sum,
+    "winsorized_mean_value": q_winsorized_mean_value,
 }
 
 ROUND7_ORACLES = {
@@ -724,4 +920,6 @@ ROUND7_ORACLES = {
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
     "scd2_temporal_join": SQL_SCD2_TEMPORAL_JOIN,
     "delta_join_ivm": SQL_DELTA_JOIN_IVM,
+    "ancestor_path_sum": SQL_ANCESTOR_PATH_SUM,
+    "winsorized_mean_value": SQL_WINSORIZED_MEAN_VALUE,
 }

@@ -254,3 +254,93 @@ def pointer_jump_roots(
             F.col("_root").isNotNull().alias("converged"),
         )
     )
+
+
+def pointer_jump_path_sum(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    value_col: str = "value",
+    iterations: int = 8,
+) -> DataFrame:
+    """Ancestor-path aggregation in O(log depth) rounds: for every node of
+    a forest, the exact sum of ``value`` over the node's entire ancestor
+    chain INCLUDING itself and its root — the inherited-quota / rolled-
+    permission / cumulative-cost recursive workload, generalizing
+    ``pointer_jump_roots``'s depth counter (a path sum of 1s) to an
+    arbitrary additive weight.
+
+    Invariant carried through each jump: ``acc(u)`` sums values over the
+    half-open path [u, ptr(u)) — up to but excluding the current pointer.
+    A jump composes two such segments (``acc += acc(ptr)``,
+    ``ptr = ptr(ptr)``), preserving the invariant while doubling reach;
+    roots hold (ptr = self, acc = 0), the fixed point that freezes
+    converged rows.  The final answer closes the half-open interval by
+    adding the root's own value via one node-sized equi-join.
+
+    Same corrupt-input armor as ``pointer_jump_roots``: duplicate node
+    rows collapse deterministically (min parent, min value) BEFORE the
+    loop, so the per-round self-join never amplifies; cycles exhaust the
+    round budget and surface ``converged = false`` rather than looping.
+    Integer budget: |value| · depth must stay under 2^63.
+
+    Output: node, ``root_id``, ``depth``, ``path_sum``, ``converged``.
+    """
+    base = (
+        edges.select(
+            F.col(node_col).alias("node"),
+            F.col(parent_col).alias("_rawptr"),
+            F.col(value_col).alias("_rawval"),
+        )
+        .groupBy("node")
+        .agg(
+            F.min("_rawptr").alias("ptr0"),
+            F.min("_rawval").cast("long").alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_root = F.col("ptr0") == F.col("node")
+    ptr = base.select(
+        "node",
+        F.when(is_root, F.col("node")).otherwise(F.col("ptr0")).alias("ptr"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias(
+            "dist"
+        ),
+        F.when(is_root, F.lit(0).cast("long")).otherwise(F.col("val")).alias(
+            "acc"
+        ),
+    ).localCheckpoint(eager=True)
+    roots = ptr.where(F.col("ptr") == F.col("node")).select(
+        F.col("node").alias("_root")
+    )
+    for _ in range(iterations):
+        hop = ptr.select(
+            F.col("node").alias("_pn"),
+            F.col("ptr").alias("_pp"),
+            F.col("dist").alias("_pd"),
+            F.col("acc").alias("_pa"),
+        )
+        ptr = (
+            ptr.join(hop, ptr["ptr"] == hop["_pn"], "inner")
+            .select(
+                "node",
+                F.col("_pp").alias("ptr"),
+                (F.col("dist") + F.col("_pd")).alias("dist"),
+                (F.col("acc") + F.col("_pa")).alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    root_vals = base.select(
+        F.col("node").alias("_rv_node"), F.col("val").alias("_rv_val")
+    )
+    return (
+        ptr.join(roots, ptr["ptr"] == roots["_root"], "left")
+        .join(root_vals, ptr["ptr"] == root_vals["_rv_node"], "inner")
+        .select(
+            "node",
+            F.col("ptr").alias("root_id"),
+            F.col("dist").alias("depth"),
+            (F.col("acc") + F.col("_rv_val")).cast("long").alias("path_sum"),
+            F.col("_root").isNotNull().alias("converged"),
+        )
+    )

@@ -566,3 +566,11 @@ def test_round7_queries_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+    from service_alerts_connector_spark.catalog_round7 import (
+        q_winsorized_mean_value,
+    )
+
+    p = _plan(q_winsorized_mean_value(spark, SF_DIR))
+    assert "collect_list" not in p
+    assert "BroadcastNestedLoopJoin" not in p
