@@ -2,9 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is forced with a cheap count() action (no driver-side collect of
-full results).  Times include plan + execution but share one warm session,
-mirroring how a resident engine would serve these.
+Each query is forced through the built-in `noop` sink (computes and
+consumes EVERY output column, no driver-side collect).  Through round 6
+the force was `count()`, which lets Catalyst prune everything the row
+count doesn't need — window/aggregate VALUE computation included
+(measured under-reporting up to 6x on `boxplot_stats`, 2.7x on
+`clamped_running_balance`); round-7 totals are therefore higher than and
+NOT comparable to earlier rounds' — see SCALE.md "Bench forcing action".
+Times include plan + execution but share one warm session, mirroring how
+a resident engine would serve these.
 """
 
 from __future__ import annotations
@@ -299,7 +305,7 @@ def main() -> None:
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         warm = runs[1:] or runs
         best = min(warm)
@@ -317,7 +323,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "bench_meta": {"n_runs": n_runs, "timing": "best_warm"},
+        "bench_meta": {"n_runs": n_runs, "timing": "best_warm", "action": "noop_write"},
         "query_stats": stats,
     }
     full_line = json.dumps(payload)
@@ -356,6 +362,7 @@ def main() -> None:
                 "bench_meta": {
                     "n_runs": n_runs,
                     "timing": "best_warm",
+                    "action": "noop_write",
                     "queries_truncated_to_worst5": True,
                     "full_artifact": artifact,
                 },

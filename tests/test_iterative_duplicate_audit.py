@@ -102,3 +102,25 @@ def test_pointer_jump_strict_raises_on_conflicting_parents(spark):
     )
     out = pointer_jump_roots(ok, iterations=2, strict=True).collect()
     assert len(out) == 2
+
+
+def test_path_sum_duplicate_rows_no_amplification(spark):
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_path_sum,
+    )
+
+    rows = [(n, max(0, n - 1), 10 * n + 1) for n in range(8)]
+    clean = spark.createDataFrame(rows, ["node", "parent", "value"])
+    dup = clean
+    for _ in range(3):
+        dup = dup.unionByName(clean)
+    got = sorted(
+        (r["node"], r["root_id"], r["depth"], r["path_sum"], r["converged"])
+        for r in pointer_jump_path_sum(dup, iterations=4).collect()
+    )
+    want = sorted(
+        (r["node"], r["root_id"], r["depth"], r["path_sum"], r["converged"])
+        for r in pointer_jump_path_sum(clean, iterations=4).collect()
+    )
+    assert got == want
+    assert len(got) == 8  # node-sized output under 4x duplication

@@ -50,7 +50,11 @@ def _parse_total(formatted: str) -> float:
 
 
 def measure(spark, df) -> dict:
-    df.count()
+    # noop sink, NOT count(): count lets Catalyst prune every column the
+    # row count doesn't need — including the window/agg machinery whose
+    # shuffles this census exists to measure (count-forced runs showed
+    # 1.5k records where the real plan shuffles 100k)
+    df.write.format("noop").mode("overwrite").save()
     store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
     last = execs.apply(execs.size() - 1)
