@@ -10,12 +10,14 @@ from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
 from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES
 from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as TQ2
+from service_alerts_connector_spark.catalog_round7 import ROUND7_QUERIES
 from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES
 
 spark = get_spark(master="local[8]", shuffle_partitions=8)
 sf = "/root/testdata/sf0.001"
 ALL = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **ANALYTICS_QUERIES,
-       **GEO_QUERIES, **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES}
+       **GEO_QUERIES, **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES,
+       **ROUND7_QUERIES}
 PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti",
         "a3_lastwins_dedup", "p10_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "config_join_fanout", "w5_windowed_agg", "rollup_pricing",
@@ -28,8 +30,14 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "q19_disjunctive", "q21_waiting_suppliers",
         "zone_map_prune", "interval_coalesce", "weighted_sample",
         "bitmap_intersect", "phrase_search", "twap_value",
-        "hierarchy_roots", "user_feature_bundle"]
+        "hierarchy_roots", "user_feature_bundle",
+        "clamped_running_balance", "scd2_temporal_join",
+        "weighted_median_price", "delta_join_ivm"]
 NOTES = {
+    "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
+    "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
+    "weighted_median_price": "weighted exact median: histogram cells agg + per-flag running rank, no per-group array",
+    "delta_join_ivm": "three-term join-view delta refresh: every leg BroadcastHashJoin, partials merge by key",
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
     "j1_lookup_join": "three-level dimension chain: all BroadcastHashJoin, fact side never shuffles",
