@@ -401,13 +401,26 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "median unit actually shipped" statistic, where each price counts
     l_quantity times.
 
-    The round-7 histogram-rank pattern with weights: reduce the fact
-    table to (flag, cents) → summed weight cells (scalable shuffle agg),
-    run a per-flag running weight sum over the cells, and the weighted
-    lower median is the smallest cents whose cumulative weight reaches
-    (W + 1) div 2.  No per-group array, no float percentile; quantities
-    floor to bigints on both engines (CLAUDE.md: DuckDB's double→bigint
-    CAST rounds, so the oracle floors explicitly).
+    The round-7 histogram-rank pattern with weights, TWO-PHASED for
+    parallelism: reduce the fact table to (flag, cents) → summed weight
+    cells (scalable shuffle agg), then instead of one per-flag running
+    sum (3 return flags → a 3-task walk over up to ~6·10⁷ domain cells
+    at full scale), split the prefix sum:
+
+      1. bucket cells by ``cents div 2^20`` and aggregate per-(flag,
+         bucket) weight/count partials — a tiny frame (flags × ≤ ~60
+         buckets over the price domain);
+      2. a per-flag exclusive running sum over THAT frame yields each
+         bucket's starting offset (trivial window over ≤ ~180 rows);
+      3. broadcast the offsets back onto the cells and run the running
+         weight sum partitioned by (flag, bucket) — parallelism is now
+         flags × buckets, each task walking ≤ 2^20 domain cells.
+
+    The weighted lower median is the smallest cents whose cumulative
+    weight reaches (W + 1) div 2 — bit-identical to the single-walk
+    form.  No per-group array, no float percentile; quantities floor to
+    bigints on both engines (CLAUDE.md: DuckDB's double→bigint CAST
+    rounds, so the oracle floors explicitly).
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -416,17 +429,34 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = li.groupBy("l_returnflag", "cents").agg(
         F.sum("qty").alias("w")
+    ).withColumn("bucket", F.expr("cents div 1048576"))
+    buckets = cells.groupBy("l_returnflag", "bucket").agg(
+        F.sum("w").alias("bw"), F.count(F.lit(1)).alias("bn")
     )
     w_flag = Window.partitionBy("l_returnflag")
-    w_run = w_flag.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_prev = w_flag.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    ranked = cells.select(
+    offsets = buckets.select(
+        "l_returnflag",
+        "bucket",
+        F.coalesce(F.sum("bw").over(w_prev), F.lit(0)).alias("boff"),
+        F.sum("bw").over(w_flag).alias("wtot"),
+        F.sum("bn").over(w_flag).alias("ncells"),
+    )
+    w_inb = (
+        Window.partitionBy("l_returnflag", "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.join(
+        F.broadcast(offsets), ["l_returnflag", "bucket"]
+    ).select(
         "l_returnflag",
         "cents",
-        F.sum("w").over(w_run).alias("cumw"),
-        F.sum("w").over(w_flag).alias("wtot"),
-        F.count(F.lit(1)).over(w_flag).alias("ncells"),
+        (F.col("boff") + F.sum("w").over(w_inb)).alias("cumw"),
+        "wtot",
+        "ncells",
     )
     return (
         ranked.groupBy("l_returnflag")
