@@ -79,6 +79,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 oracle run).  queries() rotates these to the back so the
 # not-yet-sampled tail gets driver coverage.  All entries pass the same
 # local oracle regardless of position.
+#
+# SAMPLE-CADENCE POLICY (keep this invariant every round): the lead tuple
+# below must contain, in order, (a) queries whose code changed this round,
+# then (b) oracled queries that have never appeared in any
+# CORRECTNESS_r*.json (reproduce the set with a key-diff of those files
+# against queries()).  At the END of a round, fold the just-certified lead
+# into _DRIVER_SAMPLED and rebuild the lead for the next round — a short
+# round must never silently re-certify stale keys (the round-8 failure
+# mode: _R7_LEAD stayed pinned and the driver burned its 50-query sample
+# re-checking round 7's already-green set).
 _DRIVER_SAMPLED = frozenset(
     (
         # rounds 1-4
@@ -115,37 +125,67 @@ _DRIVER_SAMPLED = frozenset(
         "sorted_neighborhood", "status_mix_trend", "stickiness_ratio",
         "table_digest", "target_encoding", "temporal_split_embargo",
         "twap_value", "weighted_sample", "zone_map_prune",
+        # rounds 7-8 (identical 50-query window both rounds: the former
+        # _R7_LEAD — TPC-H, media decoders, sketches, graph, ANN,
+        # high-value analytics)
+        "q3_shipping_priority", "q4_priority_check", "q5_region_volume",
+        "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+        "q10_returned_items", "q12_late_by_priority",
+        "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
+        "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
+        "q21_waiting_suppliers", "q22_dormant_value",
+        "multimodal_decode_png", "multimodal_decode_gif",
+        "multimodal_decode_jpeg", "multimodal_audio",
+        "multimodal_video_frames",
+        "hll_distinct", "cms_heavy_hitters", "kmv_distinct",
+        "bloom_semi_join", "rolling_distinct_hll", "length_quantile_sketch",
+        "event_pagerank", "graph_triangles",
+        "ann_rerank", "ann_pq_fixed", "ann_sq8", "ann_batch",
+        "embedding_sq8", "kmeans_update", "label_centroid_similarity",
+        "embedding_center_stats", "embedding_normalize",
+        "embedding_dim_stats",
+        "asof_join", "range_join_agg", "window_rank_suite",
+        "null_safe_join", "sessionize", "rolling_window_agg",
+        "grouping_sets", "scd2_history", "ohlc_downsample",
+        "funnel_ordered_3step", "conversion_delay_profile",
     )
 )
 
-# Round-7 lead: 50 queries that have NEVER appeared in a driver sample
-# (CORRECTNESS_r01-r06), front-loaded so this round's 50-query window
-# certifies the TPC-H tier, the five media decoders, the sketch tier,
-# graph, ANN, and the key analytics operators for the first time.
-_R7_LEAD = (
-    # TPC-H tier (oracles CAST-hardened in round 6, never externally run)
-    "q3_shipping_priority", "q4_priority_check", "q5_region_volume",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q10_returned_items", "q12_late_by_priority", "q13_order_distribution",
-    "q14_promo_share", "q15_top_supplier", "q17_small_quantity",
-    "q18_large_orders", "q19_disjunctive", "q21_waiting_suppliers",
-    "q22_dormant_value",
-    # media decoders (stdlib bit-exact codecs, never sampled)
-    "multimodal_decode_png", "multimodal_decode_gif",
-    "multimodal_decode_jpeg", "multimodal_audio", "multimodal_video_frames",
-    # sketch tier
-    "hll_distinct", "cms_heavy_hitters", "kmv_distinct", "bloom_semi_join",
-    "rolling_distinct_hll", "length_quantile_sketch",
-    # graph
-    "event_pagerank", "graph_triangles",
-    # ANN / embeddings
-    "ann_rerank", "ann_pq_fixed", "ann_sq8", "ann_batch", "embedding_sq8",
-    "kmeans_update", "label_centroid_similarity", "embedding_center_stats",
-    "embedding_normalize", "embedding_dim_stats",
-    # high-value analytics
-    "asof_join", "range_join_agg", "window_rank_suite", "null_safe_join",
-    "sessionize", "rolling_window_agg", "grouping_sets", "scd2_history",
-    "ohlc_downsample", "funnel_ordered_3step", "conversion_delay_profile",
+# Round-9 lead: per the cadence policy above — (a) queries new/changed this
+# round, then (b) the oracled queries that have never appeared in any
+# CORRECTNESS_r01-r08 sample (set reproduced by key-diffing those files
+# against queries()).  The driver certifies the first 50; the three keys
+# past position 50 are near-duplicates of already-certified siblings
+# (config_fanout_1k ~ config_join_fanout, gap_fill_locf ~ gap_fill_interp,
+# length_outlier_filter ~ text_length_histogram) and roll to round 10.
+_R9_LEAD = (
+    # (a) new this round
+    "dedup_substring_spans",
+    # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
+    "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",
+    "cheapest_supplier_per_part", "weighted_median_price",
+    "scd2_temporal_join", "delta_join_ivm", "ancestor_path_sum",
+    "winsorized_mean_value",
+    # geo
+    "geo_overlay_rect",
+    # corpus tier
+    "tfidf_top_terms", "bm25_rank", "pmi_top_pairs", "bpe_merge_step",
+    "text_bpe_tokens", "passage_dedup", "dedup_prefix_filter",
+    "leakage_safe_split", "ngram_decontamination", "vocab_coverage",
+    "doc_chunking", "pack_bins", "source_quota", "source_mixing",
+    "quality_deciles", "hash_split", "stratified_sample", "inverted_index",
+    "assign_seq_ids",
+    # multimodal (closed-form pixel oracles)
+    "multimodal_decode", "multimodal_resize",
+    # events / analytics
+    "cohort_retention", "funnel_conversion", "attribution_join",
+    "event_value_quantiles", "event_throttle", "json_typed_extract",
+    "linear_trend", "zorder_key", "skew_salted_agg", "dq_rule_screen",
+    "unpivot_metrics", "rank_movers", "hhi_concentration",
+    "join_size_estimate", "skew_report", "user_feature_bundle",
+    "type_cooccurrence", "type_transitions",
+    # tail (positions >50: certified next round)
+    "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
 )
 
 
@@ -165,7 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES,
         **ROUND7_QUERIES,
     }
-    lead = {k: merged[k] for k in _R7_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R9_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()
