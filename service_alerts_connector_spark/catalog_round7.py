@@ -421,6 +421,14 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     form.  No per-group array, no float percentile; quantities floor to
     bigints on both engines (CLAUDE.md: DuckDB's double→bigint CAST
     rounds, so the oracle floors explicitly).
+
+    NOT NULL assumption: the inner broadcast join on (flag, bucket)
+    would silently drop NULL-cents cells (NULL join keys never match)
+    while the oracle's pure-window form keeps them in the per-flag
+    walk.  TPC-H l_extendedprice/l_quantity are NOT NULL so the shapes
+    agree here; wiring a nullable price source in requires filtering
+    ``cents IS NOT NULL`` symmetrically in BOTH the Spark query and
+    the oracle SQL.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",

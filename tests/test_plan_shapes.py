@@ -6,6 +6,7 @@ Guards against silent plan regressions at scale."""
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -556,6 +557,18 @@ def test_round7_queries_plan_shapes(spark):
         q_weighted_median_price,
     ):
         assert "collect_list" not in _plan(q(spark, SF_DIR))
+
+    # the round-8 two-phase rewrite: the running-weight walk must stay
+    # partitioned by (l_returnflag, bucket) — parallelism flags × buckets,
+    # not a 3-task per-flag walk — with the per-bucket offsets broadcast
+    # back (a regression to the single walk or a shuffled offsets join
+    # fails here loudly)
+    p = _plan(q_weighted_median_price(spark, SF_DIR))
+    assert re.search(
+        r"windowspecdefinition\(l_returnflag#\d+, bucket#\d+L, cents#\d+L ASC",
+        p,
+    ), "running-weight window lost its (flag, bucket) partition key"
+    assert "BroadcastHashJoin" in p, "offsets join is no longer broadcast"
 
     p = _plan(q_scd2_temporal_join(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in p
