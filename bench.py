@@ -334,8 +334,14 @@ def main() -> None:
     # anyone capturing complete stdout, (3) END with a compact line —
     # total, per-tier subtotals, worst-5 — guaranteed to fit the tail
     # window and parse.
+    # subset runs (SPARK_GRAFT_BENCH_QUERIES) must never clobber the
+    # full-catalog artifact that BENCH_r*.json's full_artifact points at —
+    # they get a suffixed scratch path instead
     artifact = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_LOCAL.subset.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+        else "BENCH_LOCAL.json",
     )
     try:
         with open(artifact, "w") as f:

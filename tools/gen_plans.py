@@ -32,11 +32,16 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "bitmap_intersect", "phrase_search", "twap_value",
         "hierarchy_roots", "user_feature_bundle",
         "clamped_running_balance", "scd2_temporal_join",
-        "weighted_median_price", "delta_join_ivm"]
+        "weighted_median_price", "delta_join_ivm",
+        "ancestor_path_sum", "cheapest_supplier_per_part",
+        "winsorized_mean_value"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
-    "weighted_median_price": "weighted exact median: histogram cells agg + per-flag running rank, no per-group array",
+    "weighted_median_price": "weighted exact median, two-phase: (flag, bucket)-partitioned running rank over histogram cells with per-bucket offsets broadcast back - parallelism flags x buckets, no per-group array",
+    "ancestor_path_sum": "pointer jumping with an additive path accumulator: O(log depth) node-sized self-joins, localCheckpoint lineage truncation",
+    "cheapest_supplier_per_part": "TPC-H Q2 shape: group-min + join-back, region gating through broadcast dims BEFORE aggregation, top-100 = TakeOrderedAndProject",
+    "winsorized_mean_value": "p5/p95 from per-nation histogram running ranks -> 25-row broadcast clamp join-back -> exact integer micro mean",
     "delta_join_ivm": "three-term join-view delta refresh: every leg BroadcastHashJoin, partials merge by key",
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
