@@ -103,6 +103,8 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "passage_dedup",
+    # round-9 addition: rolling-shingle substring-span dedup
+    "dedup_substring_spans",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

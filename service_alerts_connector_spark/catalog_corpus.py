@@ -739,6 +739,68 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Substring-level exact dedup — rolling k-token duplicate-span screen
+# ---------------------------------------------------------------------------
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-substring audit (rolling 8-token shingles,
+    corpus-wide first-occurrence-wins, interval-union span coverage) —
+    `operators/textdedup.py duplicate_substring_spans`."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_substring_spans(docs, k=8)
+
+
+SQL_DEDUP_SUBSTRING_SPANS = f"""
+WITH sized AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), sh AS (
+  SELECT doc_id, toks, unnest(range(n - 7)) AS pos
+  FROM sized WHERE n >= 8
+), hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS h
+  FROM sh
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM hashed
+), dup AS (
+  SELECT doc_id, pos FROM ranked WHERE rn > 1
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+  FROM brk
+), cov AS (
+  SELECT doc_id, i, max(pos) + 8 - min(pos) AS c, count(*) AS nd
+  FROM isl GROUP BY doc_id, i
+), per_doc AS (
+  SELECT doc_id, sum(c) AS dup_tokens, sum(nd) AS dup_shingles
+  FROM cov GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(greatest(s.n - 7, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.dup_shingles, 0) AS BIGINT) AS dup_shingles,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN s.n <= 0 THEN 0
+            ELSE (coalesce(p.dup_tokens, 0) * 1000000) // s.n END
+            AS BIGINT) AS dup_ratio_ppm
+FROM sized s LEFT JOIN per_doc p USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve — "how big a vocab covers X% of occurrences?"
 # ---------------------------------------------------------------------------
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,6 +1427,7 @@ CORPUS_QUERIES = {
     "assign_seq_ids": q_assign_seq_ids,
     "length_quantile_sketch": q_length_quantile_sketch,
     "passage_dedup": q_passage_dedup,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "vocab_coverage": q_vocab_coverage,
     "label_centroid_similarity": q_label_centroid_similarity,
     "bm25_rank": q_bm25_rank,
@@ -1395,6 +1458,7 @@ CORPUS_ORACLES = {
     "assign_seq_ids": SQL_ASSIGN_SEQ,
     "length_quantile_sketch": _sql_length_quantiles(),
     "passage_dedup": SQL_PASSAGE_DEDUP,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "label_centroid_similarity": SQL_CENTROID_SIM,
     "bm25_rank": SQL_BM25,

@@ -336,6 +336,121 @@ def passage_dedup(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup screen — the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" suffix-array duplicate-span
+    measure, re-expressed as a k-token ROLLING shingle table (every
+    overlapping k-token window, unlike ``passage_dedup``'s disjoint
+    windows, so a duplicated substring is caught at any alignment):
+
+    1. tokenize (``functions/text.py tokens``); docs with < k tokens
+       contribute no shingles;
+    2. explode every overlapping k-token window with its 0-based start
+       position, hashed to md5 INSIDE the builder lambda so the
+       pre-explode array holds 32-char digests, not k-token strings
+       (bounds the row blowup at ~32 B/shingle independent of k);
+    3. first-occurrence-wins: per shingle hash, rank occurrences by
+       (doc_id, pos) — group size = that shingle's duplicate count,
+       never a global sort; every rn > 1 occurrence marks the token
+       interval [pos, pos + k) as duplicated;
+    4. per-doc interval union WITHOUT arrays: equal-length intervals
+       sorted by pos merge iff next.pos ≤ prev.pos + k, so one
+       lag-compare + running-sum island window (partitioned by doc)
+       yields covered-token counts — max(pos) + k − min(pos) per island;
+    5. per doc: token/shingle totals, duplicated-shingle count,
+       duplicate-span token coverage, and the duplicate-span ratio in
+       floored parts-per-million (integer div — non-negative, so Spark
+       ``div`` ≡ DuckDB ``//``; CLAUDE.md negative-operand rule).
+
+    Scale shape: the shingle explode is O(total_tokens) narrow digest
+    rows; the only corpus-sized exchanges are the hash-keyed rank window
+    and the doc-keyed island window.  A degenerate corpus-dominating
+    shingle skews its rank group exactly like ``passage_dedup`` — AQE
+    skew-join territory, never O(n²).  At 100 TB swap the md5-of-text
+    digest for an incremental rolling hash (xxhash64 over a prefix-hash
+    difference) to skip re-reading each token k times; md5 is kept here
+    because both engines implement it bit-identically for the oracle.
+
+    Returns one row PER INPUT DOC (zero-duplication and < k-token docs
+    included): (id, n_tokens, n_shingles, dup_shingles, dup_tokens,
+    dup_ratio_ppm).
+    """
+    sized = _spread(df).select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("n", F.size("_toks"))
+    shingled = sized.where(F.col("n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "_h"),
+    )
+    w_h = Window.partitionBy("_h").orderBy(id_col, "pos")
+    dup = (
+        shingled.withColumn("_rn", F.row_number().over(w_h))
+        .where(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.select(
+        id_col,
+        "pos",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w_doc) + k, F.lit(1)
+        ).otherwise(F.lit(0)).alias("_brk"),
+    ).select(
+        id_col,
+        "pos",
+        F.sum("_brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_isl"),
+    )
+    per_doc = (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            (F.max("pos") + k - F.min("pos")).alias("_cov"),
+            F.count(F.lit(1)).alias("_ndup"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cov").alias("_dup_tokens"),
+            F.sum("_ndup").alias("_dup_shingles"),
+        )
+    )
+    return (
+        sized.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_tokens"),
+            F.greatest(F.col("n") - (k - 1), F.lit(0))
+            .cast("long")
+            .alias("n_shingles"),
+            F.coalesce("_dup_shingles", F.lit(0))
+            .cast("long")
+            .alias("dup_shingles"),
+            F.coalesce("_dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.when(F.col("n") <= 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(coalesce(_dup_tokens, 0) * 1000000) div n"
+                )
+            )
+            .cast("long")
+            .alias("dup_ratio_ppm"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

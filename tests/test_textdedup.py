@@ -558,6 +558,72 @@ def test_passage_dedup_semantics(spark):
     assert out == {1: (f"{p1} {p2}", 2), 2: (p3, 1)}
 
 
+def test_duplicate_substring_spans_semantics(spark):
+    """Rolling-shingle substring dedup (k=3): first occurrence wins
+    corpus-wide; overlapping/adjacent duplicated intervals merge into
+    islands; gapped repeats count separately; short/empty/null docs
+    report zeros."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # original: 4 shingles, 0 dup
+            (2, "a b c d e f"),          # exact dup: full coverage
+            (3, "x1 x2 a b c y1 y2 y3 a b c w1"),  # gapped repeat: 2 islands
+            (4, "p q a b c d r s"),      # overlapping dups (pos 2,3) merge
+            (5, "z1 a b c d e z2"),      # pos {1,2,3} one island, cov 5
+            (6, "a b"),                  # < k tokens: no shingles
+            (7, ""),                     # empty
+            (8, None),                   # null
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_shingles"], r["dup_shingles"],
+            r["dup_tokens"], r["dup_ratio_ppm"],
+        )
+        for r in duplicate_substring_spans(docs, k=3).collect()
+    }
+    assert out[1] == (6, 4, 0, 0, 0)  # first occurrence never flagged
+    assert out[2] == (6, 4, 4, 6, 1_000_000)  # [0,3)..[3,6) merge to [0,6)
+    # doc 3: "a b c" dup at pos 2 and pos 8; 8 > 2+3 -> two 3-token islands
+    assert out[3] == (12, 10, 2, 6, 500_000)
+    # doc 4: "a b c"@2 and "b c d"@3 merge -> [2,6) = 4 tokens
+    assert out[4] == (8, 6, 2, 4, 500_000)
+    # doc 5: dups at pos 1,2,3 ("a b c","b c d","c d e") -> [1,6) = 5 tokens
+    assert out[5] == (7, 5, 3, 5, 714_285)
+    assert out[6] == (2, 0, 0, 0, 0)
+    assert out[7] == (0, 0, 0, 0, 0)
+    assert out[8] == (0, 0, 0, 0, 0)
+    assert len(out) == 8  # one row per input doc, zero-dup docs included
+
+
+def test_duplicate_substring_spans_alignment(spark):
+    """A duplicated substring is caught at ANY alignment (the rolling- vs
+    disjoint-window distinction from passage_dedup): a 4-token phrase
+    shifted by one token inside an otherwise-unique doc still flags."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),              # phrase at pos 0
+            (2, "q a b c d r s t"),      # same phrase at pos 1 (shifted)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_shingles"], r["dup_tokens"])
+        for r in duplicate_substring_spans(docs, k=4).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 4)  # "a b c d"@1 flagged despite the offset
+
+
 def test_batch_cosine_topk_matches_per_query(spark):
     """One-scan batch top-k must equal running cosine_topk per query, and
     the salted phase-1 window must partition on (query_id, _salt)."""
