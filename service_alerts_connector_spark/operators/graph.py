@@ -192,6 +192,13 @@ def pointer_jump_roots(
     more than one distinct parent and raises ``ValueError`` naming the
     count — callers who must not lose rows opt in; the default keeps the
     documented deterministic min-parent repair.
+
+    DANGLING parents (a parent id with no node row — sparse ids) freeze:
+    the hop join is LEFT, so such a node keeps its pointer at the missing
+    id with ``converged = false`` and ``depth`` counting every edge
+    walked INCLUDING the dangling one — exactly where a recursive CTE's
+    join stops — instead of vanishing from the output the way an inner
+    hop would drop it (pytest-pinned).
     """
     if strict:
         conflicts = (
@@ -236,12 +243,19 @@ def pointer_jump_roots(
             F.col("ptr").alias("_pp"),
             F.col("dist").alias("_pd"),
         )
+        # LEFT join: a DANGLING pointer (parent id with no node row —
+        # sparse/corrupt hierarchies) must freeze in place with
+        # converged=false, not silently drop the node the way an inner
+        # join would (the walk truncates at the last existing edge; the
+        # recursive-CTE oracle likewise stops when the join finds no row)
         ptr = (
-            ptr.join(hop, ptr["ptr"] == hop["_pn"], "inner")
+            ptr.join(hop, ptr["ptr"] == hop["_pn"], "left")
             .select(
                 "node",
-                F.col("_pp").alias("ptr"),
-                (F.col("dist") + F.col("_pd")).alias("dist"),
+                F.coalesce(F.col("_pp"), ptr["ptr"]).alias("ptr"),
+                (F.col("dist") + F.coalesce(F.col("_pd"), F.lit(0))).alias(
+                    "dist"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -281,7 +295,10 @@ def pointer_jump_path_sum(
     Same corrupt-input armor as ``pointer_jump_roots``: duplicate node
     rows collapse deterministically (min parent, min value) BEFORE the
     loop, so the per-round self-join never amplifies; cycles exhaust the
-    round budget and surface ``converged = false`` rather than looping.
+    round budget and surface ``converged = false`` rather than looping;
+    DANGLING parents freeze via the left hop join with ``path_sum``
+    degrading to the sum over the chain's EXISTING nodes (the missing
+    "root" contributes nothing) and ``converged = false``.
     Integer budget: |value| · depth must stay under 2^63.
 
     Output: node, ``root_id``, ``depth``, ``path_sum``, ``converged``.
@@ -320,13 +337,20 @@ def pointer_jump_path_sum(
             F.col("dist").alias("_pd"),
             F.col("acc").alias("_pa"),
         )
+        # LEFT join freezes dangling pointers (see pointer_jump_roots):
+        # the accumulator keeps its half-open [u, dangling-ptr) sum — every
+        # EXISTING ancestor's value — instead of the node vanishing
         ptr = (
-            ptr.join(hop, ptr["ptr"] == hop["_pn"], "inner")
+            ptr.join(hop, ptr["ptr"] == hop["_pn"], "left")
             .select(
                 "node",
-                F.col("_pp").alias("ptr"),
-                (F.col("dist") + F.col("_pd")).alias("dist"),
-                (F.col("acc") + F.col("_pa")).alias("acc"),
+                F.coalesce(F.col("_pp"), ptr["ptr"]).alias("ptr"),
+                (F.col("dist") + F.coalesce(F.col("_pd"), F.lit(0))).alias(
+                    "dist"
+                ),
+                (F.col("acc") + F.coalesce(F.col("_pa"), F.lit(0))).alias(
+                    "acc"
+                ),
             )
             .localCheckpoint(eager=True)
         )
@@ -335,12 +359,17 @@ def pointer_jump_path_sum(
     )
     return (
         ptr.join(roots, ptr["ptr"] == roots["_root"], "left")
-        .join(root_vals, ptr["ptr"] == root_vals["_rv_node"], "inner")
+        # LEFT: a dangling final pointer has no root row and no value to
+        # close the half-open interval with — path_sum degrades to the
+        # existing-chain sum, converged stays false
+        .join(root_vals, ptr["ptr"] == root_vals["_rv_node"], "left")
         .select(
             "node",
             F.col("ptr").alias("root_id"),
             F.col("dist").alias("depth"),
-            (F.col("acc") + F.col("_rv_val")).cast("long").alias("path_sum"),
+            (F.col("acc") + F.coalesce(F.col("_rv_val"), F.lit(0)))
+            .cast("long")
+            .alias("path_sum"),
             F.col("_root").isNotNull().alias("converged"),
         )
     )

@@ -182,3 +182,97 @@ def test_pointer_jump_roots_cycle_degrades_gracefully(spark):
         assert converged is False
         assert root_id in (1, 2)  # pointer still inside the cycle
         assert depth == 2 ** 5    # doubling walked the cycle, bounded
+
+
+def test_pointer_jump_dangling_parent_freezes(spark):
+    """A node whose parent id has NO node row (sparse/corrupt ids) must
+    freeze at the missing pointer with converged=false — never vanish
+    (the inner-hop regression this pins: the node used to drop from the
+    output entirely while a recursive CTE keeps it with a truncated
+    walk)."""
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_roots,
+    )
+
+    edges = [
+        (1, 1), (2, 1), (3, 2),  # healthy chain 3->2->1(root)
+        (5, 99),                 # 99 has no node row
+        (6, 5),                  # chains INTO the dangling node
+    ]
+    df = spark.createDataFrame(edges, "node long, parent long")
+    got = {
+        r["node"]: (r["root_id"], r["depth"], r["converged"])
+        for r in pointer_jump_roots(df, iterations=4).collect()
+    }
+    assert len(got) == 5  # nobody dropped
+    assert got[1] == (1, 0, True)
+    assert got[2] == (1, 1, True)
+    assert got[3] == (1, 2, True)
+    # the walk truncates where a recursive CTE's join finds no row:
+    # pointer frozen at the missing id, depth = edges walked incl. the
+    # dangling edge
+    assert got[5] == (99, 1, False)
+    assert got[6] == (99, 2, False)
+
+
+def test_pointer_jump_path_sum_dangling_matches_recursive_cte(spark):
+    """Sparse-id path sums vs an independent DuckDB recursive CTE that
+    walks the same edges until the parent join finds no row: existing-
+    chain sums must agree exactly, dangling nodes flag converged=false."""
+    import duckdb
+
+    from service_alerts_connector_spark.operators.graph import (
+        pointer_jump_path_sum,
+    )
+
+    edges = [
+        (1, 1, 10), (2, 1, 20), (3, 2, 30),  # healthy chain, root 1
+        (5, 99, 50),                          # dangling parent 99
+        (6, 5, 60),                           # chains into the dangling node
+    ]
+    df = spark.createDataFrame(edges, "node long, parent long, value long")
+    got = {
+        r["node"]: (r["root_id"], r["depth"], r["path_sum"], r["converged"])
+        for r in pointer_jump_path_sum(df, iterations=4).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(node BIGINT, parent BIGINT, value BIGINT)"
+    )
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", edges)
+    # walk upward; stop at a root (parent = node) or when the parent id
+    # has no row (dangling) — accumulate every EXISTING node's value
+    cte = con.execute(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT node AS start, node, parent, value AS s, 0 AS d,
+                 (parent = node) AS at_root
+          FROM e
+          UNION ALL
+          SELECT w.start, p.node, p.parent, w.s + p.value, w.d + 1,
+                 (p.parent = p.node)
+          FROM walk w JOIN e p ON p.node = w.parent
+          WHERE NOT w.at_root
+        )
+        SELECT start,
+               arg_max(node, d) AS last_node,
+               arg_max(at_root, d) AS resolved,
+               arg_max(s, d) AS chain_sum,
+               max(d) AS steps
+        FROM walk GROUP BY start
+        """
+    ).df().set_index("start")
+    assert len(got) == len(cte)
+    for n, (root_id, depth, path_sum, conv) in got.items():
+        row = cte.loc[n]
+        assert bool(row["resolved"]) == conv, n
+        assert path_sum == int(row["chain_sum"]), n
+        if conv:
+            assert root_id == int(row["last_node"]), n
+            assert depth == int(row["steps"]), n
+        else:
+            # frozen at the missing id, one PAST the CTE's last row
+            assert depth == int(row["steps"]) + 1, n
+    assert got[5] == (99, 1, 50, False)
+    assert got[6] == (99, 2, 110, False)
