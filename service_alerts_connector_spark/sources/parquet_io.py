@@ -27,10 +27,19 @@ def _dataset_root(root: str, dataset: str) -> Path:
 
 
 def list_versions(root: str, dataset: str) -> list[str]:
+    """Committed versions only: a write interrupted mid-job leaves a
+    version directory WITHOUT Spark's ``_SUCCESS`` commit marker, and a
+    restarted ingest must never pin reads to (or merge from) that torn
+    state — uncommitted directories are invisible here and get cleaned up
+    by the next successful ``write_dataset``'s prune pass."""
     vdir = _dataset_root(root, dataset) / "versions"
     if not vdir.exists():
         return []
-    return sorted(p.name for p in vdir.iterdir() if p.is_dir())
+    return sorted(
+        p.name
+        for p in vdir.iterdir()
+        if p.is_dir() and (p / "_SUCCESS").exists()
+    )
 
 
 def write_dataset(
@@ -58,6 +67,12 @@ def write_dataset(
     versions = list_versions(root, dataset)
     for stale in versions[:-prune] if prune else []:
         shutil.rmtree(base / "versions" / stale, ignore_errors=True)
+    # sweep torn directories from interrupted writes (no _SUCCESS — never
+    # listed, so the retention loop above can't reach them); the version
+    # just written is committed and always in `versions`
+    for p in (base / "versions").iterdir():
+        if p.is_dir() and p.name not in versions and p.name != ts:
+            shutil.rmtree(p, ignore_errors=True)
 
     if latest_copy:
         current = base / "current"

@@ -1,0 +1,187 @@
+"""Chaos/interruption coverage for the persistent versioned stores.
+
+The stateful ingest loops (textdedup.incremental_dedup_batch,
+sketches.incremental_hll_ingest) claim convergence to the batch-mode
+answer under at-least-once redelivery.  Happy-path tests can't prove
+that; these interrupt a real ingest at the two crash points the
+snapshot-write-last discipline (CLAUDE.md) exposes:
+
+* AFTER the version directory commits but BEFORE the ``current``
+  snapshot refresh (injected by a write_dataset wrapper that skips the
+  latest copy and then raises, modeling a process death between the two
+  filesystem operations);
+* MID version write — a torn directory with data files but no
+  ``_SUCCESS`` commit marker (built directly on disk, modeling a killed
+  Spark write job).
+
+After each crash the batch is redelivered and the test asserts the
+store and the returned answer converge to exactly what an uninterrupted
+run produces.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import service_alerts_connector_spark.sources.parquet_io as pio
+from service_alerts_connector_spark.operators.sketches import (
+    HLL_STORE,
+    hll_estimate,
+    hll_registers,
+    incremental_hll_ingest,
+)
+from service_alerts_connector_spark.operators.textdedup import (
+    BAND_STORE,
+    incremental_dedup_batch,
+)
+from service_alerts_connector_spark.sources.parquet_io import (
+    list_versions,
+    read_dataset,
+)
+
+
+@pytest.fixture()
+def crash_before_snapshot(monkeypatch):
+    """Arm write_dataset to die between the version commit and the
+    ``current`` refresh — exactly once, then restore normal behavior
+    (the restart)."""
+    real = pio.write_dataset
+    state = {"armed": False}
+
+    def wrapper(df, root, dataset, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            kw["latest_copy"] = False
+            real(df, root, dataset, **kw)
+            raise RuntimeError("injected crash: died before snapshot refresh")
+        return real(df, root, dataset, **kw)
+
+    monkeypatch.setattr(pio, "write_dataset", wrapper)
+
+    def arm():
+        state["armed"] = True
+
+    return arm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _uniq(n: int) -> str:
+    return " ".join(f"w{n}x{j}" for j in range(10))
+
+
+def _store_rows(spark, root, dataset):
+    return sorted(map(tuple, read_dataset(spark, root, dataset).collect()))
+
+
+def test_dedup_ingest_crash_before_snapshot_converges(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Kill the band-store ingest after its version write; redeliver the
+    batch.  The store must equal an uninterrupted run's store (each
+    admitted doc's bands exactly once — no double admission), and the
+    redelivery must admit nothing it already stored."""
+    chaos, control = str(tmp_path / "chaos"), str(tmp_path / "control")
+    batch1 = _docs(spark, [(i, _uniq(i * 7919)) for i in range(3)])
+    batch2 = _docs(
+        spark,
+        [
+            (10, _uniq(0)),      # exact dup of doc 0 (batch 1)
+            (11, _uniq(999)),    # genuinely new
+            (12, _uniq(999)),    # intra-batch dup of 11
+        ],
+    )
+
+    for root in (chaos, control):
+        admitted1 = sorted(
+            r["doc_id"]
+            for r in incremental_dedup_batch(spark, root, batch1).collect()
+        )
+        assert admitted1 == [0, 1, 2]
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_dedup_batch(spark, chaos, batch2).collect()
+
+    # restart: the batch is redelivered at-least-once
+    retry = incremental_dedup_batch(spark, chaos, batch2)
+    # everything in batch2 now collides with the crashed attempt's own
+    # stored bands — nothing is admitted twice
+    assert retry.count() == 0
+
+    clean = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_batch(spark, control, batch2).collect()
+    )
+    assert clean == [11]
+
+    chaos_store = _store_rows(spark, chaos, BAND_STORE)
+    control_store = _store_rows(spark, control, BAND_STORE)
+    assert chaos_store == control_store
+    assert len(chaos_store) == len(set(chaos_store))  # no duplicated bands
+
+
+def test_hll_ingest_crash_before_snapshot_converges(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Kill the HLL register ingest after its version write; redeliver.
+    Max-merge is idempotent, so the re-merged store and the estimate must
+    equal one batch-mode pass over the union of all batches."""
+    root = str(tmp_path)
+    b1 = spark.range(0, 2_000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    b2 = spark.range(1_500, 3_500).select(  # overlaps b1
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    incremental_hll_ingest(spark, root, b1, "k", ["g"])
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_hll_ingest(spark, root, b2, "k", ["g"])
+
+    est = incremental_hll_ingest(spark, root, b2, "k", ["g"])
+
+    union = b1.unionByName(b2)
+    batch_est = hll_estimate(hll_registers(union, "k", ["g"]), ["g"])
+    assert sorted(map(tuple, est.collect())) == sorted(
+        map(tuple, batch_est.collect())
+    )
+    assert _store_rows(spark, root, HLL_STORE) == sorted(
+        map(tuple, hll_registers(union, "k", ["g"]).collect())
+    )
+
+
+def test_torn_version_dir_is_invisible_and_swept(spark, tmp_path):
+    """A write killed mid-job leaves a version directory without
+    _SUCCESS.  It must never be listed (a restarted ingest would
+    otherwise pin its reads to torn state), and the next successful
+    write sweeps it."""
+    root = str(tmp_path)
+    b1 = spark.range(0, 1_000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    incremental_hll_ingest(spark, root, b1, "k", ["g"])
+    good = list_versions(root, HLL_STORE)
+    assert len(good) == 1
+
+    torn = tmp_path / HLL_STORE / "versions" / "99991231T235959999999"
+    torn.mkdir(parents=True)
+    (torn / "part-00000.parquet").write_bytes(b"\x00garbage: not parquet")
+    assert list_versions(root, HLL_STORE) == good  # torn dir invisible
+
+    # the redelivered batch pins its read to the committed version and
+    # converges exactly as if the torn write never happened
+    b2 = spark.range(500, 2_000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    est = incremental_hll_ingest(spark, root, b2, "k", ["g"])
+    union = b1.unionByName(b2)
+    batch_est = hll_estimate(hll_registers(union, "k", ["g"]), ["g"])
+    assert sorted(map(tuple, est.collect())) == sorted(
+        map(tuple, batch_est.collect())
+    )
+    assert not torn.exists()  # swept by the successful write's prune pass
