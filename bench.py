@@ -103,8 +103,9 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "passage_dedup",
-    # round-9 addition: rolling-shingle substring-span dedup
+    # round-9 additions: rolling-shingle substring-span dedup, SemDeDup
     "dedup_substring_spans",
+    "semdedup_fixed",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions
@@ -234,7 +235,7 @@ def _tier_of(name: str) -> str:
         return "tpch"
     if name.startswith("multimodal"):
         return "media"
-    if name.startswith(("ann_", "embedding_", "kmeans")):
+    if name.startswith(("ann_", "embedding_", "kmeans", "semdedup")):
         return "ann"
     if name.startswith(("dedup_", "text_", "bpe", "ngram", "passage",
                         "contamination", "corpus", "vocab", "doc_",

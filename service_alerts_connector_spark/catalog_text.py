@@ -879,6 +879,108 @@ WHERE round(list_dot_product(ea.v, eb.v)
 SQL_DEDUP_EMB = _sql_dedup_emb()
 
 
+def q_semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with pinned centroids over a corpus that contains
+    duplicates (embeddings ∪ id-shifted copy, as in
+    ``dedup_embedding_cosine``): assign to the milli-quantized centroids
+    of vec_id 1..4, LSH-bound within-cluster candidate pairs, drop the
+    closer-to-centroid member of every cosine ≥ 0.9 pair (tie → keep the
+    smaller id, so every original survives its shifted twin) —
+    `operators/similarity.py semantic_dedup`."""
+    import math
+
+    from service_alerts_connector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = (
+        emb.where(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()  # bounded: 4 rows
+    )
+    cents_milli = [
+        [math.floor(float(x) * 1000.0) for x in r["embedding"]]
+        for r in cent_rows
+    ]
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(_NDUP_SHIFT)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(shifted)
+    return semantic_dedup(
+        corpus, cents_milli, threshold=0.9,
+        n_planes=32, n_bands=_NDUP_BANDS, seed=7,
+    )
+
+
+def _sql_semdedup() -> str:
+    r = len(_NDUP_PLANES) // _NDUP_BANDS
+    band_cols = ",\n         ".join(
+        f"{_sql_band_bucket('v', _NDUP_PLANES, b, r)} AS bb{b}"
+        for b in range(_NDUP_BANDS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS ia, c.vec_id AS ib FROM b a JOIN b c"
+        f" ON a.cell = c.cell AND a.bb{b} = c.bb{b} AND a.vec_id < c.vec_id"
+        for b in range(_NDUP_BANDS)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), u AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + {_NDUP_SHIFT} AS vec_id, v FROM e0
+), um AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS xm
+  FROM u
+), ed AS (
+  SELECT vec_id, generate_subscripts(xm, 1) AS i, unnest(xm) AS x FROM um
+), cd AS (
+  SELECT CAST(vec_id - 1 AS INTEGER) AS cell,
+         generate_subscripts(xm, 1) AS i, unnest(xm) AS c
+  FROM um WHERE vec_id BETWEEN 1 AND 4
+), dists AS (
+  SELECT e.vec_id, c.cell, sum((e.x - c.c) * (e.x - c.c)) AS d2
+  FROM ed e JOIN cd c USING (i) GROUP BY e.vec_id, c.cell
+), assign AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2 ASC, cell ASC
+           ) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), b AS (
+  SELECT a.vec_id, a.cell, a.d2, um.v,
+         {band_cols}
+  FROM assign a JOIN um USING (vec_id)
+), cand AS (
+{cand_union}
+), losers AS (
+  SELECT DISTINCT
+         CASE WHEN ea.d2 > eb.d2 THEN ib
+              WHEN eb.d2 > ea.d2 THEN ia
+              ELSE greatest(ia, ib) END AS vec_id
+  FROM cand
+  JOIN b ea ON ea.vec_id = ia
+  JOIN b eb ON eb.vec_id = ib
+  WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v))
+                 * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
+)
+SELECT a.vec_id, a.cell, CAST(a.d2 AS BIGINT) AS d2_milli,
+       (l.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN losers l USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+
 def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency (token tiebreak) —
     the fan-in aggregation every corpus pipeline runs for vocab builds."""
@@ -1773,6 +1875,7 @@ TEXT_QUERIES = {
     "ann_ivf_fixed": q_ann_ivf_fixed,
     "ann_pq_fixed": q_ann_pq_fixed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "semdedup_fixed": q_semdedup_fixed,
     "embedding_sq8": q_embedding_sq8,
     "ann_sq8": q_ann_sq8,
     "ann_batch": q_ann_batch,
@@ -1818,4 +1921,5 @@ TEXT_ORACLES = {
     "ann_ivf_fixed": SQL_ANN_IVF_FIXED,
     "ann_pq_fixed": SQL_ANN_PQ_FIXED,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
+    "semdedup_fixed": SQL_SEMDEDUP,
 }

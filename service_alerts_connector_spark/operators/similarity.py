@@ -648,6 +648,146 @@ def bucket_overflow_stats(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids_milli: list[list[int]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") as a deterministic Spark
+    plan: cluster embeddings, then drop all-but-one of every within-
+    cluster group whose pairwise cosine clears ``threshold``, keeping the
+    member FARTHEST from its centroid (the paper's keep-low-centroid-
+    similarity rule; it preserves the cluster's outer shell).
+
+    Deterministic re-expression of the paper's three stages:
+
+    1. assignment — pinned ``centroids_milli`` (the oracled complement of
+       iterative training, exactly like ``kmeans_update_stats``): exact
+       bigint squared-L2 on floor(x·1000) coordinates, first-wins ties;
+    2. candidate generation — the paper compares ALL pairs inside a
+       cluster (O(|cluster|²)); here pairs must ALSO share a banded
+       sign-LSH bucket (``embedding_near_dup_pairs`` machinery keyed by
+       (cell, band, bucket)), which keeps the 100 TB path bounded:
+       candidates ≈ genuinely-similar pairs, recall for exact duplicates
+       = 1.0 under any banding, near-threshold recall is the measured
+       module-docstring model;
+    3. drop rule — a vector is dropped iff SOME surviving-or-not
+       candidate neighbour beats it under the strict total priority
+       (larger d2_milli, then smaller id).  The exists-form is non-
+       transitive (a chain a~b, b~c with a≁c drops both b and c) but
+       engine-portable and one aggregation — no sequential greedy pass.
+
+    Returns one row per input vector: (id, cell, d2_milli, kept) —
+    the audit frame a curation pipeline filters on ``kept``.
+    """
+    dim = _infer_dim(df, vec_col)
+    planes = seeded_hyperplanes(n_planes, dim, seed)
+    xm = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.floor(v * F.lit(1000.0)).cast("bigint"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vd"),
+        xm.alias("_xm"),
+    )
+    best_cell = None
+    best_dist = None
+    for ci, c in enumerate(centroids_milli):
+        carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        diff = F.zip_with(F.col("_xm"), carr, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        if best_cell is None:
+            best_cell, best_dist = F.lit(ci), d
+        else:
+            cond = d < best_dist
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    assigned = base.select(
+        "_id",
+        "_vd",
+        best_cell.cast("int").alias("cell"),
+        best_dist.alias("d2_milli"),
+    )
+    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    cells = assigned.select(
+        "_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bands[b].alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "cell", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket"))
+    candidates = (
+        cells.groupBy("cell", "band", "bucket")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket).alias(
+                "ids"
+            )
+        )
+        .where(F.size("ids") > 1)
+        .select(_pair_explode("ids"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    vecs = assigned.select(
+        "_id", "_vd", _norm(F.col("_vd")).alias("_n"), "d2_milli"
+    )
+    pair_cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    losers = (
+        candidates.join(
+            vecs.select(
+                F.col("_id").alias("id_a"),
+                F.col("_vd").alias("_va"),
+                F.col("_n").alias("_na"),
+                F.col("d2_milli").alias("_d2a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("_id").alias("id_b"),
+                F.col("_vd").alias("_vb"),
+                F.col("_n").alias("_nb"),
+                F.col("d2_milli").alias("_d2b"),
+            ),
+            "id_b",
+        )
+        .where(pair_cos >= threshold)
+        .select(
+            F.when(F.col("_d2a") > F.col("_d2b"), F.col("id_b"))
+            .when(F.col("_d2b") > F.col("_d2a"), F.col("id_a"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("_id")
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(losers, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "d2_milli",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the schema when it is a fixed-size
     metadata field, else from one bounded head row (dimension is a property

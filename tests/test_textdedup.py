@@ -558,6 +558,36 @@ def test_passage_dedup_semantics(spark):
     assert out == {1: (f"{p1} {p2}", 2), 2: (p3, 1)}
 
 
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup drop rule on a planted 2-cluster corpus: within every
+    cosine ≥ 0.9 group the member with the LARGEST centroid distance
+    survives (the paper's keep-low-centroid-similarity rule), ties keep
+    the smaller id, singletons always survive."""
+    from service_alerts_connector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = [[1000, 0, 0, 0], [0, 1000, 0, 0]]
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),     # cluster 0, closest to c0
+        (2, [0.9, 0.009, 0.0, 0.0]),    # = 0.9·v1 -> cos 1.0, farther
+        (3, [0.0, 1.0, 0.0, 0.0]),      # cluster 1, on the centroid
+        (4, [0.0, 0.999, 0.04, 0.0]),   # cos(v3,v4) ~ 0.9992, farther
+        (5, [0.9, 0.009, 0.0, 0.0]),    # exact dup of 2: tie -> 5 drops
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert got[1] == (0, False)  # beaten by its farther scalar multiple
+    assert got[2] == (0, True)
+    assert got[3] == (1, False)  # centroid point loses to its shell twin
+    assert got[4] == (1, True)
+    assert got[5] == (0, False)  # exact-dup tie: smaller id 2 survives
+    assert len(got) == 5         # audit frame covers every input row
+
+
 def test_duplicate_substring_spans_semantics(spark):
     """Rolling-shingle substring dedup (k=3): first occurrence wins
     corpus-wide; overlapping/adjacent duplicated intervals merge into
