@@ -587,3 +587,44 @@ def test_round7_queries_plan_shapes(spark):
     p = _plan(q_winsorized_mean_value(spark, SF_DIR))
     assert "collect_list" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round9_dedup_queries_plan_shapes(spark):
+    """The two round-9 dedup operators keep their scale-safe shapes:
+
+    * dedup_substring_spans — shingles shuffle as md5 DIGESTS (the
+      32 B/shingle claim: no k-token chunk text ever reaches an
+      exchange), rank + island windows partitioned (hash / doc), no
+      quadratic joins;
+    * semdedup_fixed — centroid assignment is expression-only (no join
+      to a centroid table), candidates come from the capped bucket
+      groupBy + pair explode (never a vector self-join), no BNLJ /
+      cartesian anywhere.
+    """
+    from service_alerts_connector_spark.catalog_corpus import (
+        q_dedup_substring_spans,
+    )
+    from service_alerts_connector_spark.catalog_text import q_semdedup_fixed
+
+    p = _plan(q_dedup_substring_spans(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # rank window keyed on the digest, islands + final agg on the doc
+    assert "windowspecdefinition(_h" in p
+    assert "windowspecdefinition(doc_id" in p
+    # the digest is hashed BEFORE the explode: md5 must appear inside the
+    # Generate input, not downstream of it (chunk text never shuffles)
+    gen_line = next(l for l in p.splitlines() if "Generate posexplode" in l)
+    assert "md5" in gen_line
+
+    p = _plan(q_semdedup_fixed(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "collect_list" not in p  # capped collect_set only
+    # pair generation is the bucket groupBy + explode, never a join of
+    # the vector table to itself on a similarity predicate: every join
+    # in the plan keys on an id column (verify joins on id_a/id_b, the
+    # audit frame's left join on _id)
+    for line in p.splitlines():
+        if "Join" in line and "Reused" not in line:
+            assert re.search(r"\[(?:_id|id_a|id_b)#\d+L\]", line), line
