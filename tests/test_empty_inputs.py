@@ -224,3 +224,74 @@ def test_round5_operators_partitioning_invariant(spark):
         pointer_jump_roots(edf.repartition(9), iterations=6).collect()
     )
     assert a == b
+
+
+def test_round9_operators_on_empty_input(spark):
+    from service_alerts_connector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+    )
+
+    docs = _empty_docs(spark)
+    assert duplicate_substring_spans(docs, k=3).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    # dim inference needs one row; empty corpus is a defined error upstream
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot infer dim"):
+        semantic_dedup(emb, [[1000, 0]], threshold=0.9)
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = semantic_dedup(one, [[1000, 0], [0, 1000]]).collect()
+    assert len(got) == 1 and got[0]["kept"] is True  # singleton survives
+
+
+def test_round9_operators_partitioning_invariant(spark):
+    """Same answers under any input partitioning (the distributed-
+    determinism claim both round-9 drop rules make)."""
+    import random
+
+    from service_alerts_connector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+        for i in range(60)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, duplicate_substring_spans(ddf, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_substring_spans(ddf.repartition(7), k=3).collect(),
+        )
+    )
+    assert a == b
+
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)
+    ] + [(100 + i, [1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) for i in range(4)]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [[1000, 0, 0, 0, 0, 0, 0, 0], [0, 1000, 0, 0, 0, 0, 0, 0]]
+    a = sorted(map(tuple, semantic_dedup(edf, cents, threshold=0.9).collect()))
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                edf.repartition(5), cents, threshold=0.9
+            ).collect(),
+        )
+    )
+    assert a == b
+    # the four planted exact duplicates: exactly one survivor among them
+    planted = {t[0]: t[3] for t in a if t[0] >= 100}
+    assert sum(planted.values()) == 1 and planted[100] is True

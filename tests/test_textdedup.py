@@ -631,6 +631,60 @@ def test_duplicate_substring_spans_semantics(spark):
     assert len(out) == 8  # one row per input doc, zero-dup docs included
 
 
+def test_duplicate_substring_spans_matches_brute_force(spark):
+    """Seeded random corpus vs an independent pure-Python reference
+    (explicit position sets, no interval arithmetic): counts, coverage,
+    and ppm ratios must agree on every doc."""
+    import random
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+    )
+
+    k = 3
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(7)]  # tiny vocab -> dense collisions
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 28))))
+        for i in range(40)
+    ]
+
+    toks = {i: t.lower().split() for i, t in rows}
+    occ: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        tt = toks[i]
+        for p in range(len(tt) - k + 1):
+            occ.setdefault(tuple(tt[p : p + k]), []).append((i, p))
+    expected = {}
+    dup_pos: dict[int, set[int]] = {i: set() for i in toks}
+    dup_cnt = {i: 0 for i in toks}
+    for places in occ.values():
+        for d, p in sorted(places)[1:]:  # first occurrence wins
+            dup_cnt[d] += 1
+            dup_pos[d].update(range(p, p + k))
+    for i, tt in toks.items():
+        n = len(tt)
+        cov = len(dup_pos[i])
+        expected[i] = (
+            n,
+            max(n - k + 1, 0),
+            dup_cnt[i],
+            cov,
+            (cov * 1_000_000) // n if n else 0,
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_shingles"], r["dup_shingles"],
+            r["dup_tokens"], r["dup_ratio_ppm"],
+        )
+        for r in duplicate_substring_spans(df, k=k).collect()
+    }
+    assert got == expected
+    assert any(v[2] > 0 for v in got.values())  # non-vacuous: dups exist
+
+
 def test_duplicate_substring_spans_alignment(spark):
     """A duplicated substring is caught at ANY alignment (the rolling- vs
     disjoint-window distinction from passage_dedup): a 4-token phrase
