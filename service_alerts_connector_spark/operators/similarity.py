@@ -698,24 +698,47 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("_vd"),
         xm.alias("_xm"),
     )
-    best_cell = None
-    best_dist = None
+    # Distances STAGED as k columns, argmin in a second projection: a
+    # kmeans_update_stats-style nested-when chain embeds every distance
+    # fold repeatedly (the cond AND both branches reference it), so each
+    # 64-dim fold appears up to 2^(k-1) times in the final tree —
+    # measured ~20% of the whole query at sf0.1.  array_min over
+    # (d2, cell) structs keeps the exact first-wins tie rule.
+    dist_cols = []
     for ci, c in enumerate(centroids_milli):
         carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
         diff = F.zip_with(F.col("_xm"), carr, lambda x, y: (x - y) * (x - y))
-        d = F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-        if best_cell is None:
-            best_cell, best_dist = F.lit(ci), d
-        else:
-            cond = d < best_dist
-            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-            best_dist = F.when(cond, d).otherwise(best_dist)
-    assigned = base.select(
+        dist_cols.append(
+            F.aggregate(
+                diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias(f"_d{ci}")
+        )
+    staged = base.select("_id", "_vd", *dist_cols)
+    m = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_d{ci}").alias("d2"),
+                    F.lit(ci).cast("int").alias("cell"),
+                )
+                for ci in range(len(centroids_milli))
+            ]
+        )
+    )
+    # localCheckpoint pins ONE evaluation of the scan+quantize+assign
+    # subtree: it feeds four downstream branches (band cells, both verify
+    # sides, the audit join), which would otherwise each recompute it —
+    # and, as with sorted_neighborhood's eager-build contract, a
+    # nondeterministic upstream must not hand different branches
+    # different rows.  MEMORY_AND_DISK blocks, corpus-sized: the working
+    # set a real pipeline persists anyway.
+    assigned = staged.select(
         "_id",
         "_vd",
-        best_cell.cast("int").alias("cell"),
-        best_dist.alias("d2_milli"),
-    )
+        m["cell"].alias("cell"),
+        m["d2"].alias("d2_milli"),
+        _norm(F.col("_vd")).alias("_n"),
+    ).localCheckpoint(eager=False)
     bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
     cells = assigned.select(
         "_id",
@@ -741,15 +764,12 @@ def semantic_dedup(
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    vecs = assigned.select(
-        "_id", "_vd", _norm(F.col("_vd")).alias("_n"), "d2_milli"
-    )
     pair_cos = F.round(
         _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
     )
     losers = (
         candidates.join(
-            vecs.select(
+            assigned.select(
                 F.col("_id").alias("id_a"),
                 F.col("_vd").alias("_va"),
                 F.col("_n").alias("_na"),
@@ -758,7 +778,7 @@ def semantic_dedup(
             "id_a",
         )
         .join(
-            vecs.select(
+            assigned.select(
                 F.col("_id").alias("id_b"),
                 F.col("_vd").alias("_vb"),
                 F.col("_n").alias("_nb"),
