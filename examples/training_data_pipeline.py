@@ -3,11 +3,14 @@
 Run:  python examples/training_data_pipeline.py [sf_dir]
       (default /root/testdata/sf0.001)
 
-Flow: documents → quality gate → exact dedup → near dedup (MinHash+LSH)
-→ leakage-safe train/val/test split → chunk → pack into fixed token
+Flow: documents → quality gate → substring-span screen (rolling-shingle
+Lee-et-al dedup audit) → exact dedup → near dedup (MinHash+LSH) →
+leakage-safe train/val/test split → chunk → pack into fixed token
 budgets.  Every stage is the same operator the catalog exposes (and the
 DuckDB oracle checks); this file just strings them together the way a
-pipeline team would.
+pipeline team would.  (The embedding-side variant of stage 2/3 is
+``operators/similarity.semantic_dedup`` — SemDeDup — exposed as the
+``semdedup_fixed`` catalog query.)
 """
 
 import pathlib
@@ -25,6 +28,7 @@ from service_alerts_connector_spark.operators.chunking import (
     pack_bins,
 )
 from service_alerts_connector_spark.operators.textdedup import (
+    duplicate_substring_spans,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -45,21 +49,33 @@ def main() -> None:
     gated = docs.where(token_count(F.col("text")) >= 5)
     print(f"after quality gate: {gated.count()}")
 
-    # 2. exact dedup, then near-dedup keep-representative over LSH pairs
-    exact_kept = exact_dedup(gated, "text", "doc_id")
+    # 2. substring-span screen: drop docs that are mostly duplicated
+    #    spans of earlier docs (>50% of tokens inside repeated 8-token
+    #    shingles) — catches boilerplate-heavy and partially-copied docs
+    #    that whole-doc dedup below would keep
+    spans = duplicate_substring_spans(gated, k=8)
+    screened = gated.join(
+        spans.where(F.col("dup_ratio_ppm") <= 500_000).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    print(f"after substring-span screen: {screened.count()}")
+
+    # 3. exact dedup, then near-dedup keep-representative over LSH pairs
+    exact_kept = exact_dedup(screened, "text", "doc_id")
     sigs = minhash_signatures(exact_kept, num_hashes=8, shingle_k=3)
     pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
     kept = near_dedup_keep(exact_kept, pairs, "doc_id")
     print(f"after exact+near dedup: {kept.count()}")
 
-    # 3. leakage-safe split (cluster-aware: near-dups never straddle
+    # 4. leakage-safe split (cluster-aware: near-dups never straddle
     #    train and held-out)
     split = q_leakage_safe_split(spark, sf_dir).join(
         kept, "doc_id", "left_semi"
     )
     split.groupBy("split").count().orderBy("split").show()
 
-    # 4. chunk to 64-token windows (16 overlap), pack into 256-token bins
+    # 5. chunk to 64-token windows (16 overlap), pack into 256-token bins
     #    across 4 shards (packing parallelizes per shard)
     chunks = chunk_documents(
         kept, "doc_id", "text", chunk_tokens=64, overlap_tokens=16
