@@ -155,14 +155,14 @@ _DRIVER_SAMPLED = frozenset(
 # round, then (b) the oracled queries that have never appeared in any
 # CORRECTNESS_r01-r08 sample (set reproduced by key-diffing those files
 # against queries()).  The driver certifies the first 50; keys past
-# position 50 roll to round 10 — type_transitions (sibling of
-# type_cooccurrence, certified this round) plus three near-duplicates of
-# already-certified siblings (config_fanout_1k ~ config_join_fanout,
-# gap_fill_locf ~ gap_fill_interp, length_outlier_filter ~
-# text_length_histogram).
+# position 50 roll to round 10 — type_cooccurrence / type_transitions
+# (self-similar pair) plus three near-duplicates of already-certified
+# siblings (config_fanout_1k ~ config_join_fanout, gap_fill_locf ~
+# gap_fill_interp, length_outlier_filter ~ text_length_histogram).
 _R9_LEAD = (
     # (a) new this round
     "dedup_substring_spans",
+    "dedup_substring_strip",
     "semdedup_fixed",
     # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
     "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",

@@ -103,8 +103,10 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "passage_dedup",
-    # round-9 additions: rolling-shingle substring-span dedup, SemDeDup
+    # round-9 additions: rolling-shingle substring-span dedup (audit +
+    # strip halves), SemDeDup
     "dedup_substring_spans",
+    "dedup_substring_strip",
     "semdedup_fixed",
     "ann_batch",
     "event_value_quantiles",

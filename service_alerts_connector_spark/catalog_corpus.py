@@ -801,6 +801,60 @@ ORDER BY s.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Substring-span removal — the strip half of Lee-et-al substring dedup
+# ---------------------------------------------------------------------------
+def q_dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassemble every document with its duplicated 8-token spans
+    deleted (first corpus-wide occurrence survives intact; fully-covered
+    docs vanish) — `operators/textdedup.py strip_duplicate_spans`, the
+    removal companion of `dedup_substring_spans`' audit."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, k=8)
+
+
+SQL_DEDUP_SUBSTRING_STRIP = f"""
+WITH sized AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), sh AS (
+  SELECT doc_id, toks, unnest(range(n - 7)) AS pos
+  FROM sized WHERE n >= 8
+), hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS h
+  FROM sh
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM hashed
+), covered AS (
+  SELECT DISTINCT doc_id, pos + t.x AS tp
+  FROM ranked, range(0, 8) t(x) WHERE rn > 1
+), tokpos AS (
+  SELECT doc_id, n,
+         unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) - 1 AS tp
+  FROM sized WHERE n > 0
+), kept AS (
+  SELECT t.doc_id, t.n, t.tok, t.tp
+  FROM tokpos t LEFT JOIN covered c
+    ON c.doc_id = t.doc_id AND c.tp = t.tp
+  WHERE c.doc_id IS NULL
+)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY tp) AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens_kept,
+       CAST(max(n) - count(*) AS BIGINT) AS n_tokens_dropped
+FROM kept
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve — "how big a vocab covers X% of occurrences?"
 # ---------------------------------------------------------------------------
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,6 +1482,7 @@ CORPUS_QUERIES = {
     "length_quantile_sketch": q_length_quantile_sketch,
     "passage_dedup": q_passage_dedup,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_substring_strip": q_dedup_substring_strip,
     "vocab_coverage": q_vocab_coverage,
     "label_centroid_similarity": q_label_centroid_similarity,
     "bm25_rank": q_bm25_rank,
@@ -1459,6 +1514,7 @@ CORPUS_ORACLES = {
     "length_quantile_sketch": _sql_length_quantiles(),
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "dedup_substring_strip": SQL_DEDUP_SUBSTRING_STRIP,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "label_centroid_similarity": SQL_CENTROID_SIM,
     "bm25_rank": SQL_BM25,

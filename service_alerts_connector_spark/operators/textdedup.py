@@ -336,6 +336,35 @@ def passage_dedup(
     )
 
 
+def _duplicate_shingle_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the substring-dedup pair: tokenized+sized docs and
+    the non-first occurrences of every rolling k-token shingle (see
+    ``duplicate_substring_spans`` for the full recipe and scale notes).
+    Returns (sized, dup) where sized = (id, _toks, n) and dup = (id, pos)
+    marks each duplicated interval [pos, pos + k)."""
+    sized = _spread(df).select(
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("n", F.size("_toks"))
+    shingled = sized.where(F.col("n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
+            )
+        ).alias("pos", "_h"),
+    )
+    w_h = Window.partitionBy("_h").orderBy(id_col, "pos")
+    dup = (
+        shingled.withColumn("_rn", F.row_number().over(w_h))
+        .where(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    return sized, dup
+
+
 def duplicate_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -380,24 +409,7 @@ def duplicate_substring_spans(
     included): (id, n_tokens, n_shingles, dup_shingles, dup_tokens,
     dup_ratio_ppm).
     """
-    sized = _spread(df).select(
-        id_col, tokens(F.col(text_col)).alias("_toks")
-    ).withColumn("n", F.size("_toks"))
-    shingled = sized.where(F.col("n") >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - k),
-                lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")),
-            )
-        ).alias("pos", "_h"),
-    )
-    w_h = Window.partitionBy("_h").orderBy(id_col, "pos")
-    dup = (
-        shingled.withColumn("_rn", F.row_number().over(w_h))
-        .where(F.col("_rn") > 1)
-        .select(id_col, "pos")
-    )
+    sized, dup = _duplicate_shingle_occurrences(df, id_col, text_col, k)
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     islands = dup.select(
         id_col,
@@ -448,6 +460,60 @@ def duplicate_substring_spans(
             .alias("dup_ratio_ppm"),
         )
         .orderBy(id_col)
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of Lee-et-al substring dedup (the companion of
+    ``duplicate_substring_spans``' audit): delete every token inside a
+    duplicated k-token span and reassemble each document from its
+    surviving tokens, in order.  The first corpus-wide occurrence of any
+    substring survives intact (its tokens are never covered); later
+    copies lose exactly the duplicated spans, keeping their novel text.
+
+    Shares the shingle table with the audit
+    (``_duplicate_shingle_occurrences``); the additional work is a
+    bounded ``explode(sequence(0, k-1))`` over duplicated occurrences →
+    distinct covered positions, one anti-join of the posexploded tokens,
+    and a per-doc reassembly — the ``passage_dedup`` collect pattern,
+    groups bounded by document length.  Docs with every token covered
+    vanish (nothing novel — same convention as ``passage_dedup``); docs
+    with zero duplication pass through verbatim (token-normalized).
+
+    Output: (id, text, n_tokens_kept, n_tokens_dropped).
+    """
+    sized, dup = _duplicate_shingle_occurrences(df, id_col, text_col, k)
+    covered = dup.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+            "_tp"
+        ),
+    ).distinct()
+    toks = sized.where(F.col("n") > 0).select(
+        id_col, F.posexplode("_toks").alias("_tp", "_tok"), F.col("n")
+    )
+    kept = toks.join(covered, [id_col, "_tp"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_tp", "_tok"))),
+                    lambda s: s._tok,
+                ),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+            (F.max("n") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_tokens_dropped"),
+        )
+        .withColumn("n_tokens_kept", F.col("n_tokens_kept").cast("long"))
     )
 
 

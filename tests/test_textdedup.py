@@ -631,6 +631,72 @@ def test_duplicate_substring_spans_semantics(spark):
     assert len(out) == 8  # one row per input doc, zero-dup docs included
 
 
+def test_strip_duplicate_spans_semantics(spark):
+    """Removal companion: duplicated spans disappear, novel text
+    survives in order, first occurrences stay intact, fully-covered and
+    empty docs vanish."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),                       # original: intact
+            (2, "a b c d e f"),                       # full dup: vanishes
+            (3, "x1 x2 a b c y1 y2 y3 a b c w1"),     # two islands stripped
+            (4, "p q a b c d r s"),                   # merged [2,6) stripped
+            (5, "z1 a b c d e z2"),                   # [1,6) stripped
+            (6, "a b"),                               # < k: verbatim
+            (7, ""),                                  # empty: vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in strip_duplicate_spans(docs, k=3).collect()
+    }
+    assert out[1] == ("a b c d e f", 6, 0)
+    assert 2 not in out and 7 not in out
+    assert out[3] == ("x1 x2 y1 y2 y3 w1", 6, 6)
+    assert out[4] == ("p q r s", 4, 4)
+    assert out[5] == ("z1 z2", 2, 5)
+    assert out[6] == ("a b", 2, 0)
+
+
+def test_strip_consistent_with_span_audit(spark):
+    """On a seeded random corpus the strip and the audit must agree:
+    dropped-token counts equal the audit's dup_tokens for every
+    surviving doc, and exactly the fully-covered / empty docs vanish."""
+    import random
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+        strip_duplicate_spans,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 28))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    audit = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicate_substring_spans(df, k=3).collect()
+    }
+    stripped = {
+        r["doc_id"]: (r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in strip_duplicate_spans(df, k=3).collect()
+    }
+    vanish = {d for d, (n, dup) in audit.items() if n == 0 or n == dup}
+    assert set(stripped) == set(audit) - vanish
+    for d, (kept, dropped) in stripped.items():
+        n, dup = audit[d]
+        assert dropped == dup and kept == n - dup, d
+    assert vanish  # non-vacuous: the corpus contains fully-covered docs
+
+
 def test_duplicate_substring_spans_matches_brute_force(spark):
     """Seeded random corpus vs an independent pure-Python reference
     (explicit position sets, no interval arithmetic): counts, coverage,
