@@ -336,14 +336,13 @@ def passage_dedup(
     )
 
 
-def _duplicate_shingle_occurrences(
+def _shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared core of the substring-dedup pair: tokenized+sized docs and
-    the non-first occurrences of every rolling k-token shingle (see
+    """Tokenized+sized docs and their rolling k-token shingle table (see
     ``duplicate_substring_spans`` for the full recipe and scale notes).
-    Returns (sized, dup) where sized = (id, _toks, n) and dup = (id, pos)
-    marks each duplicated interval [pos, pos + k)."""
+    Returns (sized, shingled): sized = (id, _toks, n); shingled =
+    (id, pos, _h) with one md5 digest per overlapping window."""
     sized = _spread(df).select(
         id_col, tokens(F.col(text_col)).alias("_toks")
     ).withColumn("n", F.size("_toks"))
@@ -356,13 +355,28 @@ def _duplicate_shingle_occurrences(
             )
         ).alias("pos", "_h"),
     )
+    return sized, shingled
+
+
+def _non_first_occurrences(shingled: DataFrame, id_col: str) -> DataFrame:
+    """Every shingle occurrence except its corpus-wide first, ordered by
+    (doc, pos) — the duplicated intervals [pos, pos + k).  Group size per
+    rank window = that shingle's duplicate count, never a global sort."""
     w_h = Window.partitionBy("_h").orderBy(id_col, "pos")
-    dup = (
+    return (
         shingled.withColumn("_rn", F.row_number().over(w_h))
         .where(F.col("_rn") > 1)
         .select(id_col, "pos")
     )
-    return sized, dup
+
+
+def _duplicate_shingle_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the substring-dedup pair: (sized, dup) where dup =
+    (id, pos) marks each duplicated interval [pos, pos + k)."""
+    sized, shingled = _shingle_table(df, id_col, text_col, k)
+    return sized, _non_first_occurrences(shingled, id_col)
 
 
 def duplicate_substring_spans(
@@ -488,6 +502,15 @@ def strip_duplicate_spans(
     Output: (id, text, n_tokens_kept, n_tokens_dropped).
     """
     sized, dup = _duplicate_shingle_occurrences(df, id_col, text_col, k)
+    return _strip_covered(sized, dup, id_col, text_col, k)
+
+
+def _strip_covered(
+    sized: DataFrame, dup: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Delete the tokens of every duplicated interval [pos, pos + k) in
+    ``dup`` and reassemble each doc from its survivors (shared tail of
+    the batch and incremental strip variants)."""
     covered = dup.select(
         id_col,
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
@@ -841,6 +864,73 @@ def incremental_dedup_batch(
     )
     write_dataset(merged, root, BAND_STORE)
     return admitted
+
+
+SHINGLE_STORE = "substring_shingle_store"
+
+
+def incremental_substring_strip(
+    spark,
+    root: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Substring-span removal for a streaming ingest loop: strip the NEW
+    batch's duplicated k-token spans against every shingle ever admitted
+    (persistent distinct-digest store) plus within-batch first-
+    occurrence — O(batch) per batch: only the new docs are shingled; the
+    store is one semi-join side, never re-scanned history.
+
+    Sequential-ingest invariant (the streaming/ module convention, same
+    class as ``incremental_hll_ingest``'s): when doc ids increase across
+    batches, N sequential batches produce EXACTLY the documents a single
+    batch-mode ``strip_duplicate_spans`` over the concatenated corpus
+    produces — because first-occurrence-wins is an order property and the
+    store holds precisely the shingles of all earlier batches
+    (pytest-pinned).  The store grows by the batch's distinct digests
+    (union = distinct merge, idempotent under at-least-once redelivery —
+    a redelivered batch finds all its shingles stored and strips to
+    nothing new, so no span is ever double-admitted; chaos-pinned in
+    tests/test_chaos_stores.py).  Store discipline per CLAUDE.md: the
+    previous digests are read PINNED to their immutable version dir,
+    snapshot-write-last.
+
+    Store size = distinct shingles of the corpus — the price of
+    substring-exactness (this store IS the engine's suffix-array
+    substitute); 32 B/digest, mergeable, prunable by digest range at
+    100 TB.
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    versions = list_versions(root, SHINGLE_STORE)
+    prev = (
+        read_dataset(spark, root, SHINGLE_STORE, version=versions[-1])
+        if versions
+        else None
+    )
+    sized, shingled = _shingle_table(new_docs, id_col, text_col, k)
+    dup = _non_first_occurrences(shingled, id_col)
+    if prev is not None:
+        vs_store = shingled.join(
+            prev.select("_h").distinct(), "_h", "left_semi"
+        ).select(id_col, "pos")
+        dup = dup.unionByName(vs_store).distinct()
+    stripped = _strip_covered(sized, dup, id_col, text_col, k)
+
+    batch_digests = shingled.select("_h").distinct()
+    merged = (
+        prev.select("_h").unionByName(batch_digests).distinct()
+        if prev is not None
+        else batch_digests
+    )
+    write_dataset(merged, root, SHINGLE_STORE)
+    return stripped
 
 
 # ---------------------------------------------------------------------------

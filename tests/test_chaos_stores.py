@@ -185,3 +185,46 @@ def test_torn_version_dir_is_invisible_and_swept(spark, tmp_path):
         map(tuple, batch_est.collect())
     )
     assert not torn.exists()  # swept by the successful write's prune pass
+
+
+def test_substring_store_crash_before_snapshot_converges(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Kill the shingle-store ingest after its version write; redeliver.
+    Distinct-union merge is idempotent: the store equals an
+    uninterrupted run's, and the redelivered batch finds all its
+    shingles stored — every doc strips to nothing new (no span is ever
+    double-admitted)."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        SHINGLE_STORE,
+        incremental_substring_strip,
+    )
+
+    chaos, control = str(tmp_path / "chaos"), str(tmp_path / "control")
+    b1 = _docs(spark, [(1, _uniq(7)), (2, _uniq(8))])
+    b2 = _docs(spark, [(10, _uniq(9)), (11, _uniq(7))])  # 11 dups doc 1
+
+    for root in (chaos, control):
+        assert incremental_substring_strip(spark, root, b1, k=8).count() == 2
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_substring_strip(spark, chaos, b2, k=8).collect()
+
+    retry = {
+        r["doc_id"]: r["n_tokens_dropped"]
+        for r in incremental_substring_strip(spark, chaos, b2, k=8).collect()
+    }
+    # redelivery: every batch-2 shingle is already stored, so both docs
+    # strip fully and vanish — nothing is admitted twice
+    assert retry == {}
+
+    clean = {
+        r["doc_id"]: r["n_tokens_dropped"]
+        for r in incremental_substring_strip(spark, control, b2, k=8).collect()
+    }
+    assert 11 not in clean and clean[10] == 0  # normal run: 10 novel, 11 dup
+
+    assert _store_rows(spark, chaos, SHINGLE_STORE) == _store_rows(
+        spark, control, SHINGLE_STORE
+    )

@@ -184,3 +184,42 @@ def test_incremental_bloom_screen_intra_batch_repeat(spark, tmp_path):
     )
     assert new2.count() == 0
     assert dup2.count() == 2
+
+
+def test_incremental_substring_strip_equals_batch_mode(spark, tmp_path):
+    """Sequential-ingest invariant: with doc ids increasing across
+    batches, N incremental batches against the shingle store produce
+    exactly the batch-mode strip of the concatenated corpus."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        incremental_substring_strip,
+        strip_duplicate_spans,
+    )
+
+    root = str(tmp_path)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    batches = [
+        [(1, f"{base} one1 one2"), (2, "unique2 text2 with2 enough2 tokens2 here2 now2 ok2")],
+        [(10, f"{base} ten1 ten2"),           # repeats batch-1 substring
+         (11, "unique2 text2 with2 enough2 tokens2 here2 now2 ok2")],  # exact dup of 2
+        [(20, "fresh20 tokens20 each20 time20 brand20 new20 stuff20 here20"),
+         (21, f"lead21 {base} tail21")],      # repeat at shifted alignment
+    ]
+    out = {}
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in incremental_substring_strip(spark, root, b, k=8).collect():
+            out[r["doc_id"]] = (
+                r["text"], r["n_tokens_kept"], r["n_tokens_dropped"]
+            )
+
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    expected = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in strip_duplicate_spans(union, k=8).collect()
+    }
+    assert out == expected
+    assert 11 not in out            # exact dup vanished
+    assert out[10][2] == 8          # the repeated 8-token span stripped
+    assert out[21][0].startswith("lead21") and out[21][0].endswith("tail21")
