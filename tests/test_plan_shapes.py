@@ -603,6 +603,7 @@ def test_round9_dedup_queries_plan_shapes(spark):
     """
     from service_alerts_connector_spark.catalog_corpus import (
         q_dedup_substring_spans,
+        q_dedup_substring_strip,
     )
     from service_alerts_connector_spark.catalog_text import q_semdedup_fixed
 
@@ -616,6 +617,13 @@ def test_round9_dedup_queries_plan_shapes(spark):
     # Generate input, not downstream of it (chunk text never shuffles)
     gen_line = next(l for l in p.splitlines() if "Generate posexplode" in l)
     assert "md5" in gen_line
+
+    p = _plan(q_dedup_substring_strip(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "windowspecdefinition(_h" in p  # shares the audit's rank window
+    # covered-position removal is an ANTI join on (doc, tokpos)
+    assert re.search(r"Join LeftAnti, \(\(doc_id#\d+L", p) or "LeftAnti" in p
 
     p = _plan(q_semdedup_fixed(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in p
