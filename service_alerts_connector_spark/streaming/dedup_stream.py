@@ -106,3 +106,49 @@ def run_dedup_ingest(
         write_dataset(merged, admitted_root, "admitted_docs")
 
     run_available_now(stream_df, _step, checkpoint_dir)
+
+
+def run_substring_strip_ingest(
+    spark,
+    stream_df: DataFrame,
+    state_root: str,
+    stripped_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> None:
+    """Resident-stream SUBSTRING-level dedup: each micro-batch runs
+    ``incremental_substring_strip`` (O(batch) shingles + one semi-join
+    against the persistent distinct-digest store) and appends the
+    stripped survivors to a versioned dataset.  The substring-granular
+    sibling of ``run_dedup_ingest``: where that loop admits or rejects
+    whole documents, this one deletes exactly the spans already seen
+    corpus-wide and keeps each document's novel remainder.  Cross-batch
+    state is only the digest store — per-batch cost stays flat as the
+    corpus grows, and the sequential-ingest invariant (N micro-batches ≡
+    one batch-mode ``strip_duplicate_spans`` of the concatenation, for
+    increasing ids) carries over from the operator unchanged."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        incremental_substring_strip,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+        write_dataset,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        stripped = incremental_substring_strip(
+            spark, state_root, batch_df, id_col, text_col, k
+        )
+        try:
+            prev = read_dataset(spark, stripped_root, "stripped_docs")
+            merged = prev.unionByName(stripped)
+        except FileNotFoundError:
+            merged = stripped
+        write_dataset(merged, stripped_root, "stripped_docs")
+
+    run_available_now(stream_df, _step, checkpoint_dir)

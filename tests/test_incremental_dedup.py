@@ -223,3 +223,60 @@ def test_incremental_substring_strip_equals_batch_mode(spark, tmp_path):
     assert 11 not in out            # exact dup vanished
     assert out[10][2] == 8          # the repeated 8-token span stripped
     assert out[21][0].startswith("lead21") and out[21][0].endswith("tail21")
+
+
+def test_streaming_substring_strip_loop(spark, tmp_path):
+    """Resident-stream substring strip: micro-batches replayed through
+    run_substring_strip_ingest must land exactly the batch-mode strip of
+    the concatenated corpus in the output dataset."""
+    import json
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        strip_duplicate_spans,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import read_dataset
+    from service_alerts_connector_spark.streaming.dedup_stream import (
+        run_substring_strip_ingest,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    batches = [
+        [{"doc_id": 1, "text": f"{base} one1 one2"}],
+        [{"doc_id": 10, "text": f"{base} ten1 ten2"},       # repeated span
+         {"doc_id": 11, "text": f"{base}"}],                # fully covered
+    ]
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for b, rows in enumerate(batches):
+        with open(staged / f"b{b}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_substring_strip_ingest(
+        spark, stream,
+        state_root=str(tmp_path / "state"),
+        stripped_root=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=8,
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in read_dataset(
+            spark, str(tmp_path / "out"), "stripped_docs"
+        ).collect()
+    }
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for rows in batches for r in rows],
+        "doc_id long, text string",
+    )
+    expected = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in strip_duplicate_spans(union, k=8).collect()
+    }
+    assert got == expected
+    assert 11 not in got and got[10][2] == 8
