@@ -163,6 +163,7 @@ _R9_LEAD = (
     # (a) new this round
     "dedup_substring_spans",
     "dedup_substring_strip",
+    "decontaminate_strip",
     "semdedup_fixed",
     # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
     "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",

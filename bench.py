@@ -107,6 +107,7 @@ HEADLINE = [
     # strip halves), SemDeDup
     "dedup_substring_spans",
     "dedup_substring_strip",
+    "decontaminate_strip",
     "semdedup_fixed",
     "ann_batch",
     "event_value_quantiles",
@@ -241,7 +242,8 @@ def _tier_of(name: str) -> str:
         return "ann"
     if name.startswith(("dedup_", "text_", "bpe", "ngram", "passage",
                         "contamination", "corpus", "vocab", "doc_",
-                        "tfidf", "bm25", "pmi", "phrase", "sorted_")):
+                        "tfidf", "bm25", "pmi", "phrase", "sorted_",
+                        "decontaminate")):
         return "text_dedup"
     if name.startswith(("hll", "cms", "kmv", "bloom", "length_quantile",
                         "rolling_distinct", "zone_map", "table_digest",

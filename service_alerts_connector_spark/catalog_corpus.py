@@ -855,6 +855,63 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Span-level decontamination — excise benchmark spans from train docs
+# ---------------------------------------------------------------------------
+def q_decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete every 8-token window shared with the held-out split
+    (doc_id % 10 = 0, the `ngram_decontamination` convention) from each
+    train doc and reassemble — span-level leakage excision instead of
+    whole-doc dropping (`operators/textdedup.py
+    strip_contaminated_spans`)."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        strip_contaminated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return strip_contaminated_spans(train, bench, k=8)
+
+
+SQL_DECONTAMINATE_STRIP = f"""
+WITH sized AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), sh AS (
+  SELECT doc_id, toks, unnest(range(n - 7)) AS pos
+  FROM sized WHERE n >= 8
+), hashed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS h
+  FROM sh
+), bench AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 10 = 0
+), hit AS (
+  SELECT t.doc_id, t.pos
+  FROM hashed t JOIN bench b USING (h) WHERE t.doc_id % 10 <> 0
+), covered AS (
+  SELECT DISTINCT doc_id, pos + t.x AS tp FROM hit, range(0, 8) t(x)
+), tokpos AS (
+  SELECT doc_id, n,
+         unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) - 1 AS tp
+  FROM sized WHERE n > 0 AND doc_id % 10 <> 0
+), kept AS (
+  SELECT t.doc_id, t.n, t.tok, t.tp
+  FROM tokpos t LEFT JOIN covered c
+    ON c.doc_id = t.doc_id AND c.tp = t.tp
+  WHERE c.doc_id IS NULL
+)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY tp) AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens_kept,
+       CAST(max(n) - count(*) AS BIGINT) AS n_tokens_dropped
+FROM kept
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve — "how big a vocab covers X% of occurrences?"
 # ---------------------------------------------------------------------------
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1483,6 +1540,7 @@ CORPUS_QUERIES = {
     "passage_dedup": q_passage_dedup,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_substring_strip": q_dedup_substring_strip,
+    "decontaminate_strip": q_decontaminate_strip,
     "vocab_coverage": q_vocab_coverage,
     "label_centroid_similarity": q_label_centroid_similarity,
     "bm25_rank": q_bm25_rank,
@@ -1515,6 +1573,7 @@ CORPUS_ORACLES = {
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_strip": SQL_DEDUP_SUBSTRING_STRIP,
+    "decontaminate_strip": SQL_DECONTAMINATE_STRIP,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "label_centroid_similarity": SQL_CENTROID_SIM,
     "bm25_rank": SQL_BM25,

@@ -894,6 +894,36 @@ def incremental_dedup_batch(
     return admitted
 
 
+def strip_contaminated_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Span-level decontamination: delete from every TRAIN document each
+    k-token window that also appears anywhere in the BENCHMARK corpus,
+    and reassemble the train docs from their surviving tokens — the
+    REMOVAL counterpart of ``exact_ngram_overlap``'s flag-and-drop
+    screen (dropping whole train docs wastes their uncontaminated text;
+    eval-leakage policies usually excise just the overlapping spans).
+
+    One semi-join of the train shingle table against the benchmark's
+    distinct digests (benchmark side collapses to its vocabulary of
+    spans — never multiplied by train size), then the shared
+    island-merge strip tail.  Train docs made entirely of benchmark
+    spans vanish; untouched docs pass through verbatim
+    (token-normalized).  Output: (id, text, n_tokens_kept,
+    n_tokens_dropped).
+    """
+    sized_t, shingled_t = _shingle_table(train, id_col, text_col, k)
+    _, shingled_b = _shingle_table(benchmark, id_col, text_col, k)
+    dup = shingled_t.join(
+        shingled_b.select("_h").distinct(), "_h", "left_semi"
+    ).select(id_col, "pos")
+    return _strip_covered(sized_t, dup, id_col, text_col, k)
+
+
 SHINGLE_STORE = "substring_shingle_store"
 
 

@@ -697,6 +697,40 @@ def test_strip_consistent_with_span_audit(spark):
     assert vanish  # non-vacuous: the corpus contains fully-covered docs
 
 
+def test_strip_contaminated_spans_semantics(spark):
+    """Span-level decontamination: benchmark-shared windows are excised
+    from train docs, train-internal duplication is NOT touched (only the
+    benchmark drives removal), and train docs made entirely of benchmark
+    spans vanish."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        strip_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "secret eval question four")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text secret eval question four outro text"),
+            (2, "completely clean training document here"),
+            (3, "secret eval question four"),   # pure benchmark: vanishes
+            (4, "dup train doc same text"),     # train-internal dup pair —
+            (5, "dup train doc same text"),     # BOTH survive untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_kept"], r["n_tokens_dropped"])
+        for r in strip_contaminated_spans(train, bench, k=4).collect()
+    }
+    assert out[1] == ("intro text outro text", 4, 4)
+    assert out[2] == ("completely clean training document here", 5, 0)
+    assert 3 not in out
+    assert out[4] == ("dup train doc same text", 5, 0)
+    assert out[5] == ("dup train doc same text", 5, 0)
+
+
 def test_duplicate_substring_spans_matches_brute_force(spark):
     """Seeded random corpus vs an independent pure-Python reference
     (explicit position sets, no interval arithmetic): counts, coverage,
