@@ -1101,3 +1101,41 @@ def test_sorted_neighborhood_randomized(spark):
         if j - i <= window and lev(ranked[i][1], ranked[j][1]) <= max_dist
     }
     assert got == want and len(want) > 50
+
+
+def test_substring_digest_swap_same_decisions(spark):
+    """The xxhash64 production digest must make the identical span
+    decisions as the md5 oracle digest (absent collisions both are
+    injective on the corpus), for both the audit and the strip."""
+    import random
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        duplicate_substring_spans,
+        strip_duplicate_spans,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(7)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 28))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, duplicate_substring_spans(df, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_substring_spans(df, k=3, digest="xxhash64").collect(),
+        )
+    )
+    assert a == b
+    a = sorted(map(tuple, strip_duplicate_spans(df, k=3).collect()))
+    b = sorted(
+        map(tuple, strip_duplicate_spans(df, k=3, digest="xxhash64").collect())
+    )
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown digest"):
+        duplicate_substring_spans(df, k=3, digest="sha1").collect()
