@@ -625,6 +625,18 @@ def test_round9_dedup_queries_plan_shapes(spark):
     # covered-position removal is an ANTI join on (doc, tokpos)
     assert re.search(r"Join LeftAnti, \(\(doc_id#\d+L", p) or "LeftAnti" in p
 
+    from service_alerts_connector_spark.catalog_corpus import (
+        q_decontaminate_strip,
+    )
+
+    p = _plan(q_decontaminate_strip(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # contamination needs NO rank window: the benchmark collapses to a
+    # distinct digest vocabulary and the train shingles semi-join it
+    assert "windowspecdefinition(_h" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+
     p = _plan(q_semdedup_fixed(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p

@@ -35,7 +35,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "weighted_median_price", "delta_join_ivm",
         "ancestor_path_sum", "cheapest_supplier_per_part",
         "winsorized_mean_value",
-        "dedup_substring_spans", "dedup_substring_strip", "semdedup_fixed"]
+        "dedup_substring_spans", "dedup_substring_strip",
+        "decontaminate_strip", "semdedup_fixed"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
@@ -44,7 +45,8 @@ NOTES = {
     "cheapest_supplier_per_part": "TPC-H Q2 shape: group-min + join-back, region gating through broadcast dims BEFORE aggregation, top-100 = TakeOrderedAndProject",
     "winsorized_mean_value": "p5/p95 from per-nation histogram running ranks -> 25-row broadcast clamp join-back -> exact integer micro mean",
     "dedup_substring_spans": "rolling shingles hashed to md5 INSIDE the explode (32 B/shingle to the exchange, never chunk text); hash-keyed rank window + doc-keyed island windows, two exchanges total",
-    "dedup_substring_strip": "the removal half: audit's digest rank window -> bounded explode(k) covered positions -> LeftAnti on (doc, tokpos) -> per-doc ordered reassembly",
+    "dedup_substring_strip": "the removal half: audit's digest rank window -> island-merged covered positions (each once, no distinct) -> LeftAnti on (doc, tokpos) -> per-doc ordered reassembly",
+    "decontaminate_strip": "benchmark digests collapse to a DISTINCT vocabulary before the semi-join (no rank window); train side only shuffles; island strip tail shared with dedup_substring_strip",
     "semdedup_fixed": "expression-only centroid assignment (no centroid join); within-(cluster, band, bucket) capped pair explode - never a vector self-join; exact-cosine verify joins on the id",
     "delta_join_ivm": "three-term join-view delta refresh: every leg BroadcastHashJoin, partials merge by key",
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
