@@ -54,6 +54,10 @@ from service_alerts_connector_spark.catalog_round7 import (
     ROUND7_ORACLES,
     ROUND7_QUERIES,
 )
+from service_alerts_connector_spark.catalog_stats import (
+    STATS_ORACLES,
+    STATS_QUERIES,
+)
 from service_alerts_connector_spark.catalog_temporal import (
     TEMPORAL_ORACLES,
     TEMPORAL_QUERIES,
@@ -165,6 +169,9 @@ _R9_LEAD = (
     "dedup_substring_strip",
     "decontaminate_strip",
     "semdedup_fixed",
+    "column_stats_mcv",
+    "equi_depth_histogram",
+    "cohens_kappa",
     # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
     "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",
     "cheapest_supplier_per_part", "weighted_median_price",
@@ -208,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TPCH_QUERIES,
         **EXTRA_QUERIES,
         **ROUND7_QUERIES,
+        **STATS_QUERIES,
     }
     lead = {k: merged[k] for k in _R9_LEAD if k in merged}
     fresh = {
@@ -237,4 +245,5 @@ def oracle_sql() -> dict[str, str]:
         **TPCH_ORACLES,
         **EXTRA_ORACLES,
         **ROUND7_ORACLES,
+        **STATS_ORACLES,
     }

@@ -33,13 +33,14 @@ from service_alerts_connector_spark.catalog_round7 import (
 from service_alerts_connector_spark.catalog_temporal import (
     TEMPORAL_QUERIES as _TMP,
 )
+from service_alerts_connector_spark.catalog_stats import STATS_QUERIES as _ST
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES as _TPCH
 from service_alerts_connector_spark.session import get_spark
 
 CORE_QUERIES = {
     **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX, **_TMP,
-    **_TPCH, **_R7,
+    **_TPCH, **_R7, **_ST,
 }
 
 
@@ -109,6 +110,10 @@ HEADLINE = [
     "dedup_substring_strip",
     "decontaminate_strip",
     "semdedup_fixed",
+    # round-9 optimizer-statistics tier
+    "column_stats_mcv",
+    "equi_depth_histogram",
+    "cohens_kappa",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

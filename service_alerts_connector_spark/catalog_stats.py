@@ -1,0 +1,477 @@
+"""Catalog — optimizer-statistics / planning tier (round 9).
+
+The ANALYZE-side of an engine: the statistics a cost-based optimizer and
+a shuffle planner consume.  The reference pipeline plans nothing (pandas
+has no optimizer), so this tier is beyond-reference engine surface — the
+queries compute the stats Spark itself keeps in its catalog
+(``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``) and the split
+points a global sort / range partitioner needs, with the repo's exact
+integer determinism rules so each has a full DuckDB value-hash oracle:
+
+- ``column_stats_mcv`` — per-column row count, null count, exact NDV and
+  top-3 most-common values with frequencies (the pg_stats / Spark column
+  statistics shape) over pinned categorical lineitem columns, from ONE
+  fact scan.
+- ``equi_depth_histogram`` — exact k=8 equi-depth bucket bounds over the
+  GLOBAL order-price distribution (the TeraSort/RangePartitioner split
+  points, and the ANALYZE equi-height histogram) without any
+  unpartitioned window: the round-8 two-phase bucket-offset prefix sum,
+  with the tiny bucket frame's exclusive prefix computed by a bounded
+  self-join instead of a per-flag window (there is no flag here — the
+  rank is global).
+- ``cohens_kappa`` — chance-corrected agreement between two deterministic
+  row labelers (the statistic behind annotation-quality gates on training
+  data), with an explicit floor-division formulation so the signed
+  kappa ratio is bit-identical across engines (Spark ``div`` truncates
+  toward zero, DuckDB ``//`` floors — they agree only on non-negative
+  operands, and kappa is legitimately negative when labelers disagree
+  more than chance).
+
+Scale notes live next to each query; plan shapes are pinned in
+``tests/test_plan_shapes.py`` (one fact scan for the unpivoted stats,
+no unpartitioned window anywhere, broadcast-only joins below the fact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+
+
+# ---------------------------------------------------------------------------
+# Column statistics + most-common values — the ANALYZE / pg_stats shape
+# ---------------------------------------------------------------------------
+# (name, Spark string expression, DuckDB string expression) — the synthetic
+# lineitem carries a reduced TPC-H column set, so the pinned categoricals are
+# the two flags, the line number, and integer-floored quantity.  Doubles
+# never cast to string directly (engine float formatting differs): quantity
+# floors to bigint first, so both engines render the same digits.
+def _stats_exprs():
+    return [
+        ("l_linenumber", F.col("l_linenumber").cast("string")),
+        ("l_linestatus", F.col("l_linestatus").cast("string")),
+        (
+            "l_quantity_i",
+            F.floor(F.col("l_quantity")).cast("long").cast("string"),
+        ),
+        ("l_returnflag", F.col("l_returnflag").cast("string")),
+    ]
+
+
+_STATS_SQL_EXPRS = (
+    ("l_linenumber", "CAST(l_linenumber AS VARCHAR)"),
+    ("l_linestatus", "CAST(l_linestatus AS VARCHAR)"),
+    (
+        "l_quantity_i",
+        "CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)",
+    ),
+    ("l_returnflag", "CAST(l_returnflag AS VARCHAR)"),
+)
+
+
+def q_column_stats_mcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer column statistics for the pinned categorical lineitem
+    columns: row count, NULL count, exact NDV, and the top-3 most-common
+    values with their frequencies.
+
+    Shape: ONE lineitem scan projects every (col_name, value) pair via a
+    narrow explode (no join, no second scan — the stats and the MCV list
+    fold into the SAME final aggregation), then a single
+    groupBy(col_name, value) with map-side combine carries at most
+    Σ NDV(col) cells to the reducers — for categorical columns that is a
+    few dozen rows at ANY table size.  The MCV rank window partitions by
+    col_name over those cells only (bounded by the pinned categorical
+    NDV; a high-NDV column would take the NDV/null half of this query
+    and skip the MCV window — documented scale boundary, same reasoning
+    as pg_stats' `most_common_vals` cutoff).  NULL cells sort to the
+    BOTTOM of the rank order so the top-3 picks guard on val IS NOT NULL
+    instead of needing a second, null-free branch of the cell frame.
+
+    Ties rank deterministically by (cnt DESC, value ASC).  NULLs count
+    into n_null and never into NDV or the MCV list (pg_stats semantics).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        expr.alias("val"),
+                    )
+                    for name, expr in _stats_exprs()
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.val")
+    cells = pairs.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    rk_w = Window.partitionBy("col_name").orderBy(
+        F.col("val").isNull().asc(), F.col("cnt").desc(), F.col("val").asc()
+    )
+    ranked = cells.withColumn("rk", F.row_number().over(rk_w))
+    pick = lambda i, c: F.min(
+        F.when((F.col("rk") == i) & F.col("val").isNotNull(), F.col(c))
+    )
+    return (
+        ranked.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("ndv"),
+            *[
+                x
+                for i in (1, 2, 3)
+                for x in (
+                    pick(i, "val").alias(f"mcv{i}"),
+                    pick(i, "cnt").cast("long").alias(f"mcv{i}_cnt"),
+                )
+            ],
+        )
+        .orderBy("col_name")
+    )
+
+
+def _sql_stats_pairs() -> str:
+    return "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {expr} AS val FROM lineitem"
+        for name, expr in _STATS_SQL_EXPRS
+    )
+
+
+SQL_COLUMN_STATS_MCV = f"""
+WITH pairs AS (
+  {_sql_stats_pairs()}
+), cells AS (
+  SELECT col_name, val, count(*) AS cnt FROM pairs GROUP BY col_name, val
+), ranked AS (
+  SELECT col_name, val, cnt,
+         row_number() OVER (PARTITION BY col_name
+                            ORDER BY (val IS NULL) ASC, cnt DESC, val ASC)
+           AS rk
+  FROM cells
+)
+SELECT col_name,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0) AS BIGINT)
+         AS n_null,
+       CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+       min(CASE WHEN rk = 1 AND val IS NOT NULL THEN val END) AS mcv1,
+       CAST(min(CASE WHEN rk = 1 AND val IS NOT NULL THEN cnt END) AS BIGINT)
+         AS mcv1_cnt,
+       min(CASE WHEN rk = 2 AND val IS NOT NULL THEN val END) AS mcv2,
+       CAST(min(CASE WHEN rk = 2 AND val IS NOT NULL THEN cnt END) AS BIGINT)
+         AS mcv2_cnt,
+       min(CASE WHEN rk = 3 AND val IS NOT NULL THEN val END) AS mcv3,
+       CAST(min(CASE WHEN rk = 3 AND val IS NOT NULL THEN cnt END) AS BIGINT)
+         AS mcv3_cnt
+FROM ranked
+GROUP BY col_name
+ORDER BY col_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — global range-partition split points, no global window
+# ---------------------------------------------------------------------------
+_EDH_K = 8
+_EDH_BUCKET = 1 << 20  # same 2^20-cent domain bucket as weighted_median_price
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k=8 equi-depth histogram of o_totalprice (integer cents):
+    the split points a RangePartitioner / global sort / ANALYZE
+    equi-height histogram needs, each bound the smallest cents whose
+    GLOBAL running count reaches rank greatest(1, (q·n) div 8).
+
+    A global running rank is exactly what the catalog bans as a plan
+    shape (an unpartitioned window sorts the corpus in one task), so
+    this generalizes the round-8 two-phase prefix sum to the NO-KEY
+    case:
+
+      1. reduce orders to (cents → cnt) histogram cells (the only
+         fact-sized shuffle, map-side combined);
+      2. aggregate per domain bucket (cents div 2^20) — a frame bounded
+         by the PRICE DOMAIN (≤ ~60 rows at any data size), whose
+         exclusive prefix sum comes from a bounded self-join
+         (b.bucket < a.bucket), not a window: with no partition key the
+         window alternative is exactly the banned global sort;
+      3. broadcast the per-bucket offsets back and run the running count
+         partitioned by bucket — parallelism = domain buckets, each task
+         walking ≤ 2^20 cells (weighted_median_price's shape, global);
+      4. the 7 interior bounds + the max close into ONE 8-element bound
+         array; cells assign to their bucket with a single broadcast of
+         that one row and an array_min(filter(...)) — never a per-row
+         theta join against the bound table.
+
+    Buckets whose bound duplicates the previous one (a value heavier
+    than n/8) legitimately come out empty and are absent from the
+    output on BOTH engines.  Everything is bigint; ranks use div on
+    non-negative operands only.
+    """
+    rev = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    # cells feeds FOUR consumers (bucket offsets, totals, the ranked walk,
+    # and the final assignment); without a pinned evaluation each branch
+    # re-runs the fact scan + histogram shuffle (measured 5 parquet scans
+    # in the executed plan).  Lazy, like semantic_dedup: eager-vs-lazy
+    # A/B'd identical on both the deduped census (149 837 records each
+    # way) and wall time — the "7× lazy recompute" first seen here was
+    # the census double-counting AQE plan-version descriptors, fixed in
+    # tools/shuffle_census.py the same round.  (CLAUDE.md: pin only
+    # expensive subtrees — this one is the fact scan.)
+    cells = (
+        rev.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.expr(f"cents div {_EDH_BUCKET}"))
+        .localCheckpoint(eager=False)
+    )
+    buckets = cells.groupBy("bucket").agg(
+        F.sum("cnt").alias("bw"), F.count(F.lit(1)).alias("bn")
+    )
+    lower = buckets.select(
+        F.col("bucket").alias("lb"), F.col("bw").alias("lw")
+    )
+    offsets = (
+        buckets.join(
+            F.broadcast(lower), F.col("lb") < F.col("bucket"), "left"
+        )
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("lw"), F.lit(0)).alias("boff"))
+    )
+    totals = cells.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("ncells")
+    )
+    w_inb = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        cells.join(F.broadcast(offsets), "bucket")
+        .select(
+            "cents",
+            "cnt",
+            (F.col("boff") + F.sum("cnt").over(w_inb)).alias("cum"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    bound_cols = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.greatest(
+                    F.lit(1).cast("long"), F.expr(f"({q} * n) div {_EDH_K}")
+                ),
+                F.col("cents"),
+            )
+        ).alias(f"b{q}")
+        for q in range(1, _EDH_K)
+    ] + [F.max("cents").alias(f"b{_EDH_K}")]
+    bounds_row = ranked.agg(*bound_cols).select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"), F.col(f"b{q}").alias("ub")
+                )
+                for q in range(1, _EDH_K + 1)
+            ]
+        ).alias("bnds")
+    )
+    assigned = cells.crossJoin(F.broadcast(bounds_row)).select(
+        "cents",
+        "cnt",
+        F.expr("array_min(filter(bnds, x -> cents <= x.ub))").alias("hit"),
+    )
+    return (
+        assigned.select(
+            F.col("hit.q").alias("bucket_id"),
+            F.col("hit.ub").alias("ub"),
+            "cents",
+            "cnt",
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.max("ub").cast("long").alias("ub_c"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.min("cents").cast("long").alias("lo_c"),
+            F.max("cents").cast("long").alias("hi_c"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+SQL_EQUI_DEPTH_HISTOGRAM = f"""
+WITH rev AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), cells AS (
+  SELECT cents, count(*) AS cnt FROM rev GROUP BY cents
+), ranked AS (
+  SELECT cents, cnt,
+         sum(cnt) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM cells
+), qs AS (
+  SELECT unnest(generate_series(1, {_EDH_K - 1})) AS q
+), bounds AS (
+  SELECT q, min(CASE WHEN cum >= greatest(1, (q * n) // {_EDH_K})
+                     THEN cents END) AS ub
+  FROM ranked CROSS JOIN qs GROUP BY q
+  UNION ALL
+  SELECT {_EDH_K} AS q, max(cents) AS ub FROM cells
+), assign AS (
+  SELECT c.cents, c.cnt, min(b.q) AS bucket_id
+  FROM cells c JOIN bounds b ON c.cents <= b.ub
+  GROUP BY c.cents, c.cnt
+)
+SELECT a.bucket_id,
+       CAST(max(b.ub) AS BIGINT) AS ub_c,
+       CAST(sum(a.cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(a.cents) AS BIGINT) AS lo_c,
+       CAST(max(a.cents) AS BIGINT) AS hi_c
+FROM assign a JOIN bounds b ON b.q = a.bucket_id
+GROUP BY a.bucket_id
+ORDER BY a.bucket_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement with engine-exact signed division
+# ---------------------------------------------------------------------------
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-labeler agreement on events: labeler A flags high-value rows
+    (integer cents ≥ 5000), labeler B flags rows whose props payload has
+    k ≥ 50 — two deterministic binary annotators whose chance-corrected
+    agreement is Cohen's kappa = (p_o − p_e) / (1 − p_e).
+
+    Everything reduces to ONE conditional aggregation (n11/n10/n01/n00 —
+    the same single-pass confusion shape as rule_eval_confusion), then
+    pure integer arithmetic on the one-row frame:
+
+      num = n·(n11 + n00) − (a1·b1 + a0·b0)        (scaled p_o − p_e)
+      den = n² − (a1·b1 + a0·b0)                   (scaled 1 − p_e)
+
+    kappa is legitimately NEGATIVE when the labelers disagree more than
+    chance predicts, and signed integer division is where engines split:
+    Spark ``div`` truncates toward zero, DuckDB ``//`` floors.  So
+    kappa_ppm is emitted as an EXPLICIT floor division both sides —
+    ``num ≥ 0 → (num·10⁶) div den``, else
+    ``−(((−num)·10⁶ + den − 1) div den)`` — every div on non-negative
+    operands, bit-identical across engines (CLAUDE.md's negative-operand
+    rule, handled rather than dodged).  num/den are also emitted raw so
+    the ratio is auditable.  Overflow bound: den ≤ n², ×10⁶ stays inside
+    bigint for n ≤ 3·10⁶ rows; beyond that swap the two products to
+    DECIMAL(38,0) (documented, not needed at any test SF).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        (F.floor(F.col("value") * 100).cast("long") >= 5000).alias("a"),
+        (
+            F.from_json(F.col("props"), "k INT").getField("k") >= 50
+        ).alias("b"),
+    )
+    cm = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    with_pe = cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (
+            (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+            + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+        ).alias("pe_num"),
+    ).select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.col("n") * (F.col("n11") + F.col("n00")) - F.col("pe_num")).alias(
+            "num"
+        ),
+        (F.col("n") * F.col("n") - F.col("pe_num")).alias("den"),
+    )
+    return with_pe.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "num",
+        "den",
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL "  # constant labelers: kappa undefined
+            "WHEN num >= 0 THEN (num * 1000000) div den "
+            "ELSE -(((-num) * 1000000 + den - 1) div den) END"
+        )
+        .cast("long")
+        .alias("kappa_ppm"),
+    )
+
+
+SQL_COHENS_KAPPA = """
+WITH lab AS (
+  SELECT (CAST(floor(value * 100) AS BIGINT) >= 5000) AS a,
+         (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS b
+  FROM events
+), cm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n00
+  FROM lab
+), scaled AS (
+  SELECT n, n11, n10, n01, n00,
+         n * (n11 + n00)
+           - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS num,
+         n * n
+           - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS den
+  FROM cm
+)
+SELECT n, n11, n10, n01, n00, num, den,
+       CAST(CASE WHEN den = 0 THEN NULL
+                 WHEN num >= 0 THEN (num * 1000000) // den
+                 ELSE -(((-num) * 1000000 + den - 1) // den) END
+            AS BIGINT) AS kappa_ppm
+FROM scaled
+"""
+
+
+STATS_QUERIES = {
+    "column_stats_mcv": q_column_stats_mcv,
+    "equi_depth_histogram": q_equi_depth_histogram,
+    "cohens_kappa": q_cohens_kappa,
+}
+
+STATS_ORACLES = {
+    "column_stats_mcv": SQL_COLUMN_STATS_MCV,
+    "equi_depth_histogram": SQL_EQUI_DEPTH_HISTOGRAM,
+    "cohens_kappa": SQL_COHENS_KAPPA,
+}

@@ -33,12 +33,14 @@ def test_no_name_collisions():
     from service_alerts_connector_spark.catalog_round7 import (
         ROUND7_QUERIES,
     )
+    from service_alerts_connector_spark.catalog_stats import STATS_QUERIES
     from service_alerts_connector_spark.catalog_text import TEXT_QUERIES
     from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES
 
     parts = [
         TPCH_QUERIES,
         ROUND7_QUERIES,
+        STATS_QUERIES,
         CORE_QUERIES,
         TEXT_QUERIES,
         FIXER_QUERIES,

@@ -648,3 +648,44 @@ def test_round9_dedup_queries_plan_shapes(spark):
     for line in p.splitlines():
         if "Join" in line and "Reused" not in line:
             assert re.search(r"\[(?:_id|id_a|id_b)#\d+L\]", line), line
+
+
+def test_round9_stats_tier_plan_shapes(spark):
+    """The optimizer-statistics tier keeps its scale-safe shapes:
+
+    * column_stats_mcv — ONE lineitem scan (the unpivoted pairs explode;
+      stats + MCV fold into the same aggregation, no second branch), the
+      only window partitions by col_name over post-agg cells;
+    * equi_depth_histogram — the fact scan is pinned ONCE behind the
+      lazy localCheckpoint (zero parquet scans in the outer plan), the
+      running-count window partitions by the domain bucket (never
+      global), and the only nested-loop joins are the three bounded
+      ones (tiny-frame prefix self-join + two 1-row broadcasts);
+    * cohens_kappa — one scan, one aggregation, no window/join at all.
+    """
+    from service_alerts_connector_spark.catalog_stats import (
+        q_cohens_kappa,
+        q_column_stats_mcv,
+        q_equi_depth_histogram,
+    )
+
+    p = _plan(q_column_stats_mcv(spark, SF_DIR))
+    assert p.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "windowspecdefinition(col_name" in p
+    # exactly one window pass (rank), no second cell branch
+    assert p.count("Window") == 1
+
+    p = _plan(q_equi_depth_histogram(spark, SF_DIR))
+    # the orders scan lives inside the checkpointed subtree, evaluated once
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p or "LogicalRDD" in p or "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 3
+    # the running count partitions by the domain bucket, never globally
+    assert "windowspecdefinition(bucket" in p
+    assert p.count("Window") == 1
+
+    p = _plan(q_cohens_kappa(spark, SF_DIR))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p

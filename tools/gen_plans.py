@@ -11,13 +11,14 @@ from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES
 from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as TQ2
 from service_alerts_connector_spark.catalog_round7 import ROUND7_QUERIES
+from service_alerts_connector_spark.catalog_stats import STATS_QUERIES
 from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES
 
 spark = get_spark(master="local[8]", shuffle_partitions=8)
 sf = "/root/testdata/sf0.001"
 ALL = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **ANALYTICS_QUERIES,
        **GEO_QUERIES, **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES,
-       **ROUND7_QUERIES}
+       **ROUND7_QUERIES, **STATS_QUERIES}
 PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti",
         "a3_lastwins_dedup", "p10_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "config_join_fanout", "w5_windowed_agg", "rollup_pricing",
@@ -36,7 +37,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "ancestor_path_sum", "cheapest_supplier_per_part",
         "winsorized_mean_value",
         "dedup_substring_spans", "dedup_substring_strip",
-        "decontaminate_strip", "semdedup_fixed"]
+        "decontaminate_strip", "semdedup_fixed",
+        "column_stats_mcv", "equi_depth_histogram", "cohens_kappa"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
@@ -49,6 +51,9 @@ NOTES = {
     "decontaminate_strip": "benchmark digests collapse to a DISTINCT vocabulary before the semi-join (no rank window); train side only shuffles; island strip tail shared with dedup_substring_strip",
     "semdedup_fixed": "expression-only centroid assignment (no centroid join); within-(cluster, band, bucket) capped pair explode - never a vector self-join; exact-cosine verify joins on the id",
     "delta_join_ivm": "three-term join-view delta refresh: every leg BroadcastHashJoin, partials merge by key",
+    "column_stats_mcv": "ANALYZE column stats: ONE unpivoted fact scan -> groupBy(col, val) cells (map-side combined), stats + top-3 MCV fold into one aggregation over a col_name-partitioned rank window",
+    "equi_depth_histogram": "global range-partition split points with NO global window: cells pinned once (localCheckpoint), per-domain-bucket offsets from a bounded tiny-frame self-join, running count partitioned by bucket",
+    "cohens_kappa": "chance-corrected agreement: one scan, ONE conditional aggregation, signed kappa via explicit floor division (engine-exact on negatives)",
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
     "j1_lookup_join": "three-level dimension chain: all BroadcastHashJoin, fact side never shuffles",

@@ -61,12 +61,21 @@ def measure(spark, df) -> dict:
     values = store.executionMetrics(last.executionId())
     metrics = last.metrics()
     recs, bts, peak = 0.0, 0.0, 0.0
+    # last.metrics() lists metric DESCRIPTORS for every AQE plan version,
+    # so one physical exchange's accumulator appears once per replan —
+    # summing raw descriptors overcounted an AQE-heavy query 7× (caught on
+    # equi_depth_histogram: planGraph shows ONE 149k exchange, the
+    # descriptor sweep counted seven).  Dedupe by accumulatorId.
+    seen: set[int] = set()
     it = metrics.iterator()
     while it.hasNext():
         mtr = it.next()
         name = mtr.name()
         if name not in ("shuffle records written", "shuffle bytes written"):
             continue
+        if mtr.accumulatorId() in seen:
+            continue
+        seen.add(mtr.accumulatorId())
         opt = values.get(mtr.accumulatorId())
         if opt.isEmpty():
             continue
