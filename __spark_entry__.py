@@ -172,6 +172,8 @@ _R9_LEAD = (
     "column_stats_mcv",
     "equi_depth_histogram",
     "cohens_kappa",
+    "auc_exact",
+    "ks_statistic",
     # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
     "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",
     "cheapest_supplier_per_part", "weighted_median_price",
@@ -195,7 +197,8 @@ _R9_LEAD = (
     "unpivot_metrics", "rank_movers", "hhi_concentration",
     "join_size_estimate", "skew_report", "user_feature_bundle",
     "type_cooccurrence", "type_transitions",
-    # tail (positions >50: certified next round)
+    # tail (positions >50 after the 9 new round-9 keys took the front:
+    # everything from unpivot_metrics down rolls to the round-10 lead)
     "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
 )
 

@@ -110,10 +110,12 @@ HEADLINE = [
     "dedup_substring_strip",
     "decontaminate_strip",
     "semdedup_fixed",
-    # round-9 optimizer-statistics tier
+    # round-9 optimizer-statistics + evaluation-metrics tier
     "column_stats_mcv",
     "equi_depth_histogram",
     "cohens_kappa",
+    "auc_exact",
+    "ks_statistic",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

@@ -7,7 +7,9 @@ The checks a platform team runs before promoting a dataset: profiling
 (joinability, functional dependencies), integrity (sequence gaps, replica
 digests), layout (zone-map skippability), privacy (k-anonymity), numeric
 forensics (Benford), and drift — every stage a catalog query with a DuckDB
-oracle behind it.
+oracle behind it — plus the round-9 statistics tier: the ANALYZE pass
+(column stats, equi-depth histogram) and the evaluation metrics (kappa,
+exact AUC, two-sample KS).
 """
 
 import pathlib
@@ -25,6 +27,13 @@ from service_alerts_connector_spark.catalog_analytics import (
     q_table_digest,
     q_zone_map_prune,
 )
+from service_alerts_connector_spark.catalog_stats import (
+    q_auc_exact,
+    q_cohens_kappa,
+    q_column_stats_mcv,
+    q_equi_depth_histogram,
+    q_ks_statistic,
+)
 from service_alerts_connector_spark.session import get_spark
 
 
@@ -41,6 +50,11 @@ def main() -> None:
         ("k-anonymity of the event release", q_k_anonymity_audit),
         ("Benford first-digit forensics", q_benford_audit),
         ("Value-distribution drift week1 vs week4", q_distribution_drift),
+        ("Optimizer column stats + MCVs (ANALYZE)", q_column_stats_mcv),
+        ("Equi-depth histogram / range-partition bounds", q_equi_depth_histogram),
+        ("Labeler agreement (Cohen's kappa)", q_cohens_kappa),
+        ("Score ranking quality (exact AUC)", q_auc_exact),
+        ("Purchase-vs-view KS drift test", q_ks_statistic),
     ]:
         print(f"\n=== {title} ===")
         q(spark, sf_dir).show(truncate=False)

@@ -26,6 +26,12 @@ integer determinism rules so each has a full DuckDB value-hash oracle:
   toward zero, DuckDB ``//`` floors — they agree only on non-negative
   operands, and kappa is legitimately negative when labelers disagree
   more than chance).
+- ``auc_exact`` — exact ROC AUC via the Mann-Whitney identity over score
+  cells (no global sort, no per-row rank; ties carry the exact ½ through
+  a doubled integer numerator).
+- ``ks_statistic`` — exact two-sample Kolmogorov-Smirnov distance between
+  two value distributions with the maximizing score, from the same
+  two-phase cumulative machinery (`_bucketed_cum`).
 
 Scale notes live next to each query; plan shapes are pinned in
 ``tests/test_plan_shapes.py`` (one fact scan for the unpivoted stats,
@@ -464,14 +470,263 @@ FROM scaled
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact AUC — Mann-Whitney rank statistic without a global sort
+# ---------------------------------------------------------------------------
+_SCORE_BUCKET = 4096  # value-domain bucket (cents div 4096) for the prefix
+
+
+def _score_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score-cents → pos/neg counts) histogram for auc_exact: score =
+    integer event-value cents, label = props k ≥ 50 (the kappa query's
+    labeler B).  Lazily checkpointed — the cell frame feeds the
+    bucket-offset build AND the ranked walk (same reasoning as
+    equi_depth_histogram's cells)."""
+    lab = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+        (
+            F.from_json(F.col("props"), "k INT").getField("k") >= 50
+        ).alias("pos"),
+    )
+    return (
+        lab.groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("pc"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("nc"),
+        )
+        .withColumn("bucket", F.expr(f"score div {_SCORE_BUCKET}"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _bucketed_cum(cells: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Two-phase global running sums over score cells: per-bucket offsets
+    from a bounded tiny-frame self-join (the bucket frame is VALUE-DOMAIN
+    sized — score div 4096 — independent of row count), then an in-bucket
+    running sum on the bucket partitioning.  Returns cells + one
+    inclusive ``cum_<col>`` per requested column.  The no-key two-phase
+    prefix introduced by equi_depth_histogram, shared by the ranking
+    metrics."""
+    buckets = cells.groupBy("bucket").agg(
+        *[F.sum(c).alias(f"b_{c}") for c in cols]
+    )
+    lower = buckets.select(
+        F.col("bucket").alias("lb"),
+        *[F.col(f"b_{c}").alias(f"l_{c}") for c in cols],
+    )
+    offsets = (
+        buckets.join(
+            F.broadcast(lower), F.col("lb") < F.col("bucket"), "left"
+        )
+        .groupBy("bucket")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"l_{c}"), F.lit(0)).alias(f"off_{c}")
+                for c in cols
+            ]
+        )
+    )
+    w_inb = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.join(F.broadcast(offsets), "bucket")
+    return ranked.select(
+        *cells.columns,
+        *[
+            (F.col(f"off_{c}") + F.sum(c).over(w_inb)).alias(f"cum_{c}")
+            for c in cols
+        ],
+    )
+
+
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the value-cents score against the props-k label —
+    the threshold-free ranking metric behind every classifier gate, via
+    the Mann-Whitney identity: AUC = P(score⁺ > score⁻) + ½·P(tie).
+
+    No global sort and no per-row rank: reduce to (score → pos/neg
+    count) cells, run the two-phase bucket-offset prefix for the
+    cumulative negative count, and one aggregation computes the DOUBLED
+    integer numerator Σ pc·(2·cum_neg_excl + nc) — each positive row
+    counts 2 per strictly-lower negative and 1 per tied negative, so ½
+    never materializes as a float.  den2 = 2·n_pos·n_neg;
+    auc_ppm = (num2·10⁶) div den2, every operand non-negative.  Overflow
+    bound: num2 ≤ 2·n⁺·n⁻ and the ppm product stays in bigint to
+    n ≈ 4·10⁶ rows — beyond, re-encode the two products as
+    DECIMAL(38,0) (documented, not needed at test SFs).
+    """
+    cells = _score_cells(spark, sf_dir)
+    ranked = _bucketed_cum(cells, ("nc",)).select(
+        "pc", "nc", (F.col("cum_nc") - F.col("nc")).alias("cneg_excl")
+    )
+    agg = ranked.agg(
+        (F.sum("pc") + F.sum("nc")).cast("long").alias("n"),
+        F.sum("pc").cast("long").alias("n_pos"),
+        F.sum("nc").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pc") * (2 * F.col("cneg_excl") + F.col("nc"))
+        )
+        .cast("long")
+        .alias("num2"),
+        (2 * F.sum("pc") * F.sum("nc")).cast("long").alias("den2"),
+    )
+    # the ppm division references the aggregate aliases, so it stages in a
+    # second select (F.expr cannot see same-select aliases — CLAUDE.md)
+    return agg.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        "num2",
+        "den2",
+        F.expr("CAST((num2 * 1000000) div den2 AS BIGINT)").alias("auc_ppm"),
+    )
+
+
+SQL_AUC_EXACT = """
+WITH lab AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS score,
+         (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS pos
+  FROM events
+), cells AS (
+  SELECT score,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+         CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM lab GROUP BY score
+), ranked AS (
+  SELECT pc, nc,
+         sum(nc) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nc
+           AS cneg_excl
+  FROM cells
+)
+SELECT CAST(sum(pc) + sum(nc) AS BIGINT) AS n,
+       CAST(sum(pc) AS BIGINT) AS n_pos,
+       CAST(sum(nc) AS BIGINT) AS n_neg,
+       CAST(sum(pc * (2 * cneg_excl + nc)) AS BIGINT) AS num2,
+       CAST(2 * sum(pc) * sum(nc) AS BIGINT) AS den2,
+       CAST((sum(pc * (2 * cneg_excl + nc)) * 1000000)
+            // (2 * sum(pc) * sum(nc)) AS BIGINT) AS auc_ppm
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample statistic — drift testing without a sort
+# ---------------------------------------------------------------------------
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the purchase and view value
+    distributions: D = max |F_a(x) − F_b(x)| — the classic
+    distribution-drift test beside `distribution_drift`'s binned
+    divergence, here EXACT over the full empirical CDFs.
+
+    Same machinery as auc_exact: (score → a/b counts) cells, two-phase
+    cumulative counts, then the scaled integer statistic
+    d = |cum_a·n_b − cum_b·n_a| (common denominator n_a·n_b — no float
+    CDFs).  The maximizing score reports where the distributions diverge
+    most (ties → smallest score, via the cusum-style max join-back).
+    ks_ppm = (d_max·10⁶) div (n_a·n_b), all non-negative.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+        "event_type",
+    )
+    cells = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("ac"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("bc"),
+        )
+        .withColumn("bucket", F.expr(f"score div {_SCORE_BUCKET}"))
+        .localCheckpoint(eager=False)
+    )
+    cum = _bucketed_cum(cells, ("ac", "bc"))
+    totals = cells.agg(
+        F.sum("ac").cast("long").alias("n_a"),
+        F.sum("bc").cast("long").alias("n_b"),
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "score",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_ac") * F.col("n_b") - F.col("cum_bc") * F.col("n_a")
+        ).alias("d"),
+    )
+    dmax = scored.agg(F.max("d").alias("d_max"))
+    return (
+        scored.join(F.broadcast(dmax), F.col("d") == F.col("d_max"))
+        .groupBy("n_a", "n_b", "d_max")
+        .agg(F.min("score").cast("long").alias("at_score_c"))
+        .select(
+            "n_a",
+            "n_b",
+            F.col("d_max").cast("long").alias("d_scaled"),
+            "at_score_c",
+            F.expr("CAST((d_max * 1000000) div (n_a * n_b) AS BIGINT)").alias(
+                "ks_ppm"
+            ),
+        )
+    )
+
+
+SQL_KS_STATISTIC = """
+WITH ev AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS score, event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+), cells AS (
+  SELECT score,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ac,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS bc
+  FROM ev GROUP BY score
+), cum AS (
+  SELECT score,
+         sum(ac) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ac,
+         sum(bc) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bc,
+         (SELECT sum(ac) FROM cells) AS n_a,
+         (SELECT sum(bc) FROM cells) AS n_b
+  FROM cells
+), scored AS (
+  SELECT score, n_a, n_b,
+         abs(cum_ac * n_b - cum_bc * n_a) AS d
+  FROM cum
+)
+SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(d) AS BIGINT) AS d_scaled,
+       CAST(min(CASE WHEN d = (SELECT max(d) FROM scored) THEN score END)
+            AS BIGINT) AS at_score_c,
+       CAST((max(d) * 1000000) // (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm
+FROM scored
+"""
+
+
 STATS_QUERIES = {
     "column_stats_mcv": q_column_stats_mcv,
     "equi_depth_histogram": q_equi_depth_histogram,
     "cohens_kappa": q_cohens_kappa,
+    "auc_exact": q_auc_exact,
+    "ks_statistic": q_ks_statistic,
 }
 
 STATS_ORACLES = {
     "column_stats_mcv": SQL_COLUMN_STATS_MCV,
     "equi_depth_histogram": SQL_EQUI_DEPTH_HISTOGRAM,
     "cohens_kappa": SQL_COHENS_KAPPA,
+    "auc_exact": SQL_AUC_EXACT,
+    "ks_statistic": SQL_KS_STATISTIC,
 }

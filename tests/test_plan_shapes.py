@@ -689,3 +689,26 @@ def test_round9_stats_tier_plan_shapes(spark):
     p = _plan(q_cohens_kappa(spark, SF_DIR))
     assert p.count("Scan parquet") == 1
     assert "Join" not in p and "Window" not in p
+
+
+def test_round9_eval_metrics_plan_shapes(spark):
+    """auc_exact / ks_statistic keep the sort-free shapes: the fact scan
+    lives inside the checkpointed cell subtree (zero parquet scans in the
+    outer plan), the cumulative window partitions by the value-domain
+    bucket (never global), no sort-merge join, and the only BNLJ are the
+    bounded offset self-join + 1-row broadcasts."""
+    from service_alerts_connector_spark.catalog_stats import (
+        q_auc_exact,
+        q_ks_statistic,
+    )
+
+    # ks_statistic's scored subtree is consumed twice (max + argmax
+    # join-back), so its two bounded BNLJs (offset self-join + 1-row
+    # totals cross) appear twice — all four run over the checkpointed
+    # cell frame, never the fact table
+    for fn, n_bnlj in ((q_auc_exact, 1), (q_ks_statistic, 4)):
+        p = _plan(fn(spark, SF_DIR))
+        assert p.count("Scan parquet") == 0, fn.__name__
+        assert "SortMergeJoin" not in p, fn.__name__
+        assert "windowspecdefinition(bucket" in p, fn.__name__
+        assert p.count("BroadcastNestedLoopJoin") <= n_bnlj, fn.__name__
