@@ -116,6 +116,7 @@ HEADLINE = [
     "cohens_kappa",
     "auc_exact",
     "ks_statistic",
+    "q9_profit_rollup",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

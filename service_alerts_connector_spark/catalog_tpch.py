@@ -827,6 +827,102 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q9 shape — product-line profit by (supplier nation, order year)
+# ---------------------------------------------------------------------------
+def q_q9_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for a
+    product line — the widest join tree in the suite (lineitem × part ×
+    supplier × nation × orders) with a signed measure.
+
+    Testdata has no partsupp, so supply cost stands in as 60% of
+    p_retailprice in exact integer arithmetic — cost_c = (retail_c · 6)
+    div 10 on non-negative cents (documented stand-in, same convention
+    as cheapest_supplier_per_part's price list).  Profit in c4 units:
+    rev_c4 − cost_c·qty·10⁴, a SIGNED bigint summed per group (exact in
+    any engine and any partitioning; |row| ≤ ~10¹¹, far under 2⁶³).
+
+    Plan: the p_name filter collapses part BEFORE anything joins (the
+    product line is a small fraction of the part dim → broadcast), the
+    supplier→nation chain broadcasts, and the only fact-fact join is
+    lineitem ⋈ orders on l_orderkey — co-partitioned SMJ at scale, AQE
+    broadcast at test SF; grouping is ≤ nations × years cells,
+    map-side combined."""
+    part_line = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select(
+            F.col("p_partkey").alias("l_partkey"),
+            (
+                F.expr("(CAST(floor(p_retailprice * 100) AS BIGINT) * 6) div 10")
+            ).alias("cost_c"),
+        )
+    )
+    sup_nat = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("s_nationkey"), "n_name"
+                )
+            ),
+            "s_nationkey",
+        )
+        .select("l_suppkey", "n_name")
+    )
+    ord_year = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        "l_orderkey",
+        _rev_c4().alias("rev_c4"),
+        _qty().alias("qty"),
+    )
+    return (
+        li.join(F.broadcast(part_line), "l_partkey")
+        .join(F.broadcast(sup_nat), "l_suppkey")
+        .join(ord_year, "l_orderkey")
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.col("rev_c4")
+                - F.col("cost_c") * F.col("qty") * F.lit(10_000)
+            )
+            .cast("long")
+            .alias("profit_c4"),
+        )
+        .orderBy("n_name", "o_year")
+    )
+
+
+SQL_Q9 = f"""
+WITH part_line AS (
+  SELECT p_partkey AS l_partkey,
+         (CAST(floor(p_retailprice * 100) AS BIGINT) * 6) // 10 AS cost_c
+  FROM part WHERE p_name LIKE '%red%'
+), sup_nat AS (
+  SELECT s_suppkey AS l_suppkey, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum({_REV_C4_SQL}
+                - cost_c * CAST(floor(l_quantity) AS BIGINT) * 10000)
+            AS BIGINT) AS profit_c4
+FROM lineitem
+JOIN part_line USING (l_partkey)
+JOIN sup_nat USING (l_suppkey)
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year
+"""
+
+
 TPCH_QUERIES = {
     "q17_small_quantity": q_q17_small_quantity,
     "q18_large_orders": q_q18_large_orders,
@@ -841,6 +937,7 @@ TPCH_QUERIES = {
     "q13_order_distribution": q_q13_order_distribution,
     "q15_top_supplier": q_q15_top_supplier,
     "q12_late_by_priority": q_q12_late_by_priority,
+    "q9_profit_rollup": q_q9_profit_rollup,
 }
 
 TPCH_ORACLES = {
@@ -857,4 +954,5 @@ TPCH_ORACLES = {
     "q13_order_distribution": SQL_Q13,
     "q15_top_supplier": SQL_Q15,
     "q12_late_by_priority": SQL_Q12,
+    "q9_profit_rollup": SQL_Q9,
 }

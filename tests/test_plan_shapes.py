@@ -712,3 +712,19 @@ def test_round9_eval_metrics_plan_shapes(spark):
         assert "SortMergeJoin" not in p, fn.__name__
         assert "windowspecdefinition(bucket" in p, fn.__name__
         assert p.count("BroadcastNestedLoopJoin") <= n_bnlj, fn.__name__
+
+
+def test_q9_profit_rollup_plan_shape(spark):
+    """Q9's join tree: the product-line part filter collapses to a
+    broadcast side (never a shuffled dim), supplier→nation broadcasts,
+    and nothing plans a nested loop — the only permissible fact-fact
+    join is the l_orderkey equi-join (SMJ at scale, AQE broadcast at
+    test SF)."""
+    from service_alerts_connector_spark.catalog_tpch import (
+        q_q9_profit_rollup,
+    )
+
+    p = _plan(q_q9_profit_rollup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3
