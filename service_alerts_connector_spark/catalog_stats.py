@@ -98,51 +98,13 @@ def q_column_stats_mcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties rank deterministically by (cnt DESC, value ASC).  NULLs count
     into n_null and never into NDV or the MCV list (pg_stats semantics).
     """
+    from service_alerts_connector_spark.operators.colstats import (
+        column_cells,
+        stats_from_cells,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("col_name"),
-                        expr.alias("val"),
-                    )
-                    for name, expr in _stats_exprs()
-                ]
-            )
-        ).alias("p")
-    ).select("p.col_name", "p.val")
-    cells = pairs.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
-    rk_w = Window.partitionBy("col_name").orderBy(
-        F.col("val").isNull().asc(), F.col("cnt").desc(), F.col("val").asc()
-    )
-    ranked = cells.withColumn("rk", F.row_number().over(rk_w))
-    pick = lambda i, c: F.min(
-        F.when((F.col("rk") == i) & F.col("val").isNotNull(), F.col(c))
-    )
-    return (
-        ranked.groupBy("col_name")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_null"),
-            F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
-            .cast("long")
-            .alias("ndv"),
-            *[
-                x
-                for i in (1, 2, 3)
-                for x in (
-                    pick(i, "val").alias(f"mcv{i}"),
-                    pick(i, "cnt").cast("long").alias(f"mcv{i}_cnt"),
-                )
-            ],
-        )
-        .orderBy("col_name")
-    )
+    return stats_from_cells(column_cells(li, _stats_exprs()))
 
 
 def _sql_stats_pairs() -> str:

@@ -1,0 +1,132 @@
+"""Incremental ANALYZE maintenance: additive count merges need the
+exactly-once ledger (HLL's max-merge tolerates redelivery; counts would
+double).  Pins multi-batch ≡ batch-mode equality, committed-redelivery
+no-op, crash-before-snapshot convergence WITHOUT double counting, torn
+version dirs staying invisible, and store boundedness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import service_alerts_connector_spark.sources.parquet_io as pio
+from service_alerts_connector_spark.operators.colstats import (
+    COLSTATS_STORE,
+    column_cells,
+    incremental_column_stats_ingest,
+    stats_from_cells,
+)
+from service_alerts_connector_spark.sources.parquet_io import list_versions
+
+
+@pytest.fixture()
+def crash_before_snapshot(monkeypatch):
+    real = pio.write_dataset
+    state = {"armed": False}
+
+    def wrapper(df, root, dataset, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            kw["latest_copy"] = False
+            real(df, root, dataset, **kw)
+            raise RuntimeError("injected crash: died before snapshot refresh")
+        return real(df, root, dataset, **kw)
+
+    monkeypatch.setattr(pio, "write_dataset", wrapper)
+    return lambda: state.update(armed=True)
+
+
+def _cols():
+    return [
+        ("grp", F.col("grp").cast("string")),
+        ("parity", (F.col("k") % 2).cast("string")),
+    ]
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_multi_batch_equals_batch_mode(spark, tmp_path):
+    root = str(tmp_path)
+    b1, b2, b3 = (
+        _batch(spark, 0, 300),
+        _batch(spark, 300, 450),
+        _batch(spark, 450, 1_000),
+    )
+    incremental_column_stats_ingest(spark, root, b1, _cols(), "b1")
+    incremental_column_stats_ingest(spark, root, b2, _cols(), "b2")
+    stats = incremental_column_stats_ingest(spark, root, b3, _cols(), "b3")
+
+    union = b1.unionByName(b2).unionByName(b3)
+    assert _rows(stats) == _rows(stats_from_cells(column_cells(union, _cols())))
+
+
+def test_committed_redelivery_is_noop(spark, tmp_path):
+    root = str(tmp_path)
+    b1 = _batch(spark, 0, 500)
+    first = incremental_column_stats_ingest(spark, root, b1, _cols(), "b1")
+    v_before = list_versions(root, COLSTATS_STORE)
+    again = incremental_column_stats_ingest(spark, root, b1, _cols(), "b1")
+    assert list_versions(root, COLSTATS_STORE) == v_before  # nothing written
+    assert _rows(first) == _rows(again)  # and nothing double-counted
+
+
+def test_crash_before_snapshot_redelivery_does_not_double_count(
+    spark, tmp_path, crash_before_snapshot
+):
+    """The discriminating case versus the HLL store: the version commit
+    SUCCEEDED (counts + ledger atomically), only the snapshot refresh
+    died.  The redelivered batch must be recognized via the ledger and
+    skipped — an unledgered additive merge would double every b2 cell."""
+    root = str(tmp_path)
+    b1, b2 = _batch(spark, 0, 400), _batch(spark, 350, 800)
+    incremental_column_stats_ingest(spark, root, b1, _cols(), "b1")
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_column_stats_ingest(spark, root, b2, _cols(), "b2")
+
+    stats = incremental_column_stats_ingest(spark, root, b2, _cols(), "b2")
+    union = b1.unionByName(b2)
+    assert _rows(stats) == _rows(stats_from_cells(column_cells(union, _cols())))
+
+
+def test_torn_version_dir_invisible_and_swept(spark, tmp_path):
+    root = str(tmp_path)
+    b1 = _batch(spark, 0, 300)
+    incremental_column_stats_ingest(spark, root, b1, _cols(), "b1")
+    good = list_versions(root, COLSTATS_STORE)
+
+    torn = tmp_path / COLSTATS_STORE / "versions" / "99991231T235959999999"
+    torn.mkdir(parents=True)
+    (torn / "part-00000.parquet").write_bytes(b"\x00garbage")
+    assert list_versions(root, COLSTATS_STORE) == good
+
+    b2 = _batch(spark, 300, 600)
+    stats = incremental_column_stats_ingest(spark, root, b2, _cols(), "b2")
+    union = b1.unionByName(b2)
+    assert _rows(stats) == _rows(stats_from_cells(column_cells(union, _cols())))
+    assert not torn.exists()  # swept by the successful write's prune
+
+
+def test_store_stays_cell_bounded(spark, tmp_path):
+    """However many rows arrive, the store holds Σ NDV(col) cells plus
+    one ledger row per batch — never row-scaled state."""
+    from service_alerts_connector_spark.sources.parquet_io import read_dataset
+
+    root = str(tmp_path)
+    for i in range(4):
+        incremental_column_stats_ingest(
+            spark, root, _batch(spark, i * 2_000, (i + 1) * 2_000), _cols(), f"b{i}"
+        )
+    store = read_dataset(spark, root, COLSTATS_STORE)
+    # grp: 3 values, parity: 2 values, ledger: 4 batches
+    assert store.count() == 3 + 2 + 4
