@@ -117,6 +117,7 @@ HEADLINE = [
     "auc_exact",
     "ks_statistic",
     "q9_profit_rollup",
+    "join_cardinality_check",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

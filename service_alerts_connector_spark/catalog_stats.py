@@ -677,12 +677,98 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation — the stats CONSUMED, not just reported
+# ---------------------------------------------------------------------------
+def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The System-R estimator a cost-based optimizer runs on the stats
+    this tier collects: |A ⋈ B| ≈ n_a·n_b / max(ndv_a, ndv_b) for an
+    equi-join on (o_orderkey = l_orderkey) — computed HERE from exact
+    NDVs, then calibrated against the true join cardinality in the same
+    result row (est_ppm_of_actual makes the estimator's bias auditable;
+    on a PK-FK join the estimate is exact up to dangling keys, which the
+    dangling_fk column quantifies).
+
+    At 100 TB the actual-count leg is the calibration harness, not the
+    product — the estimate needs only the two distinct-count aggregates
+    (each O(n) scan → 1-row frame; the KMV synopsis in
+    `join_size_estimate` is the sampled alternative when even a distinct
+    is too much).  Every output is exact bigint; div on non-negative.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    so = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_o"),
+    )
+    sl = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_l"),
+    )
+    actual = o.join(li, "o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("actual")
+    )
+    est = (
+        so.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_o",
+            "ndv_o",
+            "n_l",
+            "ndv_l",
+            "actual",
+            F.expr(
+                "CAST((n_o * n_l) div greatest(ndv_o, ndv_l) AS BIGINT)"
+            ).alias("est"),
+        )
+    )
+    return est.select(
+        "n_o",
+        "ndv_o",
+        "n_l",
+        "ndv_l",
+        "est",
+        "actual",
+        (F.col("n_l") - F.col("actual")).alias("dangling_fk"),
+        F.expr("CAST((est * 1000000) div actual AS BIGINT)").alias(
+            "est_ppm_of_actual"
+        ),
+    )
+
+
+SQL_JOIN_CARDINALITY_CHECK = """
+WITH so AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_o,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_o
+  FROM orders
+), sl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_l,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_l
+  FROM lineitem
+), act AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), est AS (
+  SELECT n_o, ndv_o, n_l, ndv_l, actual,
+         CAST((n_o * n_l) // greatest(ndv_o, ndv_l) AS BIGINT) AS est
+  FROM so CROSS JOIN sl CROSS JOIN act
+)
+SELECT n_o, ndv_o, n_l, ndv_l, est, actual,
+       n_l - actual AS dangling_fk,
+       CAST((est * 1000000) // actual AS BIGINT) AS est_ppm_of_actual
+FROM est
+"""
+
+
 STATS_QUERIES = {
     "column_stats_mcv": q_column_stats_mcv,
     "equi_depth_histogram": q_equi_depth_histogram,
     "cohens_kappa": q_cohens_kappa,
     "auc_exact": q_auc_exact,
     "ks_statistic": q_ks_statistic,
+    "join_cardinality_check": q_join_cardinality_check,
 }
 
 STATS_ORACLES = {
@@ -691,4 +777,5 @@ STATS_ORACLES = {
     "cohens_kappa": SQL_COHENS_KAPPA,
     "auc_exact": SQL_AUC_EXACT,
     "ks_statistic": SQL_KS_STATISTIC,
+    "join_cardinality_check": SQL_JOIN_CARDINALITY_CHECK,
 }

@@ -102,3 +102,106 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer.saveAsTable(table)
+
+
+def compute_equi_depth_bounds(
+    df: DataFrame, col: str, k: int = 8, bucket_width: int = 1 << 20
+) -> list[int]:
+    """Exact k-quantile upper bounds of an integer column — the split
+    points a range layout / global sort needs, via the catalog-certified
+    two-phase prefix (``equi_depth_histogram``'s shape: histogram cells,
+    domain-bucket offsets from a bounded self-join, bucket-partitioned
+    running rank; NEVER an unpartitioned window).  Returns k ascending
+    bounds; the k-th is the column max.  The ≤k-row collect is a stat
+    frame, not data (same budget as the other driver-side bound joins)."""
+    cells = (
+        df.select(F.col(col).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", F.expr(f"v div {bucket_width}"))
+        .localCheckpoint(eager=False)
+    )
+    buckets = cells.groupBy("bucket").agg(F.sum("cnt").alias("bw"))
+    lower = buckets.select(
+        F.col("bucket").alias("lb"), F.col("bw").alias("lw")
+    )
+    offsets = (
+        buckets.join(
+            F.broadcast(lower), F.col("lb") < F.col("bucket"), "left"
+        )
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("lw"), F.lit(0)).alias("boff"))
+    )
+    from pyspark.sql import Window
+
+    w_inb = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = cells.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        cells.join(F.broadcast(offsets), "bucket")
+        .select("v", (F.col("boff") + F.sum("cnt").over(w_inb)).alias("cum"))
+        .crossJoin(F.broadcast(totals))
+    )
+    row = ranked.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.greatest(
+                        F.lit(1).cast("long"), F.expr(f"({q} * n) div {k}")
+                    ),
+                    F.col("v"),
+                )
+            ).alias(f"b{q}")
+            for q in range(1, k)
+        ],
+        F.max("v").alias(f"b{k}"),
+    ).collect()[0]
+    return [int(row[f"b{q}"]) for q in range(1, k + 1)]
+
+
+def write_range_partitioned(
+    df: DataFrame, path: str, col: str, bounds: list[int]
+) -> None:
+    """Range layout from PRECOMPUTED bounds (``compute_equi_depth_bounds``
+    or the versioned stats store): each output file owns one value range,
+    sorted — so range predicates prune to the files they touch and a
+    downstream merge-sort reads presorted runs.  Unlike
+    ``repartitionByRange`` this is deterministic (no sampling): the file
+    a row lands in is a pure function of its value and the bound list —
+    reproducible across clusters, which is what a 100 TB nightly rewrite
+    wants from its layout step."""
+    bnds = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("q"),
+                F.lit(int(b)).cast("long").alias("ub"),
+            )
+            for i, b in enumerate(bounds)
+        ]
+    )
+    keyed = (
+        df.withColumn("_bnds", bnds)
+        .withColumn(
+            "_range_id",
+            F.coalesce(
+                F.expr(f"array_min(filter(_bnds, x -> {col} <= x.ub)).q"),
+                F.lit(len(bounds)),  # values past the recorded max
+            ),
+        )
+        .drop("_bnds")
+    )
+    # hash-repartition on the range id co-locates each range in ONE task,
+    # and partitionBy makes the layout self-describing on disk: exactly
+    # one sorted file per _range_id directory (a hash collision only
+    # means one task writes two directories, never a split range)
+    (
+        keyed.repartition(len(bounds), "_range_id")
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .partitionBy("_range_id")
+        .parquet(path)
+    )

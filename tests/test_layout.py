@@ -98,3 +98,86 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_equi_depth_bounds_match_catalog_histogram(spark):
+    """compute_equi_depth_bounds on orders cents == the oracled
+    equi_depth_histogram's ub_c column (same rank definition, same
+    two-phase machinery — the operator is the reusable form)."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.catalog_stats import (
+        q_equi_depth_histogram,
+    )
+    from service_alerts_connector_spark.operators.layout import (
+        compute_equi_depth_bounds,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents = _t(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    bounds = compute_equi_depth_bounds(cents, "c", k=8)
+    hist = {r["bucket_id"]: r["ub_c"] for r in q_equi_depth_histogram(spark, sf).collect()}
+    # the histogram omits empty buckets; every present bucket's ub must
+    # equal the operator's bound at that index
+    for q, ub in hist.items():
+        assert bounds[q - 1] == ub, (q, ub, bounds)
+    assert bounds == sorted(bounds)
+
+
+def test_write_range_partitioned_balanced_and_disjoint(spark, tmp_path):
+    """The written layout delivers the histogram's promise: one sorted
+    file per range directory, per-range row counts equal to the
+    histogram's n_rows, ranges disjoint, and a range predicate prunes to
+    the directories it touches (partition filter in the scan)."""
+    import glob
+
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.catalog_stats import (
+        q_equi_depth_histogram,
+    )
+    from service_alerts_connector_spark.operators.layout import (
+        compute_equi_depth_bounds,
+        write_range_partitioned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents = _t(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    bounds = compute_equi_depth_bounds(cents, "c", k=8)
+    path = str(tmp_path / "ranged")
+    write_range_partitioned(cents, path, "c", bounds)
+
+    # one file per non-empty range directory
+    for d in glob.glob(f"{path}/_range_id=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+
+    back = spark.read.parquet(path)
+    per_range = {
+        r["_range_id"]: (r["n"], r["lo"], r["hi"])
+        for r in back.groupBy("_range_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+        )
+        .collect()
+    }
+    hist = {
+        r["bucket_id"]: r for r in q_equi_depth_histogram(spark, sf).collect()
+    }
+    assert set(per_range) == set(hist)
+    ordered = sorted(per_range.items())
+    for (q, (n, lo, hi)), (q2, (n2, lo2, _)) in zip(ordered, ordered[1:]):
+        assert hi < lo2  # disjoint, ordered ranges
+    for q, (n, lo, hi) in per_range.items():
+        assert n == hist[q]["n_rows"]
+        assert hi <= hist[q]["ub_c"]
+
+    # a range predicate prunes at the directory level
+    pruned = back.where(F.col("_range_id") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert pruned.count() == hist[3]["n_rows"]
