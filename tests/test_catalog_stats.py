@@ -179,3 +179,39 @@ def test_eval_metrics_partitioning_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a1 == a2
     assert k1 == k2
+
+
+def test_signed_floor_div_identity_property(spark):
+    """The kappa/metric queries' explicit floor-division CASE must equal
+    python's // (true floor) for EVERY sign combination — batched
+    property check: one Spark job and one DuckDB query over ~400
+    randomized (num, den) pairs, plus the adversarial exact-multiple and
+    off-by-one corners where truncation and floor diverge."""
+    import duckdb
+    import random
+
+    rng = random.Random(99)
+    pairs = [(rng.randint(-10**12, 10**12), rng.randint(1, 10**9)) for _ in range(380)]
+    pairs += [(-7, 7), (7, 7), (-8, 7), (-6, 7), (0, 5), (-1, 10**9),
+              (10**12, 1), (-(10**12), 1), (-3, 2), (3, 2)]
+    case = (
+        "CASE WHEN num >= 0 THEN (num * 1000000) {div} den "
+        "ELSE -(((-num) * 1000000 + den - 1) {div} den) END"
+    )
+    expected = [(n * 1_000_000) // d for n, d in pairs]
+
+    df = spark.createDataFrame(pairs, "num long, den long").selectExpr(
+        "num", "den", case.format(div="div") + " AS v"
+    )
+    got_spark = {
+        (r["num"], r["den"]): r["v"] for r in df.collect()
+    }
+    assert [got_spark[p] for p in pairs] == expected
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({n}, {d})" for n, d in pairs)
+    got_duck = con.execute(
+        f"SELECT num, den, {case.format(div='//')} AS v "
+        f"FROM (VALUES {vals}) t(num, den)"
+    ).fetchall()
+    assert [v for _, _, v in got_duck] == expected
