@@ -176,6 +176,7 @@ _R9_LEAD = (
     "ks_statistic",
     "q9_profit_rollup",
     "join_cardinality_check",
+    "correlated_column_stats",
     # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
     "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",
     "cheapest_supplier_per_part", "weighted_median_price",

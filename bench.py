@@ -118,6 +118,7 @@ HEADLINE = [
     "ks_statistic",
     "q9_profit_rollup",
     "join_cardinality_check",
+    "correlated_column_stats",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

@@ -32,6 +32,12 @@ integer determinism rules so each has a full DuckDB value-hash oracle:
 - ``ks_statistic`` — exact two-sample Kolmogorov-Smirnov distance between
   two value distributions with the maximizing score, from the same
   two-phase cumulative machinery (`_bucketed_cum`).
+- ``correlated_column_stats`` — multi-column dependency stats per pinned
+  pair (PostgreSQL ``CREATE STATISTICS`` shape): combination NDV vs the
+  independence product, modal combination and share.
+- ``join_cardinality_check`` — the System-R estimator run on exact NDVs
+  and calibrated against the true join count (the stats consumed, not
+  just reported).
 
 Scale notes live next to each query; plan shapes are pinned in
 ``tests/test_plan_shapes.py`` (one fact scan for the unpivoted stats,
@@ -678,6 +684,122 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# Correlated-column statistics — PostgreSQL CREATE STATISTICS shape
+# ---------------------------------------------------------------------------
+_CORR_PAIRS = (
+    ("l_returnflag", "l_linestatus"),
+    ("l_linenumber", "l_linestatus"),
+)
+
+
+def q_correlated_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column dependency statistics for pinned column pairs — what
+    single-column stats cannot see: an optimizer multiplying independent
+    selectivities over-prunes when columns correlate (the classic
+    ANALYZE blind spot PostgreSQL's ``CREATE STATISTICS`` fixes).
+
+    Per pair: exact NDVs of each side and of the combination, plus
+    independence_ppm = ndv_ab·10⁶ div (ndv_a·ndv_b) — 10⁶ means the
+    combination space is fully populated, far below means functional
+    dependence (in spec TPC-H, returnflag R/A only pairs with
+    linestatus F, so the pair would report 4/6 ≈ 666 667; the driver's
+    synthetic generator draws the flags independently, so both pinned
+    pairs measure the full 10⁶ — the audit's value is the measurement
+    itself) — and the modal combination with its exact row share.
+    One distinct-pair
+    aggregate per pinned pair, each map-side combined to the pair's
+    combination cardinality; the modal pick is the min_by complement
+    selector on the tiny combo frame (no window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    outs = []
+    for a, b in _CORR_PAIRS:
+        combos = li.groupBy(
+            F.col(a).cast("string").alias("va"),
+            F.col(b).cast("string").alias("vb"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # modal combo via lexicographic-min complement selector: padded
+        # (max-cnt complement, va, vb) so min == (max cnt, then min combo)
+        # total order: fixed-width max-cnt complement, then the exact
+        # combo string the oracle minimizes over - no min_by tie ever
+        sel = F.concat(
+            F.lpad((F.lit(10**12) - F.col("cnt")).cast("string"), 13, "0"),
+            F.lit("|"),
+            F.col("va"),
+            F.lit("|"),
+            F.col("vb"),
+        )
+        outs.append(
+            combos.agg(
+                F.lit(f"{a}|{b}").alias("pair"),
+                F.countDistinct("va").cast("long").alias("ndv_a"),
+                F.countDistinct("vb").cast("long").alias("ndv_b"),
+                F.count(F.lit(1)).cast("long").alias("ndv_ab"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.min_by(F.concat("va", F.lit("|"), "vb"), sel).alias(
+                    "modal_combo"
+                ),
+                F.max("cnt").cast("long").alias("modal_cnt"),
+            )
+        )
+    un = outs[0]
+    for o in outs[1:]:
+        un = un.unionByName(o)
+    return un.select(
+        "pair",
+        "ndv_a",
+        "ndv_b",
+        "ndv_ab",
+        "n_rows",
+        F.expr("CAST((ndv_ab * 1000000) div (ndv_a * ndv_b) AS BIGINT)").alias(
+            "independence_ppm"
+        ),
+        "modal_combo",
+        "modal_cnt",
+        F.expr("CAST((modal_cnt * 1000000) div n_rows AS BIGINT)").alias(
+            "modal_share_ppm"
+        ),
+    ).orderBy("pair")
+
+
+def _sql_corr_pair(a: str, b: str) -> str:
+    return f"""
+  SELECT '{a}|{b}' AS pair,
+         CAST(count(DISTINCT va) AS BIGINT) AS ndv_a,
+         CAST(count(DISTINCT vb) AS BIGINT) AS ndv_b,
+         CAST(count(*) AS BIGINT) AS ndv_ab,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         min(CASE WHEN cnt = (SELECT max(cnt) FROM c_{a}_{b}) THEN va || '|' || vb END)
+           AS modal_combo,
+         CAST(max(cnt) AS BIGINT) AS modal_cnt
+  FROM c_{a}_{b}"""
+
+
+SQL_CORRELATED_COLUMN_STATS = (
+    "WITH "
+    + ", ".join(
+        f"""c_{a}_{b} AS (
+  SELECT CAST({a} AS VARCHAR) AS va, CAST({b} AS VARCHAR) AS vb,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY va, vb
+)"""
+        for a, b in _CORR_PAIRS
+    )
+    + ", per_pair AS ("
+    + " UNION ALL ".join(_sql_corr_pair(a, b) for a, b in _CORR_PAIRS)
+    + """
+)
+SELECT pair, ndv_a, ndv_b, ndv_ab, n_rows,
+       CAST((ndv_ab * 1000000) // (ndv_a * ndv_b) AS BIGINT)
+         AS independence_ppm,
+       modal_combo, modal_cnt,
+       CAST((modal_cnt * 1000000) // n_rows AS BIGINT) AS modal_share_ppm
+FROM per_pair
+ORDER BY pair
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Join-cardinality estimation — the stats CONSUMED, not just reported
 # ---------------------------------------------------------------------------
 def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +891,7 @@ STATS_QUERIES = {
     "auc_exact": q_auc_exact,
     "ks_statistic": q_ks_statistic,
     "join_cardinality_check": q_join_cardinality_check,
+    "correlated_column_stats": q_correlated_column_stats,
 }
 
 STATS_ORACLES = {
@@ -778,4 +901,5 @@ STATS_ORACLES = {
     "auc_exact": SQL_AUC_EXACT,
     "ks_statistic": SQL_KS_STATISTIC,
     "join_cardinality_check": SQL_JOIN_CARDINALITY_CHECK,
+    "correlated_column_stats": SQL_CORRELATED_COLUMN_STATS,
 }

@@ -40,7 +40,7 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "decontaminate_strip", "semdedup_fixed",
         "column_stats_mcv", "equi_depth_histogram", "cohens_kappa",
         "auc_exact", "ks_statistic", "q9_profit_rollup",
-        "join_cardinality_check"]
+        "join_cardinality_check", "correlated_column_stats"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
@@ -60,6 +60,7 @@ NOTES = {
     "ks_statistic": "exact two-sample KS: shared two-phase cumulative CDFs at integer scale n_a*n_b, max + argmax via the cusum-style join-back",
     "q9_profit_rollup": "TPC-H Q9 shape: product-line filter collapses part FIRST (broadcast), supplier-nation chain broadcasts, the only fact-fact join co-partitions on l_orderkey; signed integer c4 profit",
     "join_cardinality_check": "System-R estimator from exact NDVs calibrated against the true join count in one row; the actual leg is the harness, the estimate is two 1-row aggregates",
+    "correlated_column_stats": "CREATE STATISTICS shape: one distinct-pair aggregate per pinned pair (map-side combined to combo cardinality); modal pick = min_by complement selector, no window",
     "fixer_chain": "the full F1-F8 cleaning chain: ONE whole-stage-codegen projection over the scan, zero exchanges",
     "pricing_summary": "partial hash-agg inside the scan stage, single exchange of 6 groups, integer-cents sums",
     "j1_lookup_join": "three-level dimension chain: all BroadcastHashJoin, fact side never shuffles",
