@@ -31,7 +31,9 @@ from service_alerts_connector_spark.catalog_stats import (
     q_auc_exact,
     q_cohens_kappa,
     q_column_stats_mcv,
+    q_correlated_column_stats,
     q_equi_depth_histogram,
+    q_join_cardinality_check,
     q_ks_statistic,
 )
 from service_alerts_connector_spark.session import get_spark
@@ -52,6 +54,8 @@ def main() -> None:
         ("Value-distribution drift week1 vs week4", q_distribution_drift),
         ("Optimizer column stats + MCVs (ANALYZE)", q_column_stats_mcv),
         ("Equi-depth histogram / range-partition bounds", q_equi_depth_histogram),
+        ("Correlated-column dependence audit", q_correlated_column_stats),
+        ("Join-cardinality estimator calibration", q_join_cardinality_check),
         ("Labeler agreement (Cohen's kappa)", q_cohens_kappa),
         ("Score ranking quality (exact AUC)", q_auc_exact),
         ("Purchase-vs-view KS drift test", q_ks_statistic),
