@@ -200,8 +200,8 @@ _R9_LEAD = (
     "unpivot_metrics", "rank_movers", "hhi_concentration",
     "join_size_estimate", "skew_report", "user_feature_bundle",
     "type_cooccurrence", "type_transitions",
-    # tail (positions >50 after the 9 new round-9 keys took the front:
-    # everything from unpivot_metrics down rolls to the round-10 lead)
+    # tail — with the 12 new round-9 keys at the front, everything past
+    # position 50 (zorder_key onward) rolls to the round-10 lead
     "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
 )
 
