@@ -31,6 +31,10 @@ DEFAULT = [
     "tfidf_top_terms", "q19_disjunctive", "q21_waiting_suppliers",
     "join_size_estimate", "graph_triangles", "hll_distinct",
     "bloom_semi_join", "kmeans_update", "leakage_safe_split",
+    # round-9 stats tier
+    "column_stats_mcv", "equi_depth_histogram", "auc_exact",
+    "ks_statistic", "cohens_kappa", "q9_profit_rollup",
+    "join_cardinality_check", "correlated_column_stats",
 ]
 
 _SIZE = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30}
