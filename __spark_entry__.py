@@ -96,6 +96,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_SAMPLED = frozenset(
     (
         # rounds 1-4
+        # (the next nine were certified in CORRECTNESS_r01.json but were
+        # missing from this set until round 10 — recorded now so the
+        # "fresh" middle section truly contains only never-sampled keys)
+        "cube_grouping", "dedup_embedding_cosine", "distinct_agg",
+        "fixer_chain", "lag_rank_window", "percentiles", "pivot_status",
+        "rollup_pricing", "running_total",
         "p1_projection", "p4_time_window", "feed_current_urgent",
         "p6_predicate_engine", "p10_topk", "j1_lookup_join",
         "j2_incremental_anti", "j8_cdc_diff", "a1_collect_list",
@@ -152,56 +158,47 @@ _DRIVER_SAMPLED = frozenset(
         "null_safe_join", "sessionize", "rolling_window_agg",
         "grouping_sets", "scd2_history", "ohlc_downsample",
         "funnel_ordered_3step", "conversion_delay_profile",
+        # round 9 (the certified 50 of _R9_LEAD: CORRECTNESS_r09.json —
+        # substring/semantic dedup, stats tier, round-7 tier, corpus,
+        # multimodal closed-form, events/analytics head)
+        "dedup_substring_spans", "dedup_substring_strip",
+        "decontaminate_strip", "semdedup_fixed", "column_stats_mcv",
+        "equi_depth_histogram", "cohens_kappa", "auc_exact",
+        "ks_statistic", "q9_profit_rollup", "join_cardinality_check",
+        "correlated_column_stats",
+        "clamped_running_balance", "cusum_changepoint",
+        "seasonal_dow_profile", "cheapest_supplier_per_part",
+        "weighted_median_price", "scd2_temporal_join", "delta_join_ivm",
+        "ancestor_path_sum", "winsorized_mean_value", "geo_overlay_rect",
+        "tfidf_top_terms", "bm25_rank", "pmi_top_pairs", "bpe_merge_step",
+        "text_bpe_tokens", "passage_dedup", "dedup_prefix_filter",
+        "leakage_safe_split", "ngram_decontamination", "vocab_coverage",
+        "doc_chunking", "pack_bins", "source_quota", "source_mixing",
+        "quality_deciles", "hash_split", "stratified_sample",
+        "inverted_index", "assign_seq_ids",
+        "multimodal_decode", "multimodal_resize",
+        "cohort_retention", "funnel_conversion", "attribution_join",
+        "event_value_quantiles", "event_throttle", "json_typed_extract",
+        "linear_trend",
     )
 )
 
-# Round-9 lead: per the cadence policy above — (a) queries new/changed this
-# round, then (b) the oracled queries that have never appeared in any
-# CORRECTNESS_r01-r08 sample (set reproduced by key-diffing those files
-# against queries()).  The driver certifies the first 50; keys past
-# position 50 roll to round 10 — type_cooccurrence / type_transitions
-# (self-similar pair) plus three near-duplicates of already-certified
-# siblings (config_fanout_1k ~ config_join_fanout, gap_fill_locf ~
-# gap_fill_interp, length_outlier_filter ~ text_length_histogram).
-_R9_LEAD = (
+# Round-10 lead: per the cadence policy above — (a) queries new/changed
+# this round, then (b) the 14 oracled queries that rolled past round 9's
+# 50-query sample window (the LAST never-certified oracled queries in the
+# catalog; set reproduced by key-diffing CORRECTNESS_r01-r09 against
+# oracle_sql()).  Certifying all of these closes the books: every oracled
+# query will then hold a driver certificate.
+_R10_LEAD = (
     # (a) new this round
-    "dedup_substring_spans",
-    "dedup_substring_strip",
-    "decontaminate_strip",
-    "semdedup_fixed",
-    "column_stats_mcv",
-    "equi_depth_histogram",
-    "cohens_kappa",
-    "auc_exact",
-    "ks_statistic",
-    "q9_profit_rollup",
-    "join_cardinality_check",
-    "correlated_column_stats",
-    # (b) round-7 tier — includes the round-8 weighted_median_price rewrite
-    "clamped_running_balance", "cusum_changepoint", "seasonal_dow_profile",
-    "cheapest_supplier_per_part", "weighted_median_price",
-    "scd2_temporal_join", "delta_join_ivm", "ancestor_path_sum",
-    "winsorized_mean_value",
-    # geo
-    "geo_overlay_rect",
-    # corpus tier
-    "tfidf_top_terms", "bm25_rank", "pmi_top_pairs", "bpe_merge_step",
-    "text_bpe_tokens", "passage_dedup", "dedup_prefix_filter",
-    "leakage_safe_split", "ngram_decontamination", "vocab_coverage",
-    "doc_chunking", "pack_bins", "source_quota", "source_mixing",
-    "quality_deciles", "hash_split", "stratified_sample", "inverted_index",
-    "assign_seq_ids",
-    # multimodal (closed-form pixel oracles)
-    "multimodal_decode", "multimodal_resize",
-    # events / analytics
-    "cohort_retention", "funnel_conversion", "attribution_join",
-    "event_value_quantiles", "event_throttle", "json_typed_extract",
-    "linear_trend", "zorder_key", "skew_salted_agg", "dq_rule_screen",
+    "broadcast_decision",
+    "range_partition_plan",
+    "incremental_semdedup_fixed",
+    # (b) the 14 rolled from round 9 (zorder_key onward in _R9_LEAD order)
+    "zorder_key", "skew_salted_agg", "dq_rule_screen",
     "unpivot_metrics", "rank_movers", "hhi_concentration",
     "join_size_estimate", "skew_report", "user_feature_bundle",
     "type_cooccurrence", "type_transitions",
-    # tail — with the 12 new round-9 keys at the front, everything past
-    # position 50 (zorder_key onward) rolls to the round-10 lead
     "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
 )
 
@@ -223,7 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **ROUND7_QUERIES,
         **STATS_QUERIES,
     }
-    lead = {k: merged[k] for k in _R9_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R10_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()
