@@ -119,6 +119,10 @@ HEADLINE = [
     "q9_profit_rollup",
     "join_cardinality_check",
     "correlated_column_stats",
+    # round-10 additions: stats→plan feedback + incremental SemDeDup rule
+    "broadcast_decision",
+    "range_partition_plan",
+    "incremental_semdedup_fixed",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

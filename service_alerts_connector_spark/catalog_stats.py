@@ -457,7 +457,13 @@ def _score_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos"),
     )
     return (
-        lab.groupBy("score")
+        # NULL scores would get a NULL bucket and silently vanish at the
+        # inner bucket join while the DuckDB oracle's window kept them
+        # (ordered last) — filter them symmetrically on both engines
+        # (events.value is non-null today; this pins the behavior if a
+        # regeneration ever changes that)
+        lab.where(F.col("score").isNotNull())
+        .groupBy("score")
         .agg(
             F.sum(F.when(F.col("pos"), 1).otherwise(0))
             .cast("long")
@@ -560,7 +566,7 @@ SQL_AUC_EXACT = """
 WITH lab AS (
   SELECT CAST(floor(value * 100) AS BIGINT) AS score,
          (CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50) AS pos
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), cells AS (
   SELECT score,
          CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc,
@@ -605,7 +611,11 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     cells = (
-        ev.where(F.col("event_type").isin("purchase", "view"))
+        # score NOT NULL: same symmetric-null rule as _score_cells
+        ev.where(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("score").isNotNull()
+        )
         .groupBy("score")
         .agg(
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -651,7 +661,8 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KS_STATISTIC = """
 WITH ev AS (
   SELECT CAST(floor(value * 100) AS BIGINT) AS score, event_type
-  FROM events WHERE event_type IN ('purchase', 'view')
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
 ), cells AS (
   SELECT score,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -884,6 +895,223 @@ FROM est
 """
 
 
+# ---------------------------------------------------------------------------
+# Stats → plan feedback (round 10): the CONSUMING side of the ANALYZE tier
+# ---------------------------------------------------------------------------
+_BCAST_TABLES = (
+    "region", "nation", "supplier", "customer", "part", "orders", "lineitem",
+)
+
+
+def q_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-vs-shuffle decision table a join planner reads: per
+    candidate join side, exact row count and the exact post-projection
+    byte estimate (``operators/planner.row_bytes_expr`` — octet lengths
+    for strings, fixed widths for numerics), the resulting strategy at
+    Spark's default 10 MiB ``autoBroadcastJoinThreshold``, and the
+    threshold-utilization ppm.  This is the statistic
+    ``stats_driven_join`` consumes (plan pin: the sub-threshold side
+    plans BroadcastHashJoin, the over-threshold side keeps the shuffle
+    join — tests/test_plan_shapes.py), measured where Spark's own
+    file-size heuristic is blind: on the exact columns shipped, not the
+    compressed file footprint.  One map-side-combined aggregate per
+    table; the union is a 7-row stat frame."""
+    from service_alerts_connector_spark.operators.planner import (
+        DEFAULT_BROADCAST_BYTES,
+        row_bytes_expr,
+    )
+
+    parts = []
+    for tbl in _BCAST_TABLES:
+        df = _t(spark, sf_dir, tbl)
+        parts.append(
+            df.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(row_bytes_expr(df)).cast("long").alias("est_bytes"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.when(
+            F.col("est_bytes") <= DEFAULT_BROADCAST_BYTES, F.lit("broadcast")
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("decision"),
+        F.expr(
+            f"CAST((est_bytes * 1000000) div {DEFAULT_BROADCAST_BYTES}"
+            " AS BIGINT)"
+        ).alias("threshold_ppm"),
+    ).orderBy("tbl")
+
+
+def _sql_broadcast_decision() -> str:
+    width = {"INTEGER": 4, "BIGINT": 8, "DOUBLE": 8, "TIMESTAMP": 8}
+    schemas = {
+        "region": [("r_regionkey", "INTEGER"), ("r_name", "V")],
+        "nation": [
+            ("n_nationkey", "INTEGER"), ("n_name", "V"),
+            ("n_regionkey", "INTEGER"),
+        ],
+        "supplier": [
+            ("s_suppkey", "BIGINT"), ("s_name", "V"),
+            ("s_nationkey", "INTEGER"), ("s_acctbal", "DOUBLE"),
+        ],
+        "customer": [
+            ("c_custkey", "BIGINT"), ("c_name", "V"),
+            ("c_nationkey", "INTEGER"), ("c_acctbal", "DOUBLE"),
+            ("c_mktsegment", "V"),
+        ],
+        "part": [
+            ("p_partkey", "BIGINT"), ("p_name", "V"), ("p_brand", "V"),
+            ("p_type", "V"), ("p_size", "INTEGER"),
+            ("p_retailprice", "DOUBLE"),
+        ],
+        "orders": [
+            ("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"),
+            ("o_orderstatus", "V"), ("o_totalprice", "DOUBLE"),
+            ("o_orderdate", "TIMESTAMP"), ("o_orderpriority", "V"),
+        ],
+        "lineitem": [
+            ("l_orderkey", "BIGINT"), ("l_partkey", "BIGINT"),
+            ("l_suppkey", "BIGINT"), ("l_linenumber", "INTEGER"),
+            ("l_quantity", "DOUBLE"), ("l_extendedprice", "DOUBLE"),
+            ("l_discount", "DOUBLE"), ("l_tax", "DOUBLE"),
+            ("l_returnflag", "V"), ("l_linestatus", "V"),
+            ("l_shipdate", "TIMESTAMP"),
+        ],
+    }
+    legs = []
+    for tbl, cols in schemas.items():
+        # DuckDB's byte length of a VARCHAR is strlen() (octet_length is
+        # BLOB-only there); Spark's is octet_length — both count UTF-8 bytes
+        terms = [
+            f"coalesce(strlen({c}), 0)" if t == "V" else str(width[t])
+            for c, t in cols
+        ]
+        legs.append(
+            f"  SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"         CAST(sum({' + '.join(terms)}) AS BIGINT) AS est_bytes\n"
+            f"  FROM {tbl}"
+        )
+    union = "\n  UNION ALL\n".join(legs)
+    thr = 10 * 1024 * 1024
+    return f"""
+WITH sizes AS (
+{union}
+)
+SELECT tbl, n_rows, est_bytes,
+       CASE WHEN est_bytes <= {thr} THEN 'broadcast' ELSE 'shuffle' END
+         AS decision,
+       CAST((est_bytes * 1000000) // {thr} AS BIGINT) AS threshold_ppm
+FROM sizes ORDER BY tbl
+"""
+
+
+SQL_BROADCAST_DECISION = _sql_broadcast_decision()
+
+
+_RPP_K = 16
+
+
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-layout plan audit: compute exact k=16 equi-depth split
+    points over lineitem price cents with the certified two-phase prefix
+    (``layout.compute_equi_depth_bounds`` — the stats side), ASSIGN every
+    row to its range exactly as ``layout.write_range_partitioned`` does
+    (same bound-array expression — the plan side), and report per range:
+    row count, value span, and balance ppm (n·k·10⁶ div total; 10⁶ =
+    perfectly equi-depth).  This is the audit a 100 TB nightly re-layout
+    runs before committing a sort order — skewed ppm means the stats are
+    stale.  The bounds collect is a k-row stat frame; the assignment is
+    one broadcast literal array, no join."""
+    from service_alerts_connector_spark.operators.layout import (
+        compute_equi_depth_bounds,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = compute_equi_depth_bounds(li, "cents", k=_RPP_K)
+    bnds = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("q"),
+                F.lit(int(b)).cast("long").alias("ub"),
+            )
+            for i, b in enumerate(bounds)
+        ]
+    )
+    assigned = li.withColumn("_bnds", bnds).select(
+        "cents",
+        F.coalesce(
+            F.expr("array_min(filter(_bnds, x -> cents <= x.ub)).q"),
+            F.lit(_RPP_K),
+        ).alias("range_id"),
+    )
+    per = assigned.groupBy("range_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").cast("long").alias("lo_c"),
+        F.max("cents").cast("long").alias("hi_c"),
+    )
+    totals = per.agg(F.sum("n_rows").alias("ntot"))
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("range_id").cast("int").alias("range_id"),
+            "n_rows",
+            "lo_c",
+            "hi_c",
+            F.expr(
+                f"CAST((n_rows * {_RPP_K} * 1000000) div ntot AS BIGINT)"
+            ).alias("balance_ppm"),
+        )
+        .orderBy("range_id")
+    )
+
+
+SQL_RANGE_PARTITION_PLAN = f"""
+WITH rev AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), cells AS (
+  SELECT cents, count(*) AS cnt FROM rev GROUP BY cents
+), ranked AS (
+  SELECT cents, cnt,
+         sum(cnt) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM cells
+), qs AS (
+  SELECT unnest(generate_series(1, {_RPP_K - 1})) AS q
+), bounds AS (
+  SELECT q, min(CASE WHEN cum >= greatest(1, (q * n) // {_RPP_K})
+                     THEN cents END) AS ub
+  FROM ranked CROSS JOIN qs GROUP BY q
+  UNION ALL
+  SELECT {_RPP_K} AS q, max(cents) AS ub FROM cells
+), assign AS (
+  SELECT c.cents, c.cnt, coalesce(min(b.q), {_RPP_K}) AS range_id
+  FROM cells c LEFT JOIN bounds b ON c.cents <= b.ub
+  GROUP BY c.cents, c.cnt
+), per AS (
+  SELECT range_id,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(min(cents) AS BIGINT) AS lo_c,
+         CAST(max(cents) AS BIGINT) AS hi_c
+  FROM assign GROUP BY range_id
+)
+SELECT CAST(range_id AS INTEGER) AS range_id, n_rows, lo_c, hi_c,
+       CAST((n_rows * {_RPP_K} * 1000000)
+            // (SELECT sum(n_rows) FROM per) AS BIGINT) AS balance_ppm
+FROM per ORDER BY range_id
+"""
+
+
 STATS_QUERIES = {
     "column_stats_mcv": q_column_stats_mcv,
     "equi_depth_histogram": q_equi_depth_histogram,
@@ -892,6 +1120,8 @@ STATS_QUERIES = {
     "ks_statistic": q_ks_statistic,
     "join_cardinality_check": q_join_cardinality_check,
     "correlated_column_stats": q_correlated_column_stats,
+    "broadcast_decision": q_broadcast_decision,
+    "range_partition_plan": q_range_partition_plan,
 }
 
 STATS_ORACLES = {
@@ -902,4 +1132,6 @@ STATS_ORACLES = {
     "ks_statistic": SQL_KS_STATISTIC,
     "join_cardinality_check": SQL_JOIN_CARDINALITY_CHECK,
     "correlated_column_stats": SQL_CORRELATED_COLUMN_STATS,
+    "broadcast_decision": SQL_BROADCAST_DECISION,
+    "range_partition_plan": SQL_RANGE_PARTITION_PLAN,
 }

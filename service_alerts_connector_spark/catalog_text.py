@@ -981,6 +981,60 @@ ORDER BY a.vec_id
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_incremental_semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIRST-WINS SemDeDup rule (`semantic_dedup(keep="first")`) over
+    the same duplicated corpus as ``semdedup_fixed`` — the prefix-monotone
+    drop rule `operators/similarity.py incremental_semantic_dedup` applies
+    per ingest batch against its persistent vector store.  This batch-mode
+    complement IS the incremental path's correctness anchor: sequential
+    ingest over id-increasing batches is pytest-pinned equal to exactly
+    this result (tests/test_incremental_semdedup.py), so a driver
+    certificate here certifies the rule the store machinery replays."""
+    import math
+
+    from service_alerts_connector_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_rows = (
+        emb.where(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()  # bounded: 4 rows
+    )
+    cents_milli = [
+        [math.floor(float(x) * 1000.0) for x in r["embedding"]]
+        for r in cent_rows
+    ]
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(_NDUP_SHIFT)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(shifted)
+    return semantic_dedup(
+        corpus, cents_milli, threshold=0.9,
+        n_planes=32, n_bands=_NDUP_BANDS, seed=7, keep="first",
+    )
+
+
+def _sql_semdedup_first() -> str:
+    # identical candidate machinery to SQL_SEMDEDUP; the loser of a pair
+    # (emitted ia < ib) is always ib under first-wins
+    base = _sql_semdedup()
+    old = """), losers AS (
+  SELECT DISTINCT
+         CASE WHEN ea.d2 > eb.d2 THEN ib
+              WHEN eb.d2 > ea.d2 THEN ia
+              ELSE greatest(ia, ib) END AS vec_id"""
+    new = """), losers AS (
+  SELECT DISTINCT ib AS vec_id"""
+    assert old in base
+    return base.replace(old, new)
+
+
+SQL_SEMDEDUP_FIRST = _sql_semdedup_first()
+
+
 def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency (token tiebreak) —
     the fan-in aggregation every corpus pipeline runs for vocab builds."""
@@ -1876,6 +1930,7 @@ TEXT_QUERIES = {
     "ann_pq_fixed": q_ann_pq_fixed,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semdedup_fixed": q_semdedup_fixed,
+    "incremental_semdedup_fixed": q_incremental_semdedup_fixed,
     "embedding_sq8": q_embedding_sq8,
     "ann_sq8": q_ann_sq8,
     "ann_batch": q_ann_batch,
@@ -1922,4 +1977,5 @@ TEXT_ORACLES = {
     "ann_pq_fixed": SQL_ANN_PQ_FIXED,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
     "semdedup_fixed": SQL_SEMDEDUP,
+    "incremental_semdedup_fixed": SQL_SEMDEDUP_FIRST,
 }

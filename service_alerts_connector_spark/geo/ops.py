@@ -177,9 +177,48 @@ def clip_to_convex(subject: Ring, clip: Ring) -> Ring:
     return out
 
 
+def as_axis_rect(
+    poly: Polygon,
+) -> tuple[float, float, float, float] | None:
+    """(minx, miny, maxx, maxy) if ``poly`` is a hole-free axis-aligned
+    rectangle, else None.  Detects 4-corner rings (open or closed) whose
+    every edge is axis-parallel — the dominant shape in zone grids,
+    bounding-box layers, and tile footprints, where intersection area
+    collapses to O(1) interval arithmetic instead of two O(n·m) clips."""
+    if not poly or len(poly) != 1:
+        return None
+    ring = poly[0]
+    if ring and ring[0] == ring[-1]:
+        ring = ring[:-1]
+    if len(ring) != 4:
+        return None
+    for i in range(4):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % 4]
+        if x1 != x2 and y1 != y2:
+            return None
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    lo_x, hi_x, lo_y, hi_y = min(xs), max(xs), min(ys), max(ys)
+    # exactly two distinct values per axis (degenerate slivers fall through
+    # to the generic path, which handles zero-area inputs)
+    if len(set(xs)) != 2 or len(set(ys)) != 2:
+        return None
+    return lo_x, lo_y, hi_x, hi_y
+
+
 def intersection_area(pa: Polygon, pb: Polygon) -> float:
     """Area of pa ∩ pb via Sutherland–Hodgman (exact for convex pb; see
-    module docstring).  Tries both orders and takes the tighter estimate."""
+    module docstring).  Tries both orders and takes the tighter estimate.
+
+    Fast path: when both polygons are axis-aligned rectangles
+    (``as_axis_rect``), the area is exact interval arithmetic — same value
+    the clip would produce (SH of two rects is exact), ~100× cheaper."""
+    ra, rb = as_axis_rect(pa), as_axis_rect(pb)
+    if ra is not None and rb is not None:
+        w = min(ra[2], rb[2]) - max(ra[0], rb[0])
+        h = min(ra[3], rb[3]) - max(ra[1], rb[1])
+        return w * h if (w > 0 and h > 0) else 0.0
     if not polygons_intersect(pa, pb):
         return 0.0
     a1 = ring_area(clip_to_convex(pa[0], pb[0]))

@@ -658,6 +658,7 @@ def semantic_dedup(
     n_bands: int = 4,
     seed: int = 7,
     max_bucket: int = 10_000,
+    keep: str = "far",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication") as a deterministic Spark
@@ -665,6 +666,14 @@ def semantic_dedup(
     cluster group whose pairwise cosine clears ``threshold``, keeping the
     member FARTHEST from its centroid (the paper's keep-low-centroid-
     similarity rule; it preserves the cluster's outer shell).
+
+    ``keep="first"`` switches the drop rule to FIRST-WINS: the loser of a
+    pair is always the LARGER id.  This is the prefix-monotone rule —
+    whether a vector survives depends only on vectors with smaller ids —
+    which makes the result reproducible under sequential ingest
+    (``incremental_semantic_dedup``): appending a new id-increasing batch
+    never retracts an earlier verdict.  The centroid-distance rule cannot
+    offer that (a later vector can out-rank an earlier one).
 
     Deterministic re-expression of the paper's three stages:
 
@@ -689,42 +698,6 @@ def semantic_dedup(
     """
     dim = _infer_dim(df, vec_col)
     planes = seeded_hyperplanes(n_planes, dim, seed)
-    xm = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda v: F.floor(v * F.lit(1000.0)).cast("bigint"),
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_vd"),
-        xm.alias("_xm"),
-    )
-    # Distances STAGED as k columns, argmin in a second projection: a
-    # kmeans_update_stats-style nested-when chain embeds every distance
-    # fold repeatedly (the cond AND both branches reference it), so each
-    # 64-dim fold appears up to 2^(k-1) times in the final tree —
-    # measured ~20% of the whole query at sf0.1.  array_min over
-    # (d2, cell) structs keeps the exact first-wins tie rule.
-    dist_cols = []
-    for ci, c in enumerate(centroids_milli):
-        carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        diff = F.zip_with(F.col("_xm"), carr, lambda x, y: (x - y) * (x - y))
-        dist_cols.append(
-            F.aggregate(
-                diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x
-            ).alias(f"_d{ci}")
-        )
-    staged = base.select("_id", "_vd", *dist_cols)
-    m = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.col(f"_d{ci}").alias("d2"),
-                    F.lit(ci).cast("int").alias("cell"),
-                )
-                for ci in range(len(centroids_milli))
-            ]
-        )
-    )
     # localCheckpoint pins ONE evaluation of the scan+quantize+assign
     # subtree: it feeds four downstream branches (band cells, both verify
     # sides, the audit join), which would otherwise each recompute it —
@@ -732,13 +705,8 @@ def semantic_dedup(
     # nondeterministic upstream must not hand different branches
     # different rows.  MEMORY_AND_DISK blocks, corpus-sized: the working
     # set a real pipeline persists anyway.
-    assigned = staged.select(
-        "_id",
-        "_vd",
-        m["cell"].alias("cell"),
-        m["d2"].alias("d2_milli"),
-        _norm(F.col("_vd")).alias("_n"),
-    ).localCheckpoint(eager=False)
+    assigned = _assign_cells(df, centroids_milli, vec_col, id_col)\
+        .localCheckpoint(eager=False)
     bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
     cells = assigned.select(
         "_id",
@@ -788,10 +756,15 @@ def semantic_dedup(
         )
         .where(pair_cos >= threshold)
         .select(
-            F.when(F.col("_d2a") > F.col("_d2b"), F.col("id_b"))
-            .when(F.col("_d2b") > F.col("_d2a"), F.col("id_a"))
-            .otherwise(F.greatest("id_a", "id_b"))
-            .alias("_id")
+            (
+                # first-wins: candidates emit id_a < id_b, so the larger
+                # id is always the loser
+                F.greatest("id_a", "id_b")
+                if keep == "first"
+                else F.when(F.col("_d2a") > F.col("_d2b"), F.col("id_b"))
+                .when(F.col("_d2b") > F.col("_d2a"), F.col("id_a"))
+                .otherwise(F.greatest("id_a", "id_b"))
+            ).alias("_id")
         )
         .distinct()
         .withColumn("_dropped", F.lit(True))
@@ -806,6 +779,227 @@ def semantic_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids_milli: list[list[int]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Pinned-centroid exact-integer assignment shared by batch and
+    incremental SemDeDup: (_id, _vd, cell, d2_milli, _n).
+
+    Distances STAGED as k columns, argmin in a second projection: a
+    kmeans_update_stats-style nested-when chain embeds every distance
+    fold repeatedly (the cond AND both branches reference it), so each
+    64-dim fold appears up to 2^(k-1) times in the final tree — measured
+    ~20% of the whole query at sf0.1.  array_min over (d2, cell) structs
+    keeps the exact first-wins tie rule."""
+    xm = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda v: F.floor(v * F.lit(1000.0)).cast("bigint"),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_vd"),
+        xm.alias("_xm"),
+    )
+    dist_cols = []
+    for ci, c in enumerate(centroids_milli):
+        carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        diff = F.zip_with(F.col("_xm"), carr, lambda x, y: (x - y) * (x - y))
+        dist_cols.append(
+            F.aggregate(
+                diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias(f"_d{ci}")
+        )
+    staged = base.select("_id", "_vd", *dist_cols)
+    m = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_d{ci}").alias("d2"),
+                    F.lit(ci).cast("int").alias("cell"),
+                )
+                for ci in range(len(centroids_milli))
+            ]
+        )
+    )
+    return staged.select(
+        "_id",
+        "_vd",
+        m["cell"].alias("cell"),
+        m["d2"].alias("d2_milli"),
+        _norm(F.col("_vd")).alias("_n"),
+    )
+
+
+SEMDEDUP_STORE = "semdedup_vector_store"
+
+
+def incremental_semantic_dedup(
+    spark,
+    root: str,
+    new_vecs: DataFrame,
+    centroids_milli: list[list[int]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SemDeDup for a streaming ingest loop: judge the NEW batch against
+    every vector ever ingested (persistent (cell, band, bucket)-keyed
+    vector store) plus within-batch — O(batch) per batch: only the new
+    vectors are assigned/hashed; the store is an equi-join side keyed by
+    the same LSH cells, never re-scanned pairwise.
+
+    Drop rule is the prefix-monotone FIRST-WINS form
+    (``semantic_dedup(keep="first")``): a new vector is dropped iff SOME
+    smaller-id vector — stored or in-batch — shares its centroid cell
+    and an LSH band bucket and clears the cosine threshold.  Because a
+    verdict depends only on smaller ids, sequential ingest of
+    id-increasing batches produces EXACTLY the batch-mode
+    ``keep="first"`` result over the concatenated corpus (pytest-pinned;
+    the paper's keep-farthest rule cannot be incremental — a later
+    vector can out-rank an earlier one, retracting a verdict).
+
+    Store discipline per CLAUDE.md / ``incremental_substring_strip``:
+    ALL batch vectors (kept and dropped) enter the store — batch-mode
+    drops against dropped neighbours too, so the store must hold every
+    seen vector; the merge is a distinct-by-id union, idempotent under
+    at-least-once redelivery (a redelivered vector meets its own id in
+    the store only on the excluded equal-id join side, so verdicts
+    repeat verbatim); the previous version is read PINNED,
+    snapshot-write-last.  Store size = corpus vectors × (1 + bands/row
+    overhead) — the working set a real pipeline persists anyway;
+    prunable by cell at 100 TB.  Bucket caps (``max_bucket``) apply
+    per ingest batch, so a pathological bucket is re-capped each batch
+    instead of once globally (documented divergence-under-cap; the
+    equivalence pin runs below the cap).
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    dim = _infer_dim(new_vecs, vec_col)
+    planes = seeded_hyperplanes(n_planes, dim, seed)
+
+    assigned = _assign_cells(new_vecs, centroids_milli, vec_col, id_col)\
+        .localCheckpoint(eager=False)
+    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    batch = assigned.select(
+        "_id", "_vd", "cell", "d2_milli", "_n",
+        F.array(*[bands[b] for b in range(n_bands)]).alias("_bkts"),
+    )
+
+    def exploded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "_id", "cell",
+            F.posexplode("_bkts").alias("band", "bucket"),
+        )
+
+    # within-batch candidates (same shape as batch-mode)
+    cand = (
+        exploded(batch)
+        .groupBy("cell", "band", "bucket")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
+            .alias("ids")
+        )
+        .where(F.size("ids") > 1)
+        .select(_pair_explode("ids"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+
+    versions = list_versions(root, SEMDEDUP_STORE)
+    prev = (
+        read_dataset(spark, root, SEMDEDUP_STORE, version=versions[-1])
+        if versions
+        else None
+    )
+    if prev is not None:
+        # store ↔ batch candidates: equi-join on (cell, band, bucket);
+        # the id-increasing ingest invariant makes the stored side the
+        # smaller id, and the strict < drops redelivered self-pairs
+        vs_store = (
+            exploded(prev).select(
+                F.col("_id").alias("id_a"), "cell", "band", "bucket"
+            )
+            .join(
+                exploded(batch).select(
+                    F.col("_id").alias("id_b"), "cell", "band", "bucket"
+                ),
+                ["cell", "band", "bucket"],
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cand.unionByName(vs_store)
+    cand = cand.distinct()
+
+    side_a = (
+        prev.select(
+            F.col("_id").alias("id_a"),
+            F.col("_vd").alias("_va"),
+            F.col("_n").alias("_na"),
+        ).unionByName(
+            batch.select(
+                F.col("_id").alias("id_a"),
+                F.col("_vd").alias("_va"),
+                F.col("_n").alias("_na"),
+            )
+        )
+        if prev is not None
+        else batch.select(
+            F.col("_id").alias("id_a"),
+            F.col("_vd").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+    )
+    pair_cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
+    losers = (
+        cand.join(side_a, "id_a")
+        .join(
+            batch.select(
+                F.col("_id").alias("id_b"),
+                F.col("_vd").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .where(pair_cos >= threshold)
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    verdicts = (
+        batch.join(losers, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "d2_milli",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+    merged = (
+        prev.unionByName(
+            batch.select("_id", "_vd", "cell", "d2_milli", "_n", "_bkts")
+        ).dropDuplicates(["_id"])
+        if prev is not None
+        else batch.select("_id", "_vd", "cell", "d2_milli", "_n", "_bkts")
+    )
+    write_dataset(merged, root, SEMDEDUP_STORE)
+    return verdicts
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:

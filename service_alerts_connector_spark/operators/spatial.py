@@ -149,6 +149,11 @@ def _bbox_prep(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-lifetime parse memo: zone grids / tile layers repeat a small
+        # vocabulary of WKT strings (the catalog fixture has 1.6 k distinct
+        # alert boxes over 15 k rows, 25 features), so keying the parse by
+        # the string cuts most of the per-row regex+float work
+        memo: dict[str, tuple | None] = {}
         for pdf in batches:
             rows: list[tuple] = []
             keys = list(zip(*(pdf[k].tolist() for k in key_cols)))
@@ -157,15 +162,24 @@ def _bbox_prep(
                     isinstance(wkt_str, float) and pd.isna(wkt_str)
                 ):
                     continue
-                try:
-                    polys = _to_polys(wkt_str)
-                except ValueError:
+                hit = memo.get(wkt_str, False)
+                if hit is False:
+                    try:
+                        polys = _to_polys(wkt_str)
+                        box = G.merge_bboxes(
+                            [G.bbox(p[0]) for p in polys if p]
+                        )
+                        hit = (
+                            None
+                            if box is None
+                            else (*box, sum(G.polygon_area(p) for p in polys))
+                        )
+                    except ValueError:
+                        hit = None
+                    memo[wkt_str] = hit
+                if hit is None:
                     continue
-                box = G.merge_bboxes([G.bbox(p[0]) for p in polys if p])
-                if box is None:
-                    continue
-                area = sum(G.polygon_area(p) for p in polys)
-                rows.append(key_tup + (wkt_str, *box, area))
+                rows.append(key_tup + (wkt_str,) + hit)
             cols = key_cols + [wkt_col, "_minx", "_miny", "_maxx", "_maxy",
                                "_area"]
             yield pd.DataFrame(rows, columns=cols)
@@ -332,6 +346,22 @@ def overlay_inference(
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # task-lifetime parse memo (same rationale as _bbox_prep): a pair
+        # stream repeats each feature WKT once per candidate alert and each
+        # alert WKT once per candidate feature — parse each distinct string
+        # once per task instead of once per pair
+        memo: dict[str, list | None] = {}
+
+        def polys_of(wkt_str):
+            hit = memo.get(wkt_str, False)
+            if hit is False:
+                try:
+                    hit = _to_polys(wkt_str)
+                except ValueError:
+                    hit = None
+                memo[wkt_str] = hit
+            return hit
+
         for pdf in batches:
             ids, names = [], []
             for alert_id, awkt, aarea, fname, fwkt, farea in zip(
@@ -339,10 +369,9 @@ def overlay_inference(
                 pdf["_aarea"].tolist(), pdf["_fname"].tolist(),
                 pdf["_fwkt"].tolist(), pdf["_farea"].tolist(),
             ):
-                try:
-                    fp = _to_polys(awkt)
-                    fpolys = _to_polys(fwkt)
-                except ValueError:
+                fp = polys_of(awkt)
+                fpolys = polys_of(fwkt)
+                if fp is None or fpolys is None:
                     continue
                 inter = 0.0
                 for a in fp:

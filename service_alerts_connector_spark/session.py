@@ -61,6 +61,14 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # fork Arrow-UDF workers from a daemon that has pandas/pyarrow/the
+        # engine package already imported (copy-on-write) — kills the
+        # ~1 s-per-fresh-worker import storm on Python-heavy stages
+        # (see worker_preload.py; plain `python -m pyspark.daemon` without it)
+        .config(
+            "spark.python.daemon.module",
+            "service_alerts_connector_spark.worker_preload",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -10,6 +10,7 @@ import random
 
 from pyspark.sql import functions as F
 
+from service_alerts_connector_spark.catalog import _events
 from service_alerts_connector_spark.catalog_stats import (
     _bucketed_cum,
     q_auc_exact,
@@ -51,7 +52,7 @@ def test_auc_matches_pairwise_bruteforce(spark):
     """AUC from the query == the O(n²) pairwise Mann-Whitney count on the
     same rows (strict win = 1, tie = ½, via the doubled numerator)."""
     out = q_auc_exact(spark, SF_DIR).collect()[0]
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+    ev = _events(spark, SF_DIR).select(
         "value", "props"
     ).collect()
     import json as _json
@@ -81,7 +82,7 @@ def test_ks_matches_cdf_bruteforce(spark):
     import math
 
     out = q_ks_statistic(spark, SF_DIR).collect()[0]
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+    ev = _events(spark, SF_DIR).select(
         "value", "event_type"
     ).collect()
     a = sorted(
@@ -117,7 +118,7 @@ def test_kappa_matches_direct_formula(spark):
     import math
 
     out = q_cohens_kappa(spark, SF_DIR).collect()[0]
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+    ev = _events(spark, SF_DIR).select(
         "value", "props"
     ).collect()
     lab = [

@@ -228,3 +228,70 @@ def test_substring_store_crash_before_snapshot_converges(
     assert _store_rows(spark, chaos, SHINGLE_STORE) == _store_rows(
         spark, control, SHINGLE_STORE
     )
+
+
+def test_semdedup_store_crash_before_snapshot_converges(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Kill the semdedup vector-store ingest after its version write;
+    redeliver.  The distinct-by-id merge is idempotent: the store equals
+    an uninterrupted run's and the redelivered batch's verdicts repeat
+    verbatim (a redelivered vector meets its own id only on the excluded
+    equal-id join side)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from service_alerts_connector_spark.operators.similarity import (
+        SEMDEDUP_STORE,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = [
+        [math.floor(float(x) * 1000.0) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    b1 = emb.where(F.col("vec_id") < 100)
+    b2 = emb.where(F.col("vec_id").between(100, 199)).unionByName(
+        emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+    )  # batch 2 carries twins of batch 1's first 50 vectors
+
+    chaos, control = str(tmp_path / "chaos"), str(tmp_path / "control")
+    for root in (chaos, control):
+        incremental_semantic_dedup(spark, root, b1, cents).collect()
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_semantic_dedup(spark, chaos, b2, cents).collect()
+
+    def verd(root):
+        return {
+            r["vec_id"]: r["kept"]
+            for r in incremental_semantic_dedup(
+                spark, root, b2, cents
+            ).collect()
+        }
+
+    retry, clean = verd(chaos), verd(control)
+    assert retry == clean
+    # the 50 twins drop against the stored batch-1 vectors on both paths
+    assert sum(1 for k, v in clean.items() if k >= 10_000_000 and not v) == 50
+
+    def store_ids(root):
+        return sorted(
+            r["_id"]
+            for r in read_dataset(spark, root, SEMDEDUP_STORE)
+            .select("_id")
+            .collect()
+        )
+
+    assert store_ids(chaos) == store_ids(control)

@@ -99,3 +99,50 @@ def test_grid_index_handles_empty_and_none():
 def test_merge_bboxes():
     assert G.merge_bboxes([]) is None
     assert G.merge_bboxes([(0, 0, 1, 1), (2, -1, 3, 0.5)]) == (0, -1, 3, 1)
+
+
+def test_as_axis_rect_detection():
+    # closed axis-aligned rectangle -> detected, any vertex order
+    r = G.as_axis_rect([[(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)]])
+    assert r == (0, 0, 4, 3)
+    # open ring (no closing vertex) also detected
+    assert G.as_axis_rect([[(4, 3), (0, 3), (0, 0), (4, 0)]]) == (0, 0, 4, 3)
+    # rotated square -> not axis-aligned
+    assert G.as_axis_rect([[(0, 1), (1, 0), (2, 1), (1, 2), (0, 1)]]) is None
+    # triangle / pentagon -> None
+    assert G.as_axis_rect([[(0, 0), (2, 0), (1, 2), (0, 0)]]) is None
+    # degenerate sliver (zero width) -> None (falls to generic path)
+    assert G.as_axis_rect([[(0, 0), (0, 0), (0, 3), (0, 3), (0, 0)]]) is None
+    # polygon with a hole -> None
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+    assert G.as_axis_rect([outer, hole]) is None
+
+
+def test_rect_fast_path_matches_clipping():
+    """intersection_area's rect fast path must equal the Sutherland-
+    Hodgman result on every overlap configuration (disjoint, touching,
+    partial, containment) — checked by sweeping one rect across another."""
+    import random
+
+    rng = random.Random(7)
+    base = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]
+    for _ in range(60):
+        x0 = rng.uniform(-8, 12)
+        y0 = rng.uniform(-8, 12)
+        w = rng.uniform(0.5, 14)
+        h = rng.uniform(0.5, 14)
+        other = [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                  (x0, y0 + h), (x0, y0)]]
+        got = G.intersection_area(base, other)
+        # generic path, forced: perturb a vertex by 0 via a 5th point so
+        # as_axis_rect rejects it (collinear midpoint on one edge)
+        bent = [[(x0, y0), (x0 + w / 2, y0), (x0 + w, y0),
+                 (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]]
+        ref = G.intersection_area(base, bent)
+        assert got == pytest.approx(ref, abs=1e-9)
+        # expected interval arithmetic
+        iw = min(10, x0 + w) - max(0, x0)
+        ih = min(10, y0 + h) - max(0, y0)
+        exp = iw * ih if (iw > 0 and ih > 0) else 0.0
+        assert got == pytest.approx(exp, abs=1e-9)

@@ -1,0 +1,92 @@
+"""Incremental SemDeDup vs batch-mode first-wins: the sequential-ingest
+equivalence the store machinery claims (`operators/similarity.py
+incremental_semantic_dedup`), plus redelivery idempotence.  The crash-
+convergence chaos test lives with the other store chaos tests in
+tests/test_chaos_stores.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.similarity import (
+    SEMDEDUP_STORE,
+    incremental_semantic_dedup,
+    semantic_dedup,
+)
+from service_alerts_connector_spark.sources.parquet_io import read_dataset
+
+SF_DIR = "/root/testdata/sf0.001"
+SHIFT = 10_000_000
+
+
+def _corpus(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(SHIFT)).alias("vec_id"), "embedding"
+    )
+    return emb, emb.unionByName(shifted)
+
+
+def _centroids(emb):
+    rows = (
+        emb.where(F.col("vec_id").between(1, 4))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [
+        [math.floor(float(x) * 1000.0) for x in r["embedding"]] for r in rows
+    ]
+
+
+def _verdicts(df):
+    return {r["vec_id"]: (r["cell"], r["d2_milli"], r["kept"]) for r in df.collect()}
+
+
+def test_sequential_ingest_equals_batch_first_wins(spark, tmp_path):
+    """Three id-increasing batches through the persistent store must
+    reproduce batch-mode semantic_dedup(keep='first') over the
+    concatenated corpus EXACTLY — per-vector cell, distance, verdict."""
+    emb, corpus = _corpus(spark)
+    cents = _centroids(emb)
+    batch = dict(threshold=0.9, n_planes=32, n_bands=4, seed=7)
+
+    expected = _verdicts(semantic_dedup(corpus, cents, keep="first", **batch))
+
+    root = str(tmp_path / "store")
+    b1 = corpus.where(F.col("vec_id") < 250)
+    b2 = corpus.where(F.col("vec_id").between(250, 499))
+    b3 = corpus.where(F.col("vec_id") >= SHIFT)
+    got: dict = {}
+    for b in (b1, b2, b3):
+        got.update(
+            _verdicts(incremental_semantic_dedup(spark, root, b, cents, **batch))
+        )
+    assert got == expected
+    # every original must survive its shifted twin; every twin must drop
+    kept_orig = sum(1 for k, v in got.items() if k < SHIFT and v[2])
+    kept_twin = sum(1 for k, v in got.items() if k >= SHIFT and v[2])
+    assert kept_orig == 500 and kept_twin == 0
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    """At-least-once: redelivering an already-ingested batch repeats its
+    verdicts verbatim and leaves the store row count unchanged."""
+    emb, corpus = _corpus(spark)
+    cents = _centroids(emb)
+    root = str(tmp_path / "store")
+    b1 = corpus.where(F.col("vec_id") < 250)
+    b2 = corpus.where(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < SHIFT + 250)
+    )
+    incremental_semantic_dedup(spark, root, b1, cents)
+    first = _verdicts(incremental_semantic_dedup(spark, root, b2, cents))
+    n_store = read_dataset(spark, root, SEMDEDUP_STORE).count()
+    redelivered = _verdicts(incremental_semantic_dedup(spark, root, b2, cents))
+    assert redelivered == first
+    assert read_dataset(spark, root, SEMDEDUP_STORE).count() == n_store

@@ -728,3 +728,67 @@ def test_q9_profit_rollup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_stats_driven_join_picks_strategy_from_estimate(spark):
+    """The stats→plan loop (round 10): the join strategy must follow the
+    MEASURED byte estimate, not Spark's file-size heuristic — a
+    sub-threshold dim plans BroadcastHashJoin, an over-threshold dim
+    keeps a shuffle join (SortMergeJoin), with the SAME code path."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.operators.planner import (
+        estimate_table_bytes,
+        stats_driven_join,
+    )
+
+    fact = _t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    dim = _t(spark, SF_DIR, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    n, est = estimate_table_bytes(dim)
+    assert n > 0 and est > 0
+
+    p = _plan(stats_driven_join(fact, dim, "l_partkey", est_bytes=est))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    # same dim declared over-threshold: the broadcast must NOT happen
+    p = _plan(
+        stats_driven_join(
+            fact, dim, "l_partkey", est_bytes=est, threshold_bytes=est - 1
+        )
+    )
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_broadcast_decision_plan_shape(spark):
+    """broadcast_decision: 7 single-row aggregates unioned — every leg is
+    a map-side-combined HashAggregate over ONE scan; no join, no window,
+    no shuffle of fact rows (the exchanges move 1-row partials)."""
+    from service_alerts_connector_spark.catalog_stats import (
+        q_broadcast_decision,
+    )
+
+    p = _plan(q_broadcast_decision(spark, SF_DIR))
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Scan parquet") == 7
+
+
+def test_range_partition_plan_shape(spark):
+    """range_partition_plan: the assignment is ONE literal bound array
+    (no join against a bound table), the per-range rollup is a plain
+    hash aggregate, and nothing plans an unpartitioned window or global
+    sort ahead of the final 16-row orderBy."""
+    from service_alerts_connector_spark.catalog_stats import (
+        q_range_partition_plan,
+    )
+
+    df = q_range_partition_plan(spark, SF_DIR)
+    p = _plan(df)
+    # the balance join against the 1-row total is the only join, and it
+    # must be broadcast (BNLJ cross at 16×1 rows is the allowed stat
+    # combine, same as the sketch-tier pins)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
