@@ -295,7 +295,16 @@ def q_geo_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         overlay_inference(alerts, layer, "inferred_zones")
-        .select("Id", "inferred_zones")
+        # Flatten the array<string> to a scalar: the driver's rows-only
+        # canonicalizer factorizes every column to sort, and raw arrays are
+        # unhashable in pandas (round-10 driver red).  Same pattern as
+        # q_x2_stub_locations' array_join flatten above.
+        .select(
+            "Id",
+            F.array_join(F.array_sort("inferred_zones"), "|").alias(
+                "inferred_zones"
+            ),
+        )
         .orderBy("Id")
     )
 

@@ -950,44 +950,52 @@ def q_broadcast_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tbl")
 
 
+# Column lists + type widths the broadcast_decision ORACLE assumes for each
+# parquet table.  The Spark side reads the live schema via row_bytes_expr,
+# so any generator-side schema drift shows up only as an opaque oracle red —
+# tests/test_catalog_stats.py pins _t(tbl).dtypes against this dict so drift
+# fails loudly in pytest instead ("V" = variable-length string; numerics and
+# timestamps carry their fixed on-wire width).
+BCAST_ORACLE_SCHEMAS = {
+    "region": [("r_regionkey", "INTEGER"), ("r_name", "V")],
+    "nation": [
+        ("n_nationkey", "INTEGER"), ("n_name", "V"),
+        ("n_regionkey", "INTEGER"),
+    ],
+    "supplier": [
+        ("s_suppkey", "BIGINT"), ("s_name", "V"),
+        ("s_nationkey", "INTEGER"), ("s_acctbal", "DOUBLE"),
+    ],
+    "customer": [
+        ("c_custkey", "BIGINT"), ("c_name", "V"),
+        ("c_nationkey", "INTEGER"), ("c_acctbal", "DOUBLE"),
+        ("c_mktsegment", "V"),
+    ],
+    "part": [
+        ("p_partkey", "BIGINT"), ("p_name", "V"), ("p_brand", "V"),
+        ("p_type", "V"), ("p_size", "INTEGER"),
+        ("p_retailprice", "DOUBLE"),
+    ],
+    "orders": [
+        ("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"),
+        ("o_orderstatus", "V"), ("o_totalprice", "DOUBLE"),
+        ("o_orderdate", "TIMESTAMP"), ("o_orderpriority", "V"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "BIGINT"), ("l_partkey", "BIGINT"),
+        ("l_suppkey", "BIGINT"), ("l_linenumber", "INTEGER"),
+        ("l_quantity", "DOUBLE"), ("l_extendedprice", "DOUBLE"),
+        ("l_discount", "DOUBLE"), ("l_tax", "DOUBLE"),
+        ("l_returnflag", "V"), ("l_linestatus", "V"),
+        ("l_shipdate", "TIMESTAMP"),
+    ],
+}
+
+
 def _sql_broadcast_decision() -> str:
     width = {"INTEGER": 4, "BIGINT": 8, "DOUBLE": 8, "TIMESTAMP": 8}
-    schemas = {
-        "region": [("r_regionkey", "INTEGER"), ("r_name", "V")],
-        "nation": [
-            ("n_nationkey", "INTEGER"), ("n_name", "V"),
-            ("n_regionkey", "INTEGER"),
-        ],
-        "supplier": [
-            ("s_suppkey", "BIGINT"), ("s_name", "V"),
-            ("s_nationkey", "INTEGER"), ("s_acctbal", "DOUBLE"),
-        ],
-        "customer": [
-            ("c_custkey", "BIGINT"), ("c_name", "V"),
-            ("c_nationkey", "INTEGER"), ("c_acctbal", "DOUBLE"),
-            ("c_mktsegment", "V"),
-        ],
-        "part": [
-            ("p_partkey", "BIGINT"), ("p_name", "V"), ("p_brand", "V"),
-            ("p_type", "V"), ("p_size", "INTEGER"),
-            ("p_retailprice", "DOUBLE"),
-        ],
-        "orders": [
-            ("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"),
-            ("o_orderstatus", "V"), ("o_totalprice", "DOUBLE"),
-            ("o_orderdate", "TIMESTAMP"), ("o_orderpriority", "V"),
-        ],
-        "lineitem": [
-            ("l_orderkey", "BIGINT"), ("l_partkey", "BIGINT"),
-            ("l_suppkey", "BIGINT"), ("l_linenumber", "INTEGER"),
-            ("l_quantity", "DOUBLE"), ("l_extendedprice", "DOUBLE"),
-            ("l_discount", "DOUBLE"), ("l_tax", "DOUBLE"),
-            ("l_returnflag", "V"), ("l_linestatus", "V"),
-            ("l_shipdate", "TIMESTAMP"),
-        ],
-    }
     legs = []
-    for tbl, cols in schemas.items():
+    for tbl, cols in BCAST_ORACLE_SCHEMAS.items():
         # DuckDB's byte length of a VARCHAR is strlen() (octet_length is
         # BLOB-only there); Spark's is octet_length — both count UTF-8 bytes
         terms = [

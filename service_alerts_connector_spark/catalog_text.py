@@ -1028,7 +1028,11 @@ def _sql_semdedup_first() -> str:
               ELSE greatest(ia, ib) END AS vec_id"""
     new = """), losers AS (
   SELECT DISTINCT ib AS vec_id"""
-    assert old in base
+    if old not in base:  # not assert: must fail loudly under python -O too
+        raise ValueError(
+            "SQL_SEMDEDUP losers CTE drifted; _sql_semdedup_first would "
+            "silently revert to the keep-farthest rule"
+        )
     return base.replace(old, new)
 
 

@@ -204,6 +204,13 @@ def as_axis_rect(
     # to the generic path, which handles zero-area inputs)
     if len(set(xs)) != 2 or len(set(ys)) != 2:
         return None
+    # the 4 vertices must be pairwise distinct — i.e. exactly the 4 corner
+    # combinations.  A repeated-vertex ring like (0,0),(1,0),(1,1),(1,0)
+    # has every edge axis-parallel and two values per axis but shoelace
+    # area 0; treating it as the full rect would report bbox overlap
+    # instead of ~0, so it falls through to the generic path.
+    if len(set(ring)) != 4:
+        return None
     return lo_x, lo_y, hi_x, hi_y
 
 

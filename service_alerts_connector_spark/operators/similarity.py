@@ -838,6 +838,74 @@ def _assign_cells(
 SEMDEDUP_STORE = "semdedup_vector_store"
 
 
+def _explode_bands(df: DataFrame) -> DataFrame:
+    """(_id, cell, band, bucket) rows from the packed ``_bkts`` array."""
+    return df.select(
+        "_id", "cell",
+        F.posexplode("_bkts").alias("band", "bucket"),
+    )
+
+
+def _store_batch_candidates(
+    prev: DataFrame, batch: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Store ↔ batch candidate pairs, CAPPED on the store side: per
+    (cell, band, bucket) the store contributes at most its ``max_bucket``
+    smallest ids — the exact analogue of the within-batch sorted-slice
+    cap, so a bucket that accumulates across ingests never expands to
+    stored×batch pairs (round-10 verdict finding #2).  Smallest-kept is
+    exact under first-wins prefix monotonicity: verdicts depend only on
+    smaller ids, and under id-increasing ingest the smallest-k set is
+    stable once the bucket fills, so capped verdicts never retract.
+    The id-increasing invariant makes the stored side the smaller id;
+    the strict < drops redelivered self-pairs."""
+    store_capped = (
+        _explode_bands(prev)
+        .groupBy("cell", "band", "bucket")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
+            .alias("ids")
+        )
+        .select(
+            "cell", "band", "bucket", F.explode("ids").alias("id_a")
+        )
+    )
+    return (
+        store_capped.join(
+            _explode_bands(batch).select(
+                F.col("_id").alias("id_b"), "cell", "band", "bucket"
+            ),
+            ["cell", "band", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def store_bucket_overflow(
+    store: DataFrame, max_bucket: int = 10_000
+) -> DataFrame:
+    """Audit complement for ``incremental_semantic_dedup``'s store-side
+    cap (the ``bucket_overflow_stats`` analogue for the persistent
+    store): per (cell, band, bucket) whose accumulated population
+    exceeds ``max_bucket``, the overflow count — run it on the store
+    (``read_dataset(spark, root, SEMDEDUP_STORE)``) alongside ingest so
+    a store-side truncation never passes silently."""
+    return (
+        _explode_bands(store)
+        .groupBy("cell", "band", "bucket")
+        .agg(F.countDistinct("_id").alias("n_ids"))
+        .where(F.col("n_ids") > max_bucket)
+        .select(
+            "cell",
+            "band",
+            "bucket",
+            "n_ids",
+            (F.col("n_ids") - max_bucket).alias("n_overflow"),
+        )
+    )
+
+
 def incremental_semantic_dedup(
     spark,
     root: str,
@@ -876,10 +944,25 @@ def incremental_semantic_dedup(
     repeat verbatim); the previous version is read PINNED,
     snapshot-write-last.  Store size = corpus vectors × (1 + bands/row
     overhead) — the working set a real pipeline persists anyway;
-    prunable by cell at 100 TB.  Bucket caps (``max_bucket``) apply
-    per ingest batch, so a pathological bucket is re-capped each batch
-    instead of once globally (documented divergence-under-cap; the
-    equivalence pin runs below the cap).
+    prunable by cell at 100 TB.  Bucket caps (``max_bucket``) apply on
+    BOTH candidate sides: within-batch (same sorted-slice as batch mode)
+    and store-side — the exploded store is capped per (cell, band,
+    bucket) to its ``max_bucket`` SMALLEST ids before the equi-join, so
+    a pathological bucket that accumulates across ingests can never pay
+    stored×batch pairs.  Smallest-kept is the consistent choice under
+    first-wins: verdicts depend only on smaller ids, and under the
+    id-increasing ingest invariant the smallest-k set of a bucket is
+    STABLE once full, so capped verdicts stay prefix-monotone and
+    redelivery-idempotent (documented divergence-under-cap; the
+    equivalence pin runs below the cap).  ``store_bucket_overflow``
+    is the audit complement — run it on the store so a store-side
+    truncation never passes silently.
+
+    The returned verdicts frame is forced (eager localCheckpoint)
+    BEFORE the new store version commits, so callers may consume it at
+    any later time: a lazy plan would re-read the pinned previous
+    version, which the writer's retention prune deletes after enough
+    further ingests.
     """
     from service_alerts_connector_spark.sources.parquet_io import (
         list_versions,
@@ -898,15 +981,9 @@ def incremental_semantic_dedup(
         F.array(*[bands[b] for b in range(n_bands)]).alias("_bkts"),
     )
 
-    def exploded(df: DataFrame) -> DataFrame:
-        return df.select(
-            "_id", "cell",
-            F.posexplode("_bkts").alias("band", "bucket"),
-        )
-
     # within-batch candidates (same shape as batch-mode)
     cand = (
-        exploded(batch)
+        _explode_bands(batch)
         .groupBy("cell", "band", "bucket")
         .agg(
             F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket)
@@ -924,23 +1001,9 @@ def incremental_semantic_dedup(
         else None
     )
     if prev is not None:
-        # store ↔ batch candidates: equi-join on (cell, band, bucket);
-        # the id-increasing ingest invariant makes the stored side the
-        # smaller id, and the strict < drops redelivered self-pairs
-        vs_store = (
-            exploded(prev).select(
-                F.col("_id").alias("id_a"), "cell", "band", "bucket"
-            )
-            .join(
-                exploded(batch).select(
-                    F.col("_id").alias("id_b"), "cell", "band", "bucket"
-                ),
-                ["cell", "band", "bucket"],
-            )
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+        cand = cand.unionByName(
+            _store_batch_candidates(prev, batch, max_bucket)
         )
-        cand = cand.unionByName(vs_store)
     cand = cand.distinct()
 
     side_a = (
@@ -989,6 +1052,12 @@ def incremental_semantic_dedup(
             F.col("_dropped").isNull().alias("kept"),
         )
         .orderBy(id_col)
+        # eager: sever the plan's read of the pinned previous version
+        # BEFORE committing the new one — retention prunes old version
+        # dirs after enough further ingests, and a still-lazy verdicts
+        # plan forced then would read a deleted directory (batch-sized
+        # frame, so the materialization is cheap relative to the write)
+        .localCheckpoint(eager=True)
     )
 
     merged = (

@@ -216,3 +216,28 @@ def test_signed_floor_div_identity_property(spark):
         f"FROM (VALUES {vals}) t(num, den)"
     ).fetchall()
     assert [v for _, _, v in got_duck] == expected
+
+
+def test_bcast_oracle_schema_matches_parquet(spark):
+    """The broadcast_decision ORACLE hard-codes each table's column list
+    and widths; the Spark side reads the live schema.  Generator-side
+    parquet schema drift (CLAUDE.md: it happens across rounds) must fail
+    HERE, loudly, not as an opaque differential red."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.catalog_stats import (
+        BCAST_ORACLE_SCHEMAS,
+    )
+
+    type_map = {
+        "INTEGER": {"int"},
+        "BIGINT": {"bigint"},
+        "DOUBLE": {"double"},
+        # ts physical type varies across testdata generations (CLAUDE.md)
+        "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+        "V": {"string"},
+    }
+    for tbl, cols in BCAST_ORACLE_SCHEMAS.items():
+        dtypes = _t(spark, SF_DIR, tbl).dtypes
+        assert [c for c, _ in dtypes] == [c for c, _ in cols], tbl
+        for (name, spark_t), (_, oracle_t) in zip(dtypes, cols):
+            assert spark_t in type_map[oracle_t], (tbl, name, spark_t)

@@ -117,6 +117,13 @@ def test_as_axis_rect_detection():
     outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
     hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
     assert G.as_axis_rect([outer, hole]) is None
+    # repeated-vertex ring: every edge axis-parallel, two distinct values
+    # per axis, but shoelace area 0 — must NOT classify as the full rect
+    bad = [[(0, 0), (1, 0), (1, 1), (1, 0), (0, 0)]]
+    assert G.as_axis_rect(bad) is None
+    # and intersection_area against a covering rect stays ~0, not bbox area
+    cover = [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]]
+    assert G.intersection_area(bad, cover) == pytest.approx(0.0, abs=1e-9)
 
 
 def test_rect_fast_path_matches_clipping():

@@ -90,3 +90,70 @@ def test_redelivery_is_idempotent(spark, tmp_path):
     redelivered = _verdicts(incremental_semantic_dedup(spark, root, b2, cents))
     assert redelivered == first
     assert read_dataset(spark, root, SEMDEDUP_STORE).count() == n_store
+
+
+def test_store_side_cap_bounds_pairs(spark):
+    """The store↔batch candidate join must expand at most
+    min(stored, max_bucket) × batch pairs per (cell, band, bucket) —
+    the round-10 uncapped-expansion finding — keeping the SMALLEST
+    stored ids (the first-wins-consistent choice)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        _store_batch_candidates,
+        store_bucket_overflow,
+    )
+
+    schema = "_id long, cell int, _bkts array<int>"
+    prev = spark.createDataFrame(
+        [(i, 0, [7, 9]) for i in range(100)], schema
+    )
+    batch = spark.createDataFrame(
+        [(100 + j, 0, [7, 9]) for j in range(5)], schema
+    )
+    cand = _store_batch_candidates(prev, batch, max_bucket=3).collect()
+    # 2 bands × (3 capped store ids × 5 batch ids) = 30, never 100×5
+    assert len(cand) == 30
+    assert {r["id_a"] for r in cand} == {0, 1, 2}
+    ov = store_bucket_overflow(prev, max_bucket=3).collect()
+    assert len(ov) == 2
+    assert all(r["n_ids"] == 100 and r["n_overflow"] == 97 for r in ov)
+
+
+def test_hot_bucket_capped_ingest_stays_bounded_and_monotone(
+    spark, tmp_path
+):
+    """Three ingests of identical vectors into ONE hot bucket with
+    max_bucket=2: the capped semantics must stay prefix-monotone —
+    batch 1's capped within-batch verdicts (only the 2 smallest ids
+    pair), every LATER batch still fully dropped against the capped
+    store side (smallest stored id survives the cap and matches all) —
+    and the overflow audit must flag the truncation."""
+    emb, _ = _corpus(spark)
+    cents = _centroids(emb)
+    one = emb.where(F.col("vec_id") == 1).select("embedding")
+    clones = (
+        spark.range(30).select(F.col("id").alias("vec_id")).crossJoin(one)
+    )
+    root = str(tmp_path / "store")
+    got: dict = {}
+    for lo in (0, 10, 20):
+        b = clones.where(F.col("vec_id").between(lo, lo + 9))
+        got.update(
+            _verdicts(
+                incremental_semantic_dedup(
+                    spark, root, b, cents, max_bucket=2
+                )
+            )
+        )
+    kept = {k for k, v in got.items() if v[2]}
+    # batch 1 under cap: only (0, 1) paired -> 1 dropped, 2..9 capped out
+    assert kept == {0} | set(range(2, 10))
+    # batches 2-3: store cap keeps smallest ids {0, 1}; id 0 drops all
+    assert all(not got[k][2] for k in range(10, 30))
+    from service_alerts_connector_spark.operators.similarity import (
+        store_bucket_overflow,
+    )
+
+    store = read_dataset(spark, root, SEMDEDUP_STORE)
+    ov = store_bucket_overflow(store, max_bucket=2)
+    rows = ov.collect()
+    assert rows and all(r["n_ids"] == 30 and r["n_overflow"] == 28 for r in rows)
