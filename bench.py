@@ -338,6 +338,19 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Contention pre-flight: median_warm > cold is physically backwards on
+    # a quiet host (the cold run pays plan compilation + codegen JIT on
+    # top of execution) — it is the documented tell of host-level vCPU
+    # contention during the warm runs (SCALE.md round-10 geo
+    # investigation).  More than 2 such queries marks the WHOLE recording
+    # as a contended sample: the artifact says so explicitly, so a
+    # round-over-round comparison never mistakes host noise for a plan
+    # regression.  Re-record in a quiet window when this fires.
+    polluted = sorted(
+        name
+        for name, s in stats.items()
+        if s["median_warm"] > s["cold"]
+    )
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -346,6 +359,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_meta": {"n_runs": n_runs, "timing": "best_warm", "action": "noop_write"},
         "query_stats": stats,
+        "polluted": polluted if len(polluted) > 2 else [],
+        "contended_sample": len(polluted) > 2,
     }
     full_line = json.dumps(payload)
     # The external harness keeps only a bounded TAIL of stdout (~2000
@@ -393,6 +408,8 @@ def main() -> None:
                     "queries_truncated_to_worst5": True,
                     "full_artifact": artifact,
                 },
+                "contended_sample": payload["contended_sample"],
+                "polluted_count": len(polluted),
             }
         )
     )

@@ -40,7 +40,9 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "decontaminate_strip", "semdedup_fixed",
         "column_stats_mcv", "equi_depth_histogram", "cohens_kappa",
         "auc_exact", "ks_statistic", "q9_profit_rollup",
-        "join_cardinality_check", "correlated_column_stats"]
+        "join_cardinality_check", "correlated_column_stats",
+        "broadcast_decision", "range_partition_plan",
+        "incremental_semdedup_fixed"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
@@ -98,6 +100,9 @@ NOTES = {
     "twap_value": "lead window + per-user agg share ONE hashpartitioning exchange; cents x seconds partials mergeable",
     "hierarchy_roots": "O(log depth) pointer jumping: node-sized self-joins per round with localCheckpoint lineage truncation - plan stays flat however deep the tree",
     "user_feature_bundle": "four independent user-keyed aggregates joined on the entity key - the feature-store materialization pattern, no window",
+    "broadcast_decision": "the stats side of stats_driven_join: seven scans each map-side combine to ONE (tbl, rows, bytes) row - the 7-row union never shuffles fact rows",
+    "range_partition_plan": "TeraSort-shape audit: equi-depth bounds from the two-phase cell prefix (k-row collect), assignment via ONE literal bound array (no join), 16-row balance agg",
+    "incremental_semdedup_fixed": "batch-anchored incremental SemDeDup: shares _assign_cells (checkpointed once) + capped candidate machinery with semdedup_fixed; store side capped per bucket to the max_bucket smallest ids",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
