@@ -95,3 +95,62 @@ def stats_driven_join(
     if est_bytes <= threshold_bytes:
         return fact.join(F.broadcast(dim), on, how)
     return fact.join(dim.hint("shuffle_merge"), on, how)
+
+
+def analyze_byte_stats(df: DataFrame, table: str) -> DataFrame:
+    """Per-column ANALYZE byte statistics: ONE map-side-combined aggregate
+    over the table → a ≤#columns-row frame (tbl, col, n_rows, byte_sum)
+    that a versioned stats store persists (``sources/parquet_io
+    write_dataset``), so every later join prices any PROJECTION of the
+    table from the store without rescanning it — the 100 TB path of
+    ``stats_driven_join``'s ``est_bytes`` short-circuit.  String/binary
+    columns carry their exact octet sums; fixed-width columns derive
+    byte_sum as width × n_rows inside the same single-row aggregate."""
+    dt = dict(df.dtypes)
+    var_cols = [c for c in df.columns if dt[c] in ("string", "binary")]
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")] + [
+        F.sum(
+            F.coalesce(F.octet_length(F.col(c)).cast("long"), F.lit(0))
+        ).alias(f"_b{i}")
+        for i, c in enumerate(var_cols)
+    ]
+    var_idx = {c: i for i, c in enumerate(var_cols)}
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(table).alias("tbl"),
+            F.lit(c).alias("col"),
+            F.col("_n").alias("n_rows"),
+            (
+                F.coalesce(F.col(f"_b{var_idx[c]}"), F.lit(0))
+                if c in var_idx
+                else F.col("_n") * F.lit(_NUMERIC_WIDTH.get(dt[c], 8))
+            ).cast("long").alias("byte_sum"),
+        )
+        for c in df.columns
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def est_bytes_from_store(
+    stats: DataFrame, table: str, cols: list[str] | None = None
+) -> tuple[int, int]:
+    """(n_rows, est_bytes) for the projection ``cols`` (default: every
+    ANALYZEd column) of ``table``, read from a persisted
+    ``analyze_byte_stats`` frame.  The collect touches ≤#columns stat
+    rows — never the table — so a planner consulting the store pays
+    nothing per join.  Raises if the table (or a requested column) has
+    no stats row: a silent 0 estimate would broadcast an unmeasured
+    side."""
+    rows = stats.where(F.col("tbl") == table).collect()
+    per = {r["col"]: (int(r["n_rows"]), int(r["byte_sum"])) for r in rows}
+    if not per:
+        raise ValueError(f"no ANALYZE byte stats for table {table!r}")
+    pick = list(cols) if cols is not None else list(per)
+    missing = [c for c in pick if c not in per]
+    if missing:
+        raise ValueError(
+            f"columns {missing} of {table!r} have no ANALYZE stats row"
+        )
+    n_rows = max(v[0] for v in per.values())
+    return n_rows, sum(per[c][1] for c in pick)

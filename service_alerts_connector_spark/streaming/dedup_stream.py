@@ -152,3 +152,65 @@ def run_substring_strip_ingest(
         write_dataset(merged, stripped_root, "stripped_docs")
 
     run_available_now(stream_df, _step, checkpoint_dir)
+
+
+def run_semdedup_ingest(
+    spark,
+    stream_df: DataFrame,
+    state_root: str,
+    verdicts_root: str,
+    checkpoint_dir: str,
+    centroids_milli: list[list[int]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 32,
+    n_bands: int = 4,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+) -> None:
+    """Resident-stream SEMANTIC dedup: each micro-batch of embedding rows
+    runs ``incremental_semantic_dedup`` (O(batch) assignment/hashing +
+    capped equi-joins against the persistent vector store) and appends
+    the per-vector verdicts to a versioned dataset.  The embedding
+    sibling of ``run_dedup_ingest``/``run_substring_strip_ingest``:
+    cross-batch state is only the (cell, band, bucket)-keyed vector
+    store, so per-batch cost stays flat as the corpus grows, and the
+    operator's sequential-ingest invariant (id-increasing micro-batches
+    ≡ batch-mode ``semantic_dedup(keep="first")`` of the concatenation)
+    carries over unchanged.  Verdicts are keyed by id and deterministic,
+    so the output merge dedups by id — a foreachBatch redelivery after a
+    crash rewrites identical rows instead of duplicating them."""
+    from service_alerts_connector_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+        write_dataset,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = incremental_semantic_dedup(
+            spark,
+            state_root,
+            batch_df,
+            centroids_milli,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_planes=n_planes,
+            n_bands=n_bands,
+            seed=seed,
+            max_bucket=max_bucket,
+        )
+        try:
+            prev = read_dataset(spark, verdicts_root, "semdedup_verdicts")
+            merged = prev.unionByName(verdicts).dropDuplicates([id_col])
+        except FileNotFoundError:
+            merged = verdicts
+        write_dataset(merged, verdicts_root, "semdedup_verdicts")
+
+    run_available_now(stream_df, _step, checkpoint_dir)

@@ -157,3 +157,60 @@ def test_hot_bucket_capped_ingest_stays_bounded_and_monotone(
     ov = store_bucket_overflow(store, max_bucket=2)
     rows = ov.collect()
     assert rows and all(r["n_ids"] == 30 and r["n_overflow"] == 28 for r in rows)
+
+
+def test_streaming_semdedup_loop(spark, tmp_path):
+    """Resident-stream semantic dedup: id-increasing micro-batches
+    replayed through run_semdedup_ingest must land exactly the
+    batch-mode semantic_dedup(keep='first') verdicts of the
+    concatenated corpus in the output dataset."""
+    import json
+
+    from service_alerts_connector_spark.streaming.dedup_stream import (
+        run_semdedup_ingest,
+    )
+
+    emb, _ = _corpus(spark)
+    cents = _centroids(emb)
+    small = emb.where(F.col("vec_id") < 60)
+    twins = small.select(
+        (F.col("vec_id") + F.lit(SHIFT)).alias("vec_id"), "embedding"
+    )
+    corpus = small.unionByName(twins)
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for b, batch_df in enumerate((small, twins)):
+        with open(staged / f"b{b}.jsonl", "w") as f:
+            for r in batch_df.orderBy("vec_id").collect():
+                f.write(
+                    json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_semdedup_ingest(
+        spark,
+        stream,
+        state_root=str(tmp_path / "state"),
+        verdicts_root=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        centroids_milli=cents,
+    )
+    got = _verdicts(
+        read_dataset(spark, str(tmp_path / "out"), "semdedup_verdicts")
+    )
+    expected = _verdicts(semantic_dedup(corpus, cents, keep="first"))
+    assert got == expected
+    # every original survives its shifted twin; every twin drops
+    assert all(v[2] for k, v in got.items() if k < SHIFT)
+    assert all(not v[2] for k, v in got.items() if k >= SHIFT)

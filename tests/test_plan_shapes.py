@@ -792,3 +792,69 @@ def test_range_partition_plan_shape(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_analyze_store_feeds_join_without_dim_rescan(spark, tmp_path):
+    """The 100 TB stats→plan path end-to-end (round-10 verdict #6): the
+    ANALYZE pass runs ONCE and persists to the versioned store; a later
+    join prices its dim side from the store (≤#columns stat rows) and
+    picks the strategy — the joined plan must contain exactly ONE scan
+    of the dim, whichever strategy wins (no hidden re-measure scan)."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.operators.planner import (
+        analyze_byte_stats,
+        est_bytes_from_store,
+        stats_driven_join,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+        write_dataset,
+    )
+
+    root = str(tmp_path / "stats_store")
+    # ANALYZE pass: one scan, persisted
+    write_dataset(
+        analyze_byte_stats(_t(spark, SF_DIR, "supplier"), "supplier"),
+        root,
+        "analyze_byte_stats",
+    )
+
+    # later session path: store → estimate → strategy, no dim rescan
+    store = read_dataset(spark, root, "analyze_byte_stats")
+    proj = ["s_suppkey", "s_name"]
+    n, est = est_bytes_from_store(store, "supplier", cols=proj)
+    assert n > 0 and est > 0
+    # the projection estimate must undercut the full-width estimate, and
+    # the store-derived full-width estimate must equal the live one
+    _, est_full = est_bytes_from_store(store, "supplier")
+    assert est < est_full
+    from service_alerts_connector_spark.operators.planner import (
+        estimate_table_bytes,
+    )
+
+    assert est_full == estimate_table_bytes(_t(spark, SF_DIR, "supplier"))[1]
+
+    fact = _t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    dim = _t(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+
+    p = _plan(stats_driven_join(fact, dim, "l_suppkey", est_bytes=est))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count("supplier.parquet") == 1
+
+    p = _plan(
+        stats_driven_join(
+            fact, dim, "l_suppkey", est_bytes=est, threshold_bytes=est - 1
+        )
+    )
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert p.count("supplier.parquet") == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        est_bytes_from_store(store, "nosuch_table")
+    with _pytest.raises(ValueError):
+        est_bytes_from_store(store, "supplier", cols=["nosuch_col"])
