@@ -87,11 +87,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # SAMPLE-CADENCE POLICY (keep this invariant every round): the lead tuple
 # below must contain, in order, (a) queries whose code changed this round,
 # then (b) oracled queries that have never appeared in any
-# CORRECTNESS_r*.json (reproduce the set with a key-diff of those files
-# against queries()).  At the END of a round, fold the just-certified lead
-# into _DRIVER_SAMPLED and rebuild the lead for the next round — a short
-# round must never silently re-certify stale keys (the round-8 failure
-# mode: _R7_LEAD stayed pinned and the driver burned its 50-query sample
+# CORRECTNESS_r*.json (none remain as of round 10 — the books closed),
+# then (c) STEADY-STATE: oldest-certificate-first re-certification — rank
+# every query by the LATEST round it appears in across CORRECTNESS_r*.json
+# and fill the 50-query window with the stalest, so every certificate
+# refreshes on a bounded cycle instead of round-1 certificates aging
+# forever.  At the END of a round, fold the just-certified lead into
+# _DRIVER_SAMPLED and rebuild the lead for the next round — a short round
+# must never silently re-certify stale keys (the round-8 failure mode:
+# _R7_LEAD stayed pinned and the driver burned its 50-query sample
 # re-checking round 7's already-green set).
 _DRIVER_SAMPLED = frozenset(
     (
@@ -180,26 +184,47 @@ _DRIVER_SAMPLED = frozenset(
         "cohort_retention", "funnel_conversion", "attribution_join",
         "event_value_quantiles", "event_throttle", "json_typed_extract",
         "linear_trend",
+        # round 10 (the certified 17 of _R11_LEAD: CORRECTNESS_r10.json)
+        "broadcast_decision", "range_partition_plan",
+        "incremental_semdedup_fixed",
+        "zorder_key", "skew_salted_agg", "dq_rule_screen",
+        "unpivot_metrics", "rank_movers", "hhi_concentration",
+        "join_size_estimate", "skew_report", "user_feature_bundle",
+        "type_cooccurrence", "type_transitions",
+        "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
     )
 )
 
-# Round-10 lead: per the cadence policy above — (a) queries new/changed
-# this round, then (b) the 14 oracled queries that rolled past round 9's
-# 50-query sample window (the LAST never-certified oracled queries in the
-# catalog; set reproduced by key-diffing CORRECTNESS_r01-r09 against
-# oracle_sql()).  Certifying all of these closes the books: every oracled
-# query will then hold a driver certificate.
-_R10_LEAD = (
-    # (a) new this round
+# Round-11 lead: per the cadence policy above — (a) queries whose code
+# changed this round (geo_overlay's flattened output is the round-10
+# driver red to clear; the two other geo queries run through the changed
+# as_axis_rect fast path; broadcast_decision's oracle was refactored),
+# then (c) the steady-state staleness rotation: the stalest certificates
+# in the catalog — the 9 round-1 keys, the 24 round-4 keys, and the
+# alphabetical head of the round-5/6 window to fill 50 (ages computed by
+# key-diffing every CORRECTNESS_r*.json against queries(); no (b) keys
+# exist — every query holds a certificate since round 10).
+_R11_LEAD = (
+    # (a) changed this round
+    "geo_overlay", "geo_overlay_rect", "geo_zone_rollup",
     "broadcast_decision",
-    "range_partition_plan",
-    "incremental_semdedup_fixed",
-    # (b) the 14 rolled from round 9 (zorder_key onward in _R9_LEAD order)
-    "zorder_key", "skew_salted_agg", "dq_rule_screen",
-    "unpivot_metrics", "rank_movers", "hhi_concentration",
-    "join_size_estimate", "skew_report", "user_feature_bundle",
-    "type_cooccurrence", "type_transitions",
-    "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
+    # (c) stalest certificates: round 1
+    "cube_grouping", "dedup_embedding_cosine", "distinct_agg",
+    "fixer_chain", "lag_rank_window", "percentiles", "pivot_status",
+    "rollup_pricing", "running_total",
+    # round 4
+    "ann_bucketed", "ann_cosine_topk", "ann_ivf_fixed", "contamination",
+    "corpus_curation", "dedup_clusters", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash_lsh", "dedup_near_keep", "dedup_simhash",
+    "embedding_project", "j4_composite_lookup", "text_boilerplate",
+    "text_fingerprint", "text_lang_id", "text_length_histogram",
+    "text_ngram_repetition", "text_pii_redact", "text_quality",
+    "text_repetition", "text_stats", "text_vocab_topk", "w5_windowed_agg",
+    # rounds 5/6 head (alphabetical; geo_zone_rollup already in (a))
+    "abandonment_rate", "aging_report", "ann_recall_eval", "anomaly_days",
+    "basket_rules", "benford_audit", "bitmap_intersect", "boxplot_stats",
+    "burst_windows", "cohort_ltv", "containment_pairs",
+    "contribution_share", "daily_streaks",
 )
 
 
@@ -220,7 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **ROUND7_QUERIES,
         **STATS_QUERIES,
     }
-    lead = {k: merged[k] for k in _R10_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R11_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()
