@@ -199,15 +199,18 @@ _DRIVER_SAMPLED = frozenset(
 # changed this round (geo_overlay's flattened output is the round-10
 # driver red to clear; the two other geo queries run through the changed
 # as_axis_rect fast path; broadcast_decision's oracle was refactored),
-# then (c) the steady-state staleness rotation: the stalest certificates
-# in the catalog — the 9 round-1 keys, the 24 round-4 keys, and the
-# alphabetical head of the round-5/6 window to fill 50 (ages computed by
-# key-diffing every CORRECTNESS_r*.json against queries(); no (b) keys
-# exist — every query holds a certificate since round 10).
+# then (b) the two queries new this round (ANALYZE byte stats and the
+# System-R join-order pick), then (c) the steady-state staleness
+# rotation: the stalest certificates in the catalog — the 9 round-1
+# keys, the 24 round-4 keys, and the alphabetical head of the round-5/6
+# window to fill 50 (ages computed by key-diffing every
+# CORRECTNESS_r*.json against queries()).
 _R11_LEAD = (
     # (a) changed this round
     "geo_overlay", "geo_overlay_rect", "geo_zone_rollup",
     "broadcast_decision",
+    # (b) new this round (never certified)
+    "analyze_bytes", "join_order_plan",
     # (c) stalest certificates: round 1
     "cube_grouping", "dedup_embedding_cosine", "distinct_agg",
     "fixer_chain", "lag_rank_window", "percentiles", "pivot_status",
@@ -224,7 +227,6 @@ _R11_LEAD = (
     "abandonment_rate", "aging_report", "ann_recall_eval", "anomaly_days",
     "basket_rules", "benford_audit", "bitmap_intersect", "boxplot_stats",
     "burst_windows", "cohort_ltv", "containment_pairs",
-    "contribution_share", "daily_streaks",
 )
 
 

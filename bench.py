@@ -123,6 +123,9 @@ HEADLINE = [
     "broadcast_decision",
     "range_partition_plan",
     "incremental_semdedup_fixed",
+    # round-11 additions: ANALYZE byte stats + System-R order pick
+    "analyze_bytes",
+    "join_order_plan",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

@@ -1120,6 +1120,161 @@ FROM per ORDER BY range_id
 """
 
 
+def q_analyze_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE byte-statistics frame itself (``operators/planner
+    analyze_byte_stats``) as an oracled query: per column of the two
+    broadcast-candidate dims, exact row count and byte sum (octet sums
+    for strings, width × rows for fixed types).  This is the frame the
+    versioned stats store persists so ``est_bytes_from_store`` can price
+    any projection of a join side WITHOUT rescanning it (plan pin:
+    tests/test_plan_shapes.py::test_analyze_store_feeds_join_without_dim_rescan).
+    One map-side-combined single-row aggregate per table; the per-column
+    rows are an explode of that 1-row frame — nothing table-sized ever
+    shuffles."""
+    from service_alerts_connector_spark.operators.planner import (
+        analyze_byte_stats,
+    )
+
+    return (
+        analyze_byte_stats(_t(spark, sf_dir, "nation"), "nation")
+        .unionByName(
+            analyze_byte_stats(_t(spark, sf_dir, "supplier"), "supplier")
+        )
+        .orderBy("tbl", "col")
+    )
+
+
+def _sql_analyze_bytes() -> str:
+    width = {"INTEGER": 4, "BIGINT": 8, "DOUBLE": 8, "TIMESTAMP": 8}
+    legs = []
+    for tbl in ("nation", "supplier"):
+        for c, t in BCAST_ORACLE_SCHEMAS[tbl]:
+            if t == "V":
+                b = f"CAST(coalesce(sum(coalesce(strlen({c}), 0)), 0) AS BIGINT)"
+            else:
+                b = f"CAST(count(*) * {width[t]} AS BIGINT)"
+            legs.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col,\n"
+                f"       CAST(count(*) AS BIGINT) AS n_rows,\n"
+                f"       {b} AS byte_sum\nFROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(legs) + "\nORDER BY tbl, col"
+
+
+SQL_ANALYZE_BYTES = _sql_analyze_bytes()
+
+
+def q_join_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-R left-deep join-order selection for the 3-table chain
+    customer ⋈ orders ⋈ lineitem, from EXACT statistics: per candidate
+    order, the estimated intermediate and final cardinalities under the
+    textbook estimator |R ⋈ S| = |R|·|S| div max(ndv(R.k), ndv(S.k))
+    (NDV-preservation assumption for the second join), the summed-
+    intermediates cost (the C_out proxy System-R minimizes), and the
+    winning order (ties break toward the first order name).  The
+    consuming sibling of ``join_cardinality_check``: that query
+    calibrates the estimator; this one lets it PICK the plan.
+
+    All integer arithmetic on non-negative operands (Spark ``div`` ≡
+    DuckDB ``//`` there — CLAUDE.md) so the two engines agree
+    bit-for-bit.  Stats are three O(n)-scan single-row aggregates (the
+    ANALYZE store ships them at 100 TB); everything after is a 1-row
+    compute, so choosing the order for a petabyte join costs three stat
+    lookups."""
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.countDistinct("l_orderkey").cast("long").alias("ndv_l_ok"),
+    )
+    o = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+        F.countDistinct("o_orderkey").cast("long").alias("ndv_o_ok"),
+        F.countDistinct("o_custkey").cast("long").alias("ndv_o_ck"),
+    )
+    c = _t(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.countDistinct("c_custkey").cast("long").alias("ndv_c_ck"),
+    )
+    stats = li.crossJoin(F.broadcast(o)).crossJoin(F.broadcast(c))
+    # F.expr can't reference a same-select alias (CLAUDE.md) — stage the
+    # dependent estimates across selects
+    c1 = stats.select(
+        "*",
+        F.expr("(n_l * n_o) div greatest(ndv_l_ok, ndv_o_ok)").alias("i_lo"),
+        F.expr("(n_o * n_c) div greatest(ndv_o_ck, ndv_c_ck)").alias("i_oc"),
+    )
+    c2 = c1.select(
+        "*",
+        F.expr("(i_lo * n_c) div greatest(ndv_o_ck, ndv_c_ck)").alias("t_lo"),
+        F.expr("(i_oc * n_l) div greatest(ndv_o_ok, ndv_l_ok)").alias("t_oc"),
+    )
+    c3 = c2.select(
+        "*",
+        (F.col("i_lo") + F.col("t_lo")).alias("c_lo"),
+        (F.col("i_oc") + F.col("t_oc")).alias("c_oc"),
+    )
+    return (
+        c3.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem_orders_first").alias("order_name"),
+                        F.col("i_lo").alias("est_intermediate"),
+                        F.col("t_lo").alias("est_total"),
+                        F.col("c_lo").alias("cost"),
+                        (F.col("c_lo") <= F.col("c_oc")).alias("chosen"),
+                    ),
+                    F.struct(
+                        F.lit("orders_customer_first").alias("order_name"),
+                        F.col("i_oc").alias("est_intermediate"),
+                        F.col("t_oc").alias("est_total"),
+                        F.col("c_oc").alias("cost"),
+                        (F.col("c_oc") < F.col("c_lo")).alias("chosen"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("order_name")
+    )
+
+
+SQL_JOIN_ORDER_PLAN = """
+WITH s AS (
+  SELECT (SELECT count(*) FROM lineitem) AS n_l,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_l_ok,
+         (SELECT count(*) FROM orders) AS n_o,
+         (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_o_ok,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_o_ck,
+         (SELECT count(*) FROM customer) AS n_c,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_c_ck
+), c1 AS (
+  SELECT s.*,
+         (n_l * n_o) // greatest(ndv_l_ok, ndv_o_ok) AS i_lo,
+         (n_o * n_c) // greatest(ndv_o_ck, ndv_c_ck) AS i_oc
+  FROM s
+), c2 AS (
+  SELECT c1.*,
+         (i_lo * n_c) // greatest(ndv_o_ck, ndv_c_ck) AS t_lo,
+         (i_oc * n_l) // greatest(ndv_o_ok, ndv_l_ok) AS t_oc
+  FROM c1
+), c3 AS (
+  SELECT c2.*, i_lo + t_lo AS c_lo, i_oc + t_oc AS c_oc FROM c2
+)
+SELECT 'lineitem_orders_first' AS order_name,
+       CAST(i_lo AS BIGINT) AS est_intermediate,
+       CAST(t_lo AS BIGINT) AS est_total,
+       CAST(c_lo AS BIGINT) AS cost,
+       c_lo <= c_oc AS chosen
+FROM c3
+UNION ALL
+SELECT 'orders_customer_first',
+       CAST(i_oc AS BIGINT), CAST(t_oc AS BIGINT), CAST(c_oc AS BIGINT),
+       c_oc < c_lo
+FROM c3
+ORDER BY order_name
+"""
+
+
 STATS_QUERIES = {
     "column_stats_mcv": q_column_stats_mcv,
     "equi_depth_histogram": q_equi_depth_histogram,
@@ -1130,6 +1285,8 @@ STATS_QUERIES = {
     "correlated_column_stats": q_correlated_column_stats,
     "broadcast_decision": q_broadcast_decision,
     "range_partition_plan": q_range_partition_plan,
+    "analyze_bytes": q_analyze_bytes,
+    "join_order_plan": q_join_order_plan,
 }
 
 STATS_ORACLES = {
@@ -1142,4 +1299,6 @@ STATS_ORACLES = {
     "correlated_column_stats": SQL_CORRELATED_COLUMN_STATS,
     "broadcast_decision": SQL_BROADCAST_DECISION,
     "range_partition_plan": SQL_RANGE_PARTITION_PLAN,
+    "analyze_bytes": SQL_ANALYZE_BYTES,
+    "join_order_plan": SQL_JOIN_ORDER_PLAN,
 }

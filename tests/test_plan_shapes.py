@@ -858,3 +858,31 @@ def test_analyze_store_feeds_join_without_dim_rescan(spark, tmp_path):
         est_bytes_from_store(store, "nosuch_table")
     with _pytest.raises(ValueError):
         est_bytes_from_store(store, "supplier", cols=["nosuch_col"])
+
+
+def test_analyze_bytes_plan_shape(spark):
+    """analyze_bytes: one single-row aggregate per table exploded to
+    per-column rows — no join, no window, exactly 2 scans; nothing
+    table-sized reaches an exchange."""
+    from service_alerts_connector_spark.catalog_stats import q_analyze_bytes
+
+    p = _plan(q_analyze_bytes(spark, SF_DIR))
+    assert "Join" not in p
+    assert "Window" not in p
+    assert p.count("Scan parquet") == 2
+
+
+def test_join_order_plan_shape(spark):
+    """join_order_plan: three stat scans combined via broadcast-only
+    1-row cross joins; the candidate-order rows are an explode of that
+    single stat row — no fact-fact join, no window, no sort-merge."""
+    from service_alerts_connector_spark.catalog_stats import (
+        q_join_order_plan,
+    )
+
+    p = _plan(q_join_order_plan(spark, SF_DIR))
+    assert p.count("Scan parquet") == 3
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    # 1-row stat combines plan as BNLJ cross — allowed at 1x1 (CLAUDE.md)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
