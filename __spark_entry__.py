@@ -211,6 +211,7 @@ _R11_LEAD = (
     "broadcast_decision",
     # (b) new this round (never certified)
     "analyze_bytes", "join_order_plan",
+    "q11_important_stock", "q16_supplier_counts", "q20_potential_promotion",
     # (c) stalest certificates: round 1
     "cube_grouping", "dedup_embedding_cosine", "distinct_agg",
     "fixer_chain", "lag_rank_window", "percentiles", "pivot_status",
@@ -226,7 +227,6 @@ _R11_LEAD = (
     # rounds 5/6 head (alphabetical; geo_zone_rollup already in (a))
     "abandonment_rate", "aging_report", "ann_recall_eval", "anomaly_days",
     "basket_rules", "benford_audit", "bitmap_intersect", "boxplot_stats",
-    "burst_windows", "cohort_ltv", "containment_pairs",
 )
 
 

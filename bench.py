@@ -123,9 +123,13 @@ HEADLINE = [
     "broadcast_decision",
     "range_partition_plan",
     "incremental_semdedup_fixed",
-    # round-11 additions: ANALYZE byte stats + System-R order pick
+    # round-11 additions: ANALYZE byte stats + System-R order pick + the
+    # three partsupp-adapted TPC-H shapes that complete the 22-query suite
     "analyze_bytes",
     "join_order_plan",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_potential_promotion",
     "ann_batch",
     "event_value_quantiles",
     # round-5 additions

@@ -923,6 +923,225 @@ ORDER BY n_name, o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 shape — group value vs a scalar-subquery fraction-of-total threshold
+# ---------------------------------------------------------------------------
+_Q11_NATIONS = ("NATION_3", "NATION_8")  # both present at every testdata SF
+
+
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) adapted to the testdata schema
+    (no partsupp — lineitem value stands in for supply value): per part,
+    the summed line value shipped by suppliers of the pinned nations,
+    keeping parts whose value exceeds 1/1000 of the national total — the
+    HAVING-against-a-scalar-subquery shape, decorrelated as a 1-row
+    broadcast.  Integer cents throughout; the threshold compare is
+    ``value_c * 1000 > total_c`` (no fractions), share reported in ppm
+    via non-negative ``div``.  Scale: the dim chain broadcasts, the fact
+    groupBy map-side combines to part cardinality, the total is a 1-row
+    stat frame — the one fact shuffle is the per-part aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("val_c")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*_Q11_NATIONS))
+        .select("n_nationkey")
+    )
+    nat_sup = sup.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    per = (
+        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("val_c").cast("long").alias("value_c"))
+    )
+    tot = per.agg(F.sum("value_c").cast("long").alias("total_c"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.expr("value_c * 1000 > total_c"))
+        .select(
+            "l_partkey",
+            "value_c",
+            F.expr("(value_c * 1000000) div total_c").alias("share_ppm"),
+        )
+        .orderBy(F.desc("value_c"), "l_partkey")
+    )
+
+
+SQL_Q11 = f"""
+WITH nat_sup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('{_Q11_NATIONS[0]}', '{_Q11_NATIONS[1]}')
+), per AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_c
+  FROM lineitem JOIN nat_sup ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM per
+)
+SELECT l_partkey, value_c,
+       CAST((value_c * 1000000) // total_c AS BIGINT) AS share_ppm
+FROM per, tot
+WHERE value_c * 1000 > total_c
+ORDER BY value_c DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — multi-attribute supplier counts with a NOT-IN exclusion set
+# ---------------------------------------------------------------------------
+_Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+
+def q_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship) adapted: the
+    part↔supplier relation comes from DISTINCT lineitem pairs instead of
+    partsupp; the complaint exclusion becomes suppliers with negative
+    account balance (empty at sf0.001, bites at sf0.01+ — the anti-join
+    shape is exercised either way).  Predicates keep Q16's form: brand
+    excluded, type excluded, size IN-list.  Scale: both broadcast joins
+    sit BELOW the distinct, so the one fact exchange carries only
+    filter-surviving (attrs, suppkey) rows after map-side dedup — a 6×
+    smaller shuffle than distinct-then-filter (census-measured); counts
+    then group at attribute-combination cardinality."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16 = f"""
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — nested semi-join chain with a correlated aggregate threshold
+# ---------------------------------------------------------------------------
+def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion) adapted: a supplier
+    qualifies when, for SOME name-filtered part, their 1997 shipped
+    quantity exceeds a quarter of that part's total 1997 shipments
+    (partsupp availability → shipped-share threshold; the correlated
+    aggregate is decorrelated into two groupBys joined on the part).
+    Output is the pinned nations' qualifying suppliers via a left-semi
+    join — Q20's nested-IN chain.  Integer quantities; the threshold is
+    ``qty_ps * 4 > qty_p`` (no fractions).  Scale: the name filter
+    collapses part to a broadcast; both aggregates map-side combine and
+    share the (part, supplier)-grain shuffle; supplier×nation is a dim
+    broadcast; the semi-join probes a supplier-sized distinct frame."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    l97 = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        )
+        .select("l_partkey", "l_suppkey", _qty().alias("qty"))
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    ps = l97.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").cast("long").alias("qty_ps")
+    )
+    ptot = l97.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("qty_p")
+    )
+    qual = (
+        ps.join(ptot, "l_partkey")
+        .where(F.expr("qty_ps * 4 > qty_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*_Q11_NATIONS))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        sup.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q20 = f"""
+WITH l97 AS (
+  SELECT l_partkey, l_suppkey, CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+), ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS qty_ps
+  FROM l97 GROUP BY l_partkey, l_suppkey
+), ptot AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qty_p
+  FROM l97 GROUP BY l_partkey
+), qual AS (
+  SELECT DISTINCT l_suppkey
+  FROM ps JOIN ptot USING (l_partkey)
+  WHERE qty_ps * 4 > qty_p
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('{_Q11_NATIONS[0]}', '{_Q11_NATIONS[1]}')
+  AND s_suppkey IN (SELECT l_suppkey FROM qual)
+ORDER BY s_suppkey
+"""
+
+
 TPCH_QUERIES = {
     "q17_small_quantity": q_q17_small_quantity,
     "q18_large_orders": q_q18_large_orders,
@@ -938,6 +1157,9 @@ TPCH_QUERIES = {
     "q15_top_supplier": q_q15_top_supplier,
     "q12_late_by_priority": q_q12_late_by_priority,
     "q9_profit_rollup": q_q9_profit_rollup,
+    "q11_important_stock": q_q11_important_stock,
+    "q16_supplier_counts": q_q16_supplier_counts,
+    "q20_potential_promotion": q_q20_potential_promotion,
 }
 
 TPCH_ORACLES = {
@@ -955,4 +1177,7 @@ TPCH_ORACLES = {
     "q15_top_supplier": SQL_Q15,
     "q12_late_by_priority": SQL_Q12,
     "q9_profit_rollup": SQL_Q9,
+    "q11_important_stock": SQL_Q11,
+    "q16_supplier_counts": SQL_Q16,
+    "q20_potential_promotion": SQL_Q20,
 }

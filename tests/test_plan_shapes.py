@@ -886,3 +886,29 @@ def test_join_order_plan_shape(spark):
     assert "Window" not in p
     # 1-row stat combines plan as BNLJ cross — allowed at 1x1 (CLAUDE.md)
     assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_round11_tpch_shapes(spark):
+    """Q11/Q16/Q20 adapted shapes: dims and exclusion/threshold sets
+    broadcast, no cartesian/BNLJ beyond the allowed 1-row stat cross
+    (Q11's total), no unpartitioned window anywhere."""
+    from service_alerts_connector_spark.catalog_tpch import (
+        q_q11_important_stock,
+        q_q16_supplier_counts,
+        q_q20_potential_promotion,
+    )
+
+    p = _plan(q_q11_important_stock(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total cross
+    assert "Window" not in p
+
+    p = _plan(q_q16_supplier_counts(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # part filter + exclusion set broadcast
+    assert "Window" not in p
+
+    p = _plan(q_q20_potential_promotion(spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p  # the qualifying-supplier semi-join
+    assert "Window" not in p

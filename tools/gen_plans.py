@@ -42,7 +42,8 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "auc_exact", "ks_statistic", "q9_profit_rollup",
         "join_cardinality_check", "correlated_column_stats",
         "broadcast_decision", "range_partition_plan",
-        "incremental_semdedup_fixed"]
+        "incremental_semdedup_fixed",
+        "analyze_bytes", "join_order_plan"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
@@ -103,6 +104,8 @@ NOTES = {
     "broadcast_decision": "the stats side of stats_driven_join: seven scans each map-side combine to ONE (tbl, rows, bytes) row - the 7-row union never shuffles fact rows",
     "range_partition_plan": "TeraSort-shape audit: equi-depth bounds from the two-phase cell prefix (k-row collect), assignment via ONE literal bound array (no join), 16-row balance agg",
     "incremental_semdedup_fixed": "batch-anchored incremental SemDeDup: shares _assign_cells (checkpointed once) + capped candidate machinery with semdedup_fixed; store side capped per bucket to the max_bucket smallest ids",
+    "analyze_bytes": "ANALYZE byte stats: one single-row aggregate per table, per-column rows via explode of that 1-row frame - no join, no window, nothing table-sized shuffles",
+    "join_order_plan": "System-R order pick: three stat scans (count + exact NDVs), 1-row broadcast combines, candidate orders exploded from the single stat row - the decision costs three stat lookups at any scale",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
