@@ -43,7 +43,9 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "join_cardinality_check", "correlated_column_stats",
         "broadcast_decision", "range_partition_plan",
         "incremental_semdedup_fixed",
-        "analyze_bytes", "join_order_plan"]
+        "analyze_bytes", "join_order_plan",
+        "q11_important_stock", "q16_supplier_counts",
+        "q20_potential_promotion"]
 NOTES = {
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
@@ -106,6 +108,9 @@ NOTES = {
     "incremental_semdedup_fixed": "batch-anchored incremental SemDeDup: shares _assign_cells (checkpointed once) + capped candidate machinery with semdedup_fixed; store side capped per bucket to the max_bucket smallest ids",
     "analyze_bytes": "ANALYZE byte stats: one single-row aggregate per table, per-column rows via explode of that 1-row frame - no join, no window, nothing table-sized shuffles",
     "join_order_plan": "System-R order pick: three stat scans (count + exact NDVs), 1-row broadcast combines, candidate orders exploded from the single stat row - the decision costs three stat lookups at any scale",
+    "q11_important_stock": "TPC-H Q11 shape: nation slice broadcast, per-part value groupBy is the only fact shuffle, fraction-of-total HAVING as a 1-row broadcast integer compare",
+    "q16_supplier_counts": "TPC-H Q16 shape: part filter + complaint anti-join broadcast BELOW the distinct - the exchange carries filter-surviving deduped rows (9x fewer, census-measured)",
+    "q20_potential_promotion": "TPC-H Q20 shape: two aggregates share the (part, supplier) shuffle of the name+year slice; integer share threshold; left-semi probe of a supplier-sized frame",
 }
 out = ["# PLANS — captured physical plans for the flagship queries",
        "",
