@@ -345,18 +345,21 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Contention pre-flight: median_warm > cold is physically backwards on
-    # a quiet host (the cold run pays plan compilation + codegen JIT on
-    # top of execution) — it is the documented tell of host-level vCPU
-    # contention during the warm runs (SCALE.md round-10 geo
-    # investigation).  More than 2 such queries marks the WHOLE recording
-    # as a contended sample: the artifact says so explicitly, so a
+    # Contention pre-flight: median_warm exceeding cold is physically
+    # backwards on a quiet host (the cold run pays plan compilation +
+    # codegen JIT on top of execution) — it is the documented tell of
+    # host-level vCPU contention during the warm runs (SCALE.md round-10
+    # geo investigation).  A 10% margin keeps epsilon ties on
+    # sub-second queries from firing the gate (measured: a quiet-ish run
+    # shows several median≈cold±5% pairs, a contended one shows 2-4×
+    # inversions).  More than 2 such queries marks the WHOLE recording as
+    # a contended sample: the artifact says so explicitly, so a
     # round-over-round comparison never mistakes host noise for a plan
     # regression.  Re-record in a quiet window when this fires.
     polluted = sorted(
         name
         for name, s in stats.items()
-        if s["median_warm"] > s["cold"]
+        if s["median_warm"] > s["cold"] * 1.1
     )
     payload = {
         "metric": "headline_queries_total",

@@ -1,0 +1,113 @@
+"""Resident-stream ANALYZE maintenance (streaming/stats_stream.py):
+micro-batch replay through the colstats and HLL ingest loops must land
+exactly the batch-mode result over the concatenated input — the same
+streamed ≡ batch invariant the dedup stream wrappers pin."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.colstats import (
+    COLSTATS_STORE,
+    _LEDGER,
+    column_cells,
+    stats_from_cells,
+)
+from service_alerts_connector_spark.operators.sketches import (
+    HLL_STORE,
+    hll_estimate,
+    hll_registers,
+)
+from service_alerts_connector_spark.sources.parquet_io import read_dataset
+from service_alerts_connector_spark.streaming.stats_stream import (
+    run_colstats_ingest,
+    run_hll_ingest,
+)
+
+
+def _stage(tmp_path, batches):
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for b, rows in enumerate(batches):
+        with open(staged / f"b{b}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return staged
+
+
+def _cols():
+    return [
+        ("grp", F.col("grp").cast("string")),
+        ("parity", (F.col("k") % 2).cast("string")),
+    ]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_streaming_colstats_loop(spark, tmp_path):
+    batches = [
+        [{"k": n, "grp": f"g{n % 3}"} for n in range(200)],
+        [{"k": n, "grp": f"g{n % 3}"} for n in range(200, 350)],
+    ]
+    staged = _stage(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("k long, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_colstats_ingest(
+        spark,
+        stream,
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cols_fn=_cols,
+    )
+    store = read_dataset(spark, str(tmp_path / "state"), COLSTATS_STORE)
+    got = _rows(
+        stats_from_cells(store.where(F.col("col_name") != _LEDGER))
+    )
+    union = spark.createDataFrame(
+        [(r["k"], r["grp"]) for rows in batches for r in rows],
+        "k long, grp string",
+    )
+    expected = _rows(stats_from_cells(column_cells(union, _cols())))
+    assert got == expected
+    # the ledger names both engine-assigned micro-batch epochs
+    ledger = {
+        r["val"]
+        for r in store.where(F.col("col_name") == _LEDGER).collect()
+    }
+    assert ledger == {"stream-0", "stream-1"}
+
+
+def test_streaming_hll_loop(spark, tmp_path):
+    batches = [
+        [{"k": n % 400, "grp": f"g{n % 2}"} for n in range(500)],
+        [{"k": n % 700, "grp": f"g{n % 2}"} for n in range(600)],
+    ]
+    staged = _stage(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("k long, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_hll_ingest(
+        spark,
+        stream,
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key_col="k",
+        group_cols=["grp"],
+    )
+    store = read_dataset(spark, str(tmp_path / "state"), HLL_STORE)
+    got = _rows(hll_estimate(store, ["grp"]))
+    union = spark.createDataFrame(
+        [(r["k"], r["grp"]) for rows in batches for r in rows],
+        "k long, grp string",
+    )
+    expected = _rows(hll_estimate(hll_registers(union, "k", ["grp"]), ["grp"]))
+    assert got == expected
