@@ -69,3 +69,64 @@ def best_match_per_group(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+SAMPLE_STORE = "hash_sample_reservoir"
+
+
+def incremental_sample_ingest(
+    spark,
+    root: str,
+    batch: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+    k: int = 256,
+):
+    """O(batch) maintenance of an exact uniform k-sample over everything
+    ever ingested — the mergeable-reservoir member of the engine's
+    incremental-store family (bands, digests, vectors, registers, cells,
+    and now samples).
+
+    The sample is bottom-k-by-md5 of the key (the ``kmv_synopsis`` /
+    ``weighted_sample`` determinism rule): a content hash is a uniform
+    draw, so the k smallest hashes are a uniform sample of the DISTINCT
+    key set, and bottom-k is a MIN-MERGE — bottomk(A ∪ B) =
+    bottomk(bottomk(A) ∪ bottomk(B)).  Therefore: N sequential ingests ≡
+    one batch-mode bottom-k over the concatenation (pytest-pinned), a
+    redelivered batch re-derives identical hash rows and vanishes in the
+    distinct (idempotent, no ledger needed — the max/min-merge class,
+    unlike the additive colstats cells), and the store is bounded at k
+    rows forever.  Each ingest touches only the batch plus the k-row
+    store; the batch's own bottom-k plans TakeOrderedAndProject (no
+    global sort) and the merge sorts ≤ 2k rows.
+
+    Store discipline per CLAUDE.md: previous version read pinned, the
+    returned frame reads the newly written version."""
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    batch_s = (
+        batch.select(
+            F.md5(F.col(key_col).cast("string")).alias("_h"),
+            *payload_cols,
+        )
+        .dropDuplicates(["_h"])
+        .orderBy("_h")
+        .limit(k)
+    )
+    versions = list_versions(root, SAMPLE_STORE)
+    if versions:
+        prev = read_dataset(spark, root, SAMPLE_STORE, version=versions[-1])
+        merged = (
+            prev.unionByName(batch_s)
+            .dropDuplicates(["_h"])
+            .orderBy("_h")
+            .limit(k)
+        )
+    else:
+        merged = batch_s
+    write_dataset(merged, root, SAMPLE_STORE)
+    return read_dataset(spark, root, SAMPLE_STORE)

@@ -75,3 +75,29 @@ def run_hll_ingest(
         ).collect()
 
     run_available_now(stream_df, _step, checkpoint_dir)
+
+
+def run_sample_ingest(
+    spark,
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    payload_cols: Sequence[str],
+    k: int = 256,
+) -> None:
+    """Drain the stream through ``incremental_sample_ingest`` (bottom-k
+    by content hash — min-merge, idempotent under replay like HLL)."""
+    from service_alerts_connector_spark.operators.topk import (
+        incremental_sample_ingest,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_sample_ingest(
+            spark, state_root, batch_df, key_col, list(payload_cols), k
+        ).collect()
+
+    run_available_now(stream_df, _step, checkpoint_dir)

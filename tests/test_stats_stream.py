@@ -111,3 +111,88 @@ def test_streaming_hll_loop(spark, tmp_path):
     )
     expected = _rows(hll_estimate(hll_registers(union, "k", ["grp"]), ["grp"]))
     assert got == expected
+
+
+def test_incremental_sample_sequential_equals_batch(spark, tmp_path):
+    """The mergeable-reservoir store: 3 id-increasing ingests must hold
+    exactly the batch-mode bottom-k-by-md5 sample of the concatenation;
+    a redelivered batch is a no-op; the store never exceeds k rows."""
+    from service_alerts_connector_spark.operators.topk import (
+        SAMPLE_STORE,
+        incremental_sample_ingest,
+    )
+
+    root = str(tmp_path / "store")
+    k = 16
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("payload"),
+        )
+
+    for lo, hi in ((0, 100), (100, 250), (250, 300)):
+        got = incremental_sample_ingest(
+            spark, root, batch(lo, hi), "doc_id", ["doc_id", "payload"], k
+        )
+    expected = _rows(
+        batch(0, 300)
+        .select(
+            F.md5(F.col("doc_id").cast("string")).alias("_h"),
+            "doc_id",
+            "payload",
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+    assert _rows(got) == expected
+    assert len(expected) == k
+    # redelivery of an already-folded batch changes nothing
+    again = incremental_sample_ingest(
+        spark, root, batch(100, 250), "doc_id", ["doc_id", "payload"], k
+    )
+    assert _rows(again) == expected
+    assert (
+        read_dataset(spark, root, SAMPLE_STORE).count() == k
+    )
+
+
+def test_streaming_sample_loop(spark, tmp_path):
+    from service_alerts_connector_spark.operators.topk import (
+        SAMPLE_STORE,
+    )
+    from service_alerts_connector_spark.streaming.stats_stream import (
+        run_sample_ingest,
+    )
+
+    batches = [
+        [{"doc_id": n} for n in range(150)],
+        [{"doc_id": n} for n in range(150, 400)],
+    ]
+    staged = _stage(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_sample_ingest(
+        spark,
+        stream,
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        key_col="doc_id",
+        payload_cols=["doc_id"],
+        k=32,
+    )
+    got = _rows(read_dataset(spark, str(tmp_path / "state"), SAMPLE_STORE))
+    union = spark.createDataFrame(
+        [(r["doc_id"],) for rows in batches for r in rows], "doc_id long"
+    )
+    expected = _rows(
+        union.select(
+            F.md5(F.col("doc_id").cast("string")).alias("_h"), "doc_id"
+        )
+        .orderBy("_h")
+        .limit(32)
+    )
+    assert got == expected
