@@ -295,3 +295,47 @@ def test_semdedup_store_crash_before_snapshot_converges(
         )
 
     assert store_ids(chaos) == store_ids(control)
+
+
+def test_sample_store_crash_before_snapshot_converges(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Kill the sample ingest after its version write; redeliver.
+    Bottom-k-by-hash is a min-merge, so the re-merged store must equal
+    one batch-mode bottom-k over the union of all batches."""
+    from service_alerts_connector_spark.operators.topk import (
+        SAMPLE_STORE,
+        incremental_sample_ingest,
+    )
+
+    root = str(tmp_path)
+    k = 16
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+
+    incremental_sample_ingest(
+        spark, root, batch(0, 500), "doc_id", ["doc_id"], k
+    )
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_sample_ingest(
+            spark, root, batch(400, 900), "doc_id", ["doc_id"], k
+        )
+
+    got = incremental_sample_ingest(
+        spark, root, batch(400, 900), "doc_id", ["doc_id"], k
+    )
+    expected = (
+        batch(0, 900)
+        .select(
+            F.md5(F.col("doc_id").cast("string")).alias("_h"), "doc_id"
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert read_dataset(spark, root, SAMPLE_STORE).count() == k
