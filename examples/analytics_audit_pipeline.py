@@ -7,9 +7,11 @@ The checks a platform team runs before promoting a dataset: profiling
 (joinability, functional dependencies), integrity (sequence gaps, replica
 digests), layout (zone-map skippability), privacy (k-anonymity), numeric
 forensics (Benford), and drift — every stage a catalog query with a DuckDB
-oracle behind it — plus the round-9 statistics tier: the ANALYZE pass
-(column stats, equi-depth histogram) and the evaluation metrics (kappa,
-exact AUC, two-sample KS).
+oracle behind it — plus the statistics tier: the ANALYZE pass (column
+stats, equi-depth histogram, per-column byte stats) and the evaluation
+metrics (kappa, exact AUC, two-sample KS), and the stats→plan loop the
+optimizer closes (broadcast decision, range-partition audit, System-R
+join-order pick).
 """
 
 import pathlib
@@ -28,13 +30,17 @@ from service_alerts_connector_spark.catalog_analytics import (
     q_zone_map_prune,
 )
 from service_alerts_connector_spark.catalog_stats import (
+    q_analyze_bytes,
     q_auc_exact,
+    q_broadcast_decision,
     q_cohens_kappa,
     q_column_stats_mcv,
     q_correlated_column_stats,
     q_equi_depth_histogram,
     q_join_cardinality_check,
+    q_join_order_plan,
     q_ks_statistic,
+    q_range_partition_plan,
 )
 from service_alerts_connector_spark.session import get_spark
 
@@ -56,6 +62,10 @@ def main() -> None:
         ("Equi-depth histogram / range-partition bounds", q_equi_depth_histogram),
         ("Correlated-column dependence audit", q_correlated_column_stats),
         ("Join-cardinality estimator calibration", q_join_cardinality_check),
+        ("Per-column byte stats (join pricing input)", q_analyze_bytes),
+        ("Broadcast-vs-shuffle decision table", q_broadcast_decision),
+        ("Range-partition balance audit", q_range_partition_plan),
+        ("System-R join-order pick", q_join_order_plan),
         ("Labeler agreement (Cohen's kappa)", q_cohens_kappa),
         ("Score ranking quality (exact AUC)", q_auc_exact),
         ("Purchase-vs-view KS drift test", q_ks_statistic),
