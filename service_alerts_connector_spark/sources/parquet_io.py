@@ -100,3 +100,56 @@ def read_dataset(
     if not versions:
         raise FileNotFoundError(f"no versions of {dataset} under {root}")
     return spark.read.parquet(str(base / "versions" / versions[-1]))
+
+
+def dataset_files(root: str, dataset: str, version: str | None = None) -> int:
+    """Number of parquet data files in a committed version (default:
+    newest) — the statistic the compaction policy reads."""
+    base = _dataset_root(root, dataset)
+    if version is None:
+        versions = list_versions(root, dataset)
+        if not versions:
+            raise FileNotFoundError(f"no versions of {dataset} under {root}")
+        version = versions[-1]
+    vdir = base / "versions" / version
+    return sum(
+        1
+        for p in vdir.rglob("*.parquet")
+        if p.is_file() and p.name.startswith("part-")
+    )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    root: str,
+    dataset: str,
+    target_files: int = 1,
+    shuffle: bool = False,
+    prune: int = 5,
+) -> str:
+    """Small-file compaction for a versioned dataset: rewrite the newest
+    committed version into ``target_files`` files AS A NEW VERSION.
+
+    Incremental ingest loops append a version per micro-batch, so a
+    long-running store accumulates versions written at batch parallelism
+    — the classic small-file problem that throttles scan throughput at
+    scale (every file costs a task + footer read).  Compaction here is
+    just ``read pinned → coalesce → write_dataset``, which inherits the
+    store's whole crash discipline for free: the rewrite lands under a
+    fresh timestamp with its own ``_SUCCESS`` (a crash mid-compaction
+    leaves a torn dir that ``list_versions`` never surfaces and the next
+    write sweeps), the data files of the old version are NEVER mutated
+    in place, and retention prunes history as usual.  ``coalesce`` keeps
+    the rewrite shuffle-free (narrow merge of input splits); pass
+    ``shuffle=True`` to rebalance skewed file sizes at the cost of one
+    exchange."""
+    versions = list_versions(root, dataset)
+    if not versions:
+        raise FileNotFoundError(f"no versions of {dataset} under {root}")
+    df = read_dataset(spark, root, dataset, version=versions[-1])
+    df = (
+        df.repartition(target_files)
+        if shuffle
+        else df.coalesce(target_files)
+    )
+    return write_dataset(df, root, dataset, prune=prune)

@@ -339,3 +339,43 @@ def test_sample_store_crash_before_snapshot_converges(
         map(tuple, expected.collect())
     )
     assert read_dataset(spark, root, SAMPLE_STORE).count() == k
+
+
+def test_compaction_preserves_data_and_survives_crash(
+    spark, tmp_path, crash_before_snapshot
+):
+    """compact_dataset must (a) reduce the file count without changing a
+    single row, (b) land as a NEW committed version with history intact,
+    and (c) inherit the store crash discipline: a compaction killed
+    after its version write leaves the store fully serviceable and the
+    retry converges."""
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_dataset,
+        dataset_files,
+        write_dataset,
+    )
+
+    root = str(tmp_path)
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+    )
+    write_dataset(df.repartition(16), root, "wide")
+    assert dataset_files(root, "wide") == 16
+    before = _store_rows(spark, root, "wide")
+
+    compact_dataset(spark, root, "wide", target_files=2)
+    assert dataset_files(root, "wide") == 2
+    assert _store_rows(spark, root, "wide") == before
+    assert len(list_versions(root, "wide")) == 2  # history preserved
+
+    # crash between the compaction's version write and snapshot refresh
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_dataset(spark, root, "wide", target_files=1)
+    # the store still serves identical data...
+    assert _store_rows(spark, root, "wide") == before
+    # ...and the redelivered compaction converges
+    compact_dataset(spark, root, "wide", target_files=1)
+    assert dataset_files(root, "wide") == 1
+    assert _store_rows(spark, root, "wide") == before
