@@ -100,6 +100,13 @@ def incremental_sample_ingest(
     store; the batch's own bottom-k plans TakeOrderedAndProject (no
     global sort) and the merge sorts ≤ 2k rows.
 
+    Contract: payload columns must be a pure function of the key
+    (immutable records / content-addressed rows) — ``dropDuplicates`` on
+    the hash keeps an arbitrary row per key, which is only deterministic
+    when every row for a key is identical.  A mutable-record sample
+    would need last-wins semantics (the ``operators/dedup.py`` upsert)
+    BEFORE ingest.
+
     Store discipline per CLAUDE.md: previous version read pinned, the
     returned frame reads the newly written version."""
     from service_alerts_connector_spark.sources.parquet_io import (
