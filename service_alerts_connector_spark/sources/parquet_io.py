@@ -126,6 +126,7 @@ def compact_dataset(
     target_files: int = 1,
     shuffle: bool = False,
     prune: int = 5,
+    sort_by: list[str] | None = None,
 ) -> str:
     """Small-file compaction for a versioned dataset: rewrite the newest
     committed version into ``target_files`` files AS A NEW VERSION.
@@ -142,14 +143,28 @@ def compact_dataset(
     in place, and retention prunes history as usual.  ``coalesce`` keeps
     the rewrite shuffle-free (narrow merge of input splits); pass
     ``shuffle=True`` to rebalance skewed file sizes at the cost of one
-    exchange."""
+    exchange.
+
+    ``sort_by`` re-CLUSTERS while compacting (the OPTIMIZE ... ZORDER /
+    cluster-on-write maintenance pattern): rows range-partition across
+    the ``target_files`` files and sort within each, so parquet footer
+    min/max zones become tight and disjoint on the sort columns — a
+    range predicate then prunes to ~1 file instead of scanning all
+    (measured in tests/test_range_layout.py).  Uses Spark's sampled
+    ``repartitionByRange`` (fine for maintenance — the DATA is identical
+    whatever the sampled bounds); ``layout.write_range_partitioned`` is
+    the deterministic-bounds alternative when reproducible file
+    boundaries matter."""
     versions = list_versions(root, dataset)
     if not versions:
         raise FileNotFoundError(f"no versions of {dataset} under {root}")
     df = read_dataset(spark, root, dataset, version=versions[-1])
-    df = (
-        df.repartition(target_files)
-        if shuffle
-        else df.coalesce(target_files)
-    )
+    if sort_by:
+        df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    elif shuffle:
+        df = df.repartition(target_files)
+    else:
+        df = df.coalesce(target_files)
     return write_dataset(df, root, dataset, prune=prune)

@@ -109,3 +109,33 @@ def test_range_layout_zone_map_skipping_delta(spark, tmp_path):
         .count()
     )
     assert n_match == n_read > 0
+
+
+def test_sorted_compaction_tightens_zone_maps(spark, tmp_path):
+    """compact_dataset(sort_by=...) must turn a scattered store into one
+    whose parquet footer zones are tight: a narrow cents range that
+    overlaps EVERY file of the unsorted layout prunes to ≤2 of the
+    compacted files — the OPTIMIZE/cluster-on-write maintenance win."""
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_dataset,
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    df = _cents(spark)
+    root = str(tmp_path)
+    write_dataset(df.repartition(8), root, "offers")  # scattered layout
+    base = tmp_path / "offers" / "versions"
+    v0 = list_versions(root, "offers")[-1]
+    lo, hi = 1_000_000, 1_400_000
+    hit0, tot0 = _files_overlapping(str(base / v0), lo, hi, "cents")
+    assert tot0 == 8 and hit0 == 8  # every unsorted file overlaps
+
+    before = sorted(map(tuple, read_dataset(spark, root, "offers").collect()))
+    compact_dataset(spark, root, "offers", target_files=8, sort_by=["cents"])
+    v1 = list_versions(root, "offers")[-1]
+    hit1, tot1 = _files_overlapping(str(base / v1), lo, hi, "cents")
+    assert tot1 == 8 and hit1 <= 2, (hit1, tot1)
+    after = sorted(map(tuple, read_dataset(spark, root, "offers").collect()))
+    assert after == before  # clustering never changes a row
