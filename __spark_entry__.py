@@ -184,7 +184,8 @@ _DRIVER_SAMPLED = frozenset(
         "cohort_retention", "funnel_conversion", "attribution_join",
         "event_value_quantiles", "event_throttle", "json_typed_extract",
         "linear_trend",
-        # round 10 (the certified 17 of _R11_LEAD: CORRECTNESS_r10.json)
+        # round 10 (the certified 17 of the retired _R10_LEAD:
+        # CORRECTNESS_r10.json)
         "broadcast_decision", "range_partition_plan",
         "incremental_semdedup_fixed",
         "zorder_key", "skew_salted_agg", "dq_rule_screen",

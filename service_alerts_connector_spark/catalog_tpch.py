@@ -1005,9 +1005,10 @@ def q_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is exercised either way).  Predicates keep Q16's form: brand
     excluded, type excluded, size IN-list.  Scale: both broadcast joins
     sit BELOW the distinct, so the one fact exchange carries only
-    filter-surviving (attrs, suppkey) rows after map-side dedup — a 6×
-    smaller shuffle than distinct-then-filter (census-measured); counts
-    then group at attribute-combination cardinality."""
+    filter-surviving (attrs, suppkey) rows after map-side dedup — a 9×
+    smaller shuffle than distinct-then-filter (census-measured, 613 460
+    → 68 095 records at sf0.1); counts then group at
+    attribute-combination cardinality."""
     pf = (
         _t(spark, sf_dir, "part")
         .where(

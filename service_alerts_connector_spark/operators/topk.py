@@ -105,10 +105,33 @@ def incremental_sample_ingest(
     the hash keeps an arbitrary row per key, which is only deterministic
     when every row for a key is identical.  A mutable-record sample
     would need last-wins semantics (the ``operators/dedup.py`` upsert)
-    BEFORE ingest.
+    BEFORE ingest.  And ``k`` must be CONSTANT across a store's life:
+    once a bottom-k truncation discards a key, no later ingest can
+    resurrect it, so growing k mid-stream yields a biased
+    not-quite-k-sample.  The guard below persists k beside the store on
+    first ingest and raises on any later mismatch.
 
     Store discipline per CLAUDE.md: previous version read pinned, the
     returned frame reads the newly written version."""
+    import os
+
+    kf = os.path.join(root, SAMPLE_STORE, "sample_k.txt")
+    if os.path.exists(kf):
+        with open(kf) as f:
+            stored_k = int(f.read().strip())
+        if stored_k != k:
+            raise ValueError(
+                f"sample store at {root!r} was built with k={stored_k}; "
+                f"ingesting with k={k} would bias the sample (bottom-k "
+                "truncation is irreversible) — use the original k or "
+                "rebuild the store"
+            )
+    else:
+        os.makedirs(os.path.dirname(kf), exist_ok=True)
+        tmp = kf + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(k))
+        os.replace(tmp, kf)
     from service_alerts_connector_spark.sources.parquet_io import (
         list_versions,
         read_dataset,

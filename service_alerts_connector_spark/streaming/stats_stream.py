@@ -25,6 +25,37 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 
 
+def _checkpoint_namespace(checkpoint_dir: str) -> str:
+    """A ledger namespace that lives and dies WITH the checkpoint.
+
+    Structured Streaming's ``batch_id`` is only unique within one
+    checkpoint lineage: if the checkpoint is lost and rebuilt (or a
+    second stream shares the state root), batch numbering restarts at 0
+    and a bare ``stream-0`` ledger key would make genuinely new batches
+    look already-committed — silently DROPPING their counts.  Pairing
+    the key with a namespace persisted inside the checkpoint dir makes
+    every checkpoint lineage's keys distinct: replays within one
+    lineage stay exactly-once, and a rebuilt checkpoint (which replays
+    the whole source — at-least-once across the rebuild, the engine's
+    own contract) ingests under fresh keys instead of silently
+    no-op'ing.  Callers who rebuild the checkpoint but keep the state
+    root must therefore also re-seed or accept re-ingest — documented
+    here because no ledger can distinguish 'new data' from 'replayed
+    data' once the source position is lost."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "ledger_namespace.txt")
+    if not os.path.exists(marker):
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.replace(tmp, marker)
+    with open(marker) as f:
+        return f.read().strip()
+
+
 def run_colstats_ingest(
     spark,
     stream_df: DataFrame,
@@ -36,7 +67,10 @@ def run_colstats_ingest(
 
     ``cols_fn`` builds the (stat name, string expression) pairs per batch
     (Column objects need a live session — CLAUDE.md's module-level
-    ``F.col`` rule — so the caller passes a builder, not columns)."""
+    ``F.col`` rule — so the caller passes a builder, not columns).  The
+    exactly-once ledger key is ``<checkpoint namespace>-<batch_id>`` —
+    see ``_checkpoint_namespace`` for why the bare batch_id is not
+    enough."""
     from service_alerts_connector_spark.operators.colstats import (
         incremental_column_stats_ingest,
     )
@@ -44,10 +78,16 @@ def run_colstats_ingest(
         run_available_now,
     )
 
+    ns = _checkpoint_namespace(checkpoint_dir)
+
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # the ingest's write_dataset commits the store; the returned
+        # stats frame is lazy convenience for interactive callers — no
+        # forcing needed (a per-batch collect would recompute the full
+        # Σ NDV(col) aggregation with no consumer)
         incremental_column_stats_ingest(
-            spark, state_root, batch_df, cols_fn(), f"stream-{batch_id}"
-        ).collect()
+            spark, state_root, batch_df, cols_fn(), f"{ns}-{batch_id}"
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)
 
@@ -70,9 +110,10 @@ def run_hll_ingest(
     )
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # store committed inside the ingest; returned estimate is lazy
         incremental_hll_ingest(
             spark, state_root, batch_df, key_col, list(group_cols)
-        ).collect()
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)
 
@@ -96,8 +137,9 @@ def run_sample_ingest(
     )
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # store committed inside the ingest; returned sample is lazy
         incremental_sample_ingest(
             spark, state_root, batch_df, key_col, list(payload_cols), k
-        ).collect()
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)

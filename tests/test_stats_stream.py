@@ -76,12 +76,19 @@ def test_streaming_colstats_loop(spark, tmp_path):
     )
     expected = _rows(stats_from_cells(column_cells(union, _cols())))
     assert got == expected
-    # the ledger names both engine-assigned micro-batch epochs
+    # the ledger names both engine-assigned micro-batch epochs under the
+    # checkpoint-scoped namespace (bare batch ids would collide across
+    # checkpoint rebuilds — see _checkpoint_namespace)
     ledger = {
         r["val"]
         for r in store.where(F.col("col_name") == _LEDGER).collect()
     }
-    assert ledger == {"stream-0", "stream-1"}
+    assert len(ledger) == 2
+    prefixes = {v.rsplit("-", 1)[0] for v in ledger}
+    suffixes = {v.rsplit("-", 1)[1] for v in ledger}
+    assert len(prefixes) == 1 and suffixes == {"0", "1"}
+    marker = tmp_path / "ckpt" / "ledger_namespace.txt"
+    assert marker.read_text() == prefixes.pop()
 
 
 def test_streaming_hll_loop(spark, tmp_path):
@@ -196,3 +203,61 @@ def test_streaming_sample_loop(spark, tmp_path):
         .limit(32)
     )
     assert got == expected
+
+
+def test_sample_store_rejects_changed_k(spark, tmp_path):
+    """Bottom-k truncation is irreversible: re-ingesting with a
+    different k must raise instead of silently biasing the sample."""
+    import pytest as _pytest
+
+    from service_alerts_connector_spark.operators.topk import (
+        incremental_sample_ingest,
+    )
+
+    root = str(tmp_path / "store")
+    b = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    incremental_sample_ingest(spark, root, b, "doc_id", ["doc_id"], k=16)
+    with _pytest.raises(ValueError, match="k=16"):
+        incremental_sample_ingest(
+            spark, root, b, "doc_id", ["doc_id"], k=32
+        )
+
+
+def test_colstats_second_stream_same_store_not_dropped(spark, tmp_path):
+    """Two streams (separate checkpoints) sharing one stats store: the
+    second stream's batch 0 must NOT alias the first stream's batch-0
+    ledger key — with a bare batch_id key its counts would be silently
+    dropped as an already-committed redelivery."""
+    batches_a = [[{"k": n, "grp": f"g{n % 3}"} for n in range(100)]]
+    batches_b = [[{"k": n, "grp": f"g{n % 3}"} for n in range(100, 300)]]
+    state = str(tmp_path / "state")
+
+    for tag, batches in (("a", batches_a), ("b", batches_b)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        staged = _stage(sub, batches)
+        stream = (
+            spark.readStream.schema("k long, grp string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(staged))
+        )
+        run_colstats_ingest(
+            spark,
+            stream,
+            state_root=state,
+            checkpoint_dir=str(sub / "ckpt"),
+            cols_fn=_cols,
+        )
+
+    store = read_dataset(spark, state, COLSTATS_STORE)
+    got = _rows(stats_from_cells(store.where(F.col("col_name") != _LEDGER)))
+    union = spark.createDataFrame(
+        [
+            (r["k"], r["grp"])
+            for rows in batches_a + batches_b
+            for r in rows
+        ],
+        "k long, grp string",
+    )
+    expected = _rows(stats_from_cells(column_cells(union, _cols())))
+    assert got == expected  # stream B's counts present, not dropped
