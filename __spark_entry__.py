@@ -230,6 +230,13 @@ _R11_LEAD = (
     "basket_rules", "benford_audit", "bitmap_intersect", "boxplot_stats",
 )
 
+# Canonical export the lockstep gate validates (tools/round_check.py):
+# exactly 50 unique names, every one a key of the merged query dict, and
+# positionally equal to the first 50 keys queries() returns — a typo'd
+# or duplicated lead entry fails the gate instead of silently shrinking
+# the driver-sampled window.
+DRIVER_LEAD = _R11_LEAD
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the

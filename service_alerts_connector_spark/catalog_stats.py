@@ -826,7 +826,10 @@ def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     product — the estimate needs only the two distinct-count aggregates
     (each O(n) scan → 1-row frame; the KMV synopsis in
     `join_size_estimate` is the sampled alternative when even a distinct
-    is too much).  Every output is exact bigint; div on non-negative.
+    is too much).  Every output is exact bigint; div on non-negative,
+    with ``greatest(..., 1)`` divisor floors so a degenerate EMPTY table
+    yields an agreed 0-row estimate instead of engine-divergent
+    division-by-zero (Spark div→NULL vs DuckDB //→error).
     """
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
     li = _t(spark, sf_dir, "lineitem").select(
@@ -853,7 +856,7 @@ def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndv_l",
             "actual",
             F.expr(
-                "CAST((n_o * n_l) div greatest(ndv_o, ndv_l) AS BIGINT)"
+                "CAST((n_o * n_l) div greatest(ndv_o, ndv_l, 1) AS BIGINT)"
             ).alias("est"),
         )
     )
@@ -865,7 +868,7 @@ def q_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         "actual",
         (F.col("n_l") - F.col("actual")).alias("dangling_fk"),
-        F.expr("CAST((est * 1000000) div actual AS BIGINT)").alias(
+        F.expr("CAST((est * 1000000) div greatest(actual, 1) AS BIGINT)").alias(
             "est_ppm_of_actual"
         ),
     )
@@ -885,12 +888,12 @@ WITH so AS (
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ), est AS (
   SELECT n_o, ndv_o, n_l, ndv_l, actual,
-         CAST((n_o * n_l) // greatest(ndv_o, ndv_l) AS BIGINT) AS est
+         CAST((n_o * n_l) // greatest(ndv_o, ndv_l, 1) AS BIGINT) AS est
   FROM so CROSS JOIN sl CROSS JOIN act
 )
 SELECT n_o, ndv_o, n_l, ndv_l, est, actual,
        n_l - actual AS dangling_fk,
-       CAST((est * 1000000) // actual AS BIGINT) AS est_ppm_of_actual
+       CAST((est * 1000000) // greatest(actual, 1) AS BIGINT) AS est_ppm_of_actual
 FROM est
 """
 
@@ -1177,7 +1180,9 @@ def q_join_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All integer arithmetic on non-negative operands (Spark ``div`` ≡
     DuckDB ``//`` there — CLAUDE.md) so the two engines agree
-    bit-for-bit.  Stats are three O(n)-scan single-row aggregates (the
+    bit-for-bit; every NDV divisor is floored with ``greatest(..., 1)``
+    so empty tables estimate 0 on both engines instead of diverging
+    (Spark div-by-0→NULL vs DuckDB //-by-0→error).  Stats are three O(n)-scan single-row aggregates (the
     ANALYZE store ships them at 100 TB); everything after is a 1-row
     compute, so choosing the order for a petabyte join costs three stat
     lookups."""
@@ -1199,13 +1204,13 @@ def q_join_order_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dependent estimates across selects
     c1 = stats.select(
         "*",
-        F.expr("(n_l * n_o) div greatest(ndv_l_ok, ndv_o_ok)").alias("i_lo"),
-        F.expr("(n_o * n_c) div greatest(ndv_o_ck, ndv_c_ck)").alias("i_oc"),
+        F.expr("(n_l * n_o) div greatest(ndv_l_ok, ndv_o_ok, 1)").alias("i_lo"),
+        F.expr("(n_o * n_c) div greatest(ndv_o_ck, ndv_c_ck, 1)").alias("i_oc"),
     )
     c2 = c1.select(
         "*",
-        F.expr("(i_lo * n_c) div greatest(ndv_o_ck, ndv_c_ck)").alias("t_lo"),
-        F.expr("(i_oc * n_l) div greatest(ndv_o_ok, ndv_l_ok)").alias("t_oc"),
+        F.expr("(i_lo * n_c) div greatest(ndv_o_ck, ndv_c_ck, 1)").alias("t_lo"),
+        F.expr("(i_oc * n_l) div greatest(ndv_o_ok, ndv_l_ok, 1)").alias("t_oc"),
     )
     c3 = c2.select(
         "*",
@@ -1249,13 +1254,13 @@ WITH s AS (
          (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_c_ck
 ), c1 AS (
   SELECT s.*,
-         (n_l * n_o) // greatest(ndv_l_ok, ndv_o_ok) AS i_lo,
-         (n_o * n_c) // greatest(ndv_o_ck, ndv_c_ck) AS i_oc
+         (n_l * n_o) // greatest(ndv_l_ok, ndv_o_ok, 1) AS i_lo,
+         (n_o * n_c) // greatest(ndv_o_ck, ndv_c_ck, 1) AS i_oc
   FROM s
 ), c2 AS (
   SELECT c1.*,
-         (i_lo * n_c) // greatest(ndv_o_ck, ndv_c_ck) AS t_lo,
-         (i_oc * n_l) // greatest(ndv_o_ok, ndv_l_ok) AS t_oc
+         (i_lo * n_c) // greatest(ndv_o_ck, ndv_c_ck, 1) AS t_lo,
+         (i_oc * n_l) // greatest(ndv_o_ok, ndv_l_ok, 1) AS t_oc
   FROM c1
 ), c3 AS (
   SELECT c2.*, i_lo + t_lo AS c_lo, i_oc + t_oc AS c_oc FROM c2

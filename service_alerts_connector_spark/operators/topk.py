@@ -111,8 +111,12 @@ def incremental_sample_ingest(
     not-quite-k-sample.  The guard below persists k beside the store on
     first ingest and raises on any later mismatch.
 
-    Store discipline per CLAUDE.md: previous version read pinned, the
-    returned frame reads the newly written version."""
+    Store discipline per CLAUDE.md: previous version read pinned, and
+    the RETURNED frame is forced (eager localCheckpoint of the ≤k-row
+    merge) BEFORE the new version commits — an unpinned lazy read of
+    ``current`` would silently resolve to a later ingest's sample, or
+    hit a missing path mid-refresh, if the caller held it across the
+    next ingest (the hazard the semdedup store fixed the same way)."""
     import os
 
     kf = os.path.join(root, SAMPLE_STORE, "sample_k.txt")
@@ -158,5 +162,6 @@ def incremental_sample_ingest(
         )
     else:
         merged = batch_s
+    merged = merged.localCheckpoint(eager=True)
     write_dataset(merged, root, SAMPLE_STORE)
-    return read_dataset(spark, root, SAMPLE_STORE)
+    return merged

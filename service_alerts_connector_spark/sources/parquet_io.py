@@ -154,11 +154,22 @@ def compact_dataset(
     ``repartitionByRange`` (fine for maintenance — the DATA is identical
     whatever the sampled bounds); ``layout.write_range_partitioned`` is
     the deterministic-bounds alternative when reproducible file
-    boundaries matter."""
+    boundaries matter.
+
+    SINGLE WRITER per dataset: compaction pins the newest version at
+    entry and commits the rewrite as the new newest — an ingest that
+    commits concurrently would be silently superseded by the stale
+    snapshot (lost update).  The ingest loops satisfy this by running
+    compaction inline between batches (streaming/*_stream.py); the
+    re-check below turns an accidental concurrent commit into a loud
+    abort instead of dropped data (best-effort — it narrows the race to
+    the rewrite job itself, it cannot eliminate it without a real
+    transaction log, which is the Delta/Iceberg swap)."""
     versions = list_versions(root, dataset)
     if not versions:
         raise FileNotFoundError(f"no versions of {dataset} under {root}")
-    df = read_dataset(spark, root, dataset, version=versions[-1])
+    pinned = versions[-1]
+    df = read_dataset(spark, root, dataset, version=pinned)
     if sort_by:
         df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
             *sort_by
@@ -167,4 +178,12 @@ def compact_dataset(
         df = df.repartition(target_files)
     else:
         df = df.coalesce(target_files)
+    latest = list_versions(root, dataset)[-1]
+    if latest != pinned:
+        raise RuntimeError(
+            f"compact_dataset({dataset!r}): version {latest} was committed "
+            f"after the compaction pinned {pinned} — aborting the rewrite "
+            "so the newer ingest is not superseded by a stale snapshot "
+            "(compaction requires a single writer per dataset)"
+        )
     return write_dataset(df, root, dataset, prune=prune)

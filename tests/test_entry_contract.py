@@ -61,6 +61,36 @@ def test_every_oracle_has_a_query():
     assert set(qs) - set(oracles) == EXPECTED_ROWS_ONLY
 
 
+def test_rows_only_queries_emit_scalar_columns(spark):
+    """The driver's rows-only canonicalizer factorizes every column to
+    sort, and raw array/map/struct cells are unhashable in pandas — the
+    round-10 ``geo_overlay`` red.  Pin the rule forever: every query
+    WITHOUT an oracle must expose a scalar-only schema (flatten nested
+    output with ``array_join(array_sort(...), '|')`` — see
+    q_geo_overlay / q_x2_stub_locations)."""
+    import os
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    qs = E.queries()
+    for name in sorted(EXPECTED_ROWS_ONLY):
+        schema = qs[name](spark, sf_dir).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not nested, (
+            f"rows-only query {name!r} emits non-scalar columns {nested}: "
+            "the driver canonicalizer cannot hash them (r10 geo_overlay red)"
+        )
+
+
 def test_all_queries_are_callables():
     for name, fn in E.queries().items():
         assert callable(fn), name

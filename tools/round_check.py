@@ -50,9 +50,35 @@ def main() -> int:
     if orphans:
         errs.append(f"oracles without queries: {orphans}")
 
+    # validate the LEAD TUPLE itself, not just the (unique-by-
+    # construction) first 50 dict keys: a misspelled or duplicated lead
+    # entry is silently dropped by queries()'s `if k in merged` filter
+    # and the window backfills with a fresh key — exactly the drift this
+    # gate exists to catch (ADVICE r11).
     lead = list(q)[:50]
-    if len(set(lead)) != 50:
-        errs.append("driver lead (first 50 keys) has duplicates")
+    decl = getattr(entry, "DRIVER_LEAD", None)
+    if decl is None:
+        errs.append("__spark_entry__.DRIVER_LEAD export missing")
+    else:
+        lead_errs = []
+        if len(decl) != 50:
+            lead_errs.append(
+                f"DRIVER_LEAD has {len(decl)} entries, expected 50"
+            )
+        dupes = sorted({k for k in decl if list(decl).count(k) > 1})
+        if dupes:
+            lead_errs.append(f"DRIVER_LEAD duplicates: {dupes}")
+        unknown_lead = [k for k in decl if k not in q]
+        if unknown_lead:
+            lead_errs.append(
+                f"DRIVER_LEAD names not in queries(): {unknown_lead}"
+            )
+        if not lead_errs and lead != list(decl):
+            lead_errs.append(
+                "first 50 queries() keys differ from DRIVER_LEAD "
+                "(lead rotation not applied in queries())"
+            )
+        errs.extend(lead_errs)
 
     plans = open(os.path.join(ROOT, "PLANS.md")).read()
     sections = set(re.findall(r"^## (\S+)", plans, re.M))
