@@ -193,41 +193,50 @@ _DRIVER_SAMPLED = frozenset(
         "join_size_estimate", "skew_report", "user_feature_bundle",
         "type_cooccurrence", "type_transitions",
         "config_fanout_1k", "gap_fill_locf", "length_outlier_filter",
+        # round 11 (the certified keys of the retired _R11_LEAD not
+        # already above: CORRECTNESS_r11.json)
+        "geo_overlay", "analyze_bytes", "join_order_plan",
+        "q11_important_stock", "q16_supplier_counts",
+        "q20_potential_promotion",
     )
 )
 
-# Round-11 lead: per the cadence policy above — (a) queries whose code
-# changed this round (geo_overlay's flattened output is the round-10
-# driver red to clear; the two other geo queries run through the changed
-# as_axis_rect fast path; broadcast_decision's oracle was refactored),
-# then (b) the two queries new this round (ANALYZE byte stats and the
-# System-R join-order pick), then (c) the steady-state staleness
-# rotation: the stalest certificates in the catalog — the 9 round-1
-# keys, the 24 round-4 keys, and the alphabetical head of the round-5/6
-# window to fill 50 (ages computed by key-diffing every
-# CORRECTNESS_r*.json against queries()).
-_R11_LEAD = (
-    # (a) changed this round
-    "geo_overlay", "geo_overlay_rect", "geo_zone_rollup",
-    "broadcast_decision",
+# Round-12 lead: per the cadence policy above.  Category (a) — "changed
+# this round" — is now derived from `git diff --name-only <prev-round-end>`
+# over catalog AND operators/functions modules (the round-11 lesson:
+# operators/similarity.py changed in r11 but only catalog files were
+# checked, so the semdedup pair shipped without a post-change
+# certificate): r11's similarity.py store-cap change → semdedup_fixed +
+# incremental_semdedup_fixed; r12's catalog_stats.py zero-guards →
+# join_order_plan + join_cardinality_check; r12's colstats.py
+# (ndv_from_cells beside the cell machinery) → column_stats_mcv.  Then
+# (b) the one never-certified query (the store-fed join-order decision,
+# new this round), then (c) the steady-state staleness rotation: all 41
+# remaining round-6 certificates, topped up from the round-8 alphabetical
+# head (ages via python tools/cert_ages.py).
+_R12_LEAD = (
+    # (a) changed since their last certificate
+    "semdedup_fixed", "incremental_semdedup_fixed",
+    "join_order_plan", "join_cardinality_check", "column_stats_mcv",
     # (b) new this round (never certified)
-    "analyze_bytes", "join_order_plan",
-    "q11_important_stock", "q16_supplier_counts", "q20_potential_promotion",
-    # (c) stalest certificates: round 1
-    "cube_grouping", "dedup_embedding_cosine", "distinct_agg",
-    "fixer_chain", "lag_rank_window", "percentiles", "pivot_status",
-    "rollup_pricing", "running_total",
-    # round 4
-    "ann_bucketed", "ann_cosine_topk", "ann_ivf_fixed", "contamination",
-    "corpus_curation", "dedup_clusters", "dedup_exact", "dedup_jaccard",
-    "dedup_minhash_lsh", "dedup_near_keep", "dedup_simhash",
-    "embedding_project", "j4_composite_lookup", "text_boilerplate",
-    "text_fingerprint", "text_lang_id", "text_length_histogram",
-    "text_ngram_repetition", "text_pii_redact", "text_quality",
-    "text_repetition", "text_stats", "text_vocab_topk", "w5_windowed_agg",
-    # rounds 5/6 head (alphabetical; geo_zone_rollup already in (a))
-    "abandonment_rate", "aging_report", "ann_recall_eval", "anomaly_days",
-    "basket_rules", "benford_audit", "bitmap_intersect", "boxplot_stats",
+    "join_order_plan_stored",
+    # (c) stalest certificates: round 6 (all 41 remaining)
+    "burst_windows", "cohort_ltv", "containment_pairs",
+    "contribution_share", "daily_streaks", "dau_new_vs_returning",
+    "distribution_drift", "dow_hour_heatmap", "fd_check",
+    "feature_hashing", "gap_fill_interp", "golden_record", "group_mode",
+    "growth_accounting", "header_detail_recon", "hierarchy_roots",
+    "interval_coalesce", "ivm_merge", "join_profile",
+    "k_anonymity_audit", "keyset_pagination", "language_mix",
+    "lift_chart", "multitouch_attribution", "pareto_analysis",
+    "peak_concurrency", "phrase_search", "quota_allocation",
+    "repurchase_intervals", "rule_eval_confusion", "seq_gap_audit",
+    "session_paths", "sorted_neighborhood", "status_mix_trend",
+    "stickiness_ratio", "table_digest", "target_encoding",
+    "temporal_split_embargo", "twap_value", "weighted_sample",
+    "zone_map_prune",
+    # round 8 head (alphabetical) to fill 50
+    "ann_batch", "ann_pq_fixed", "ann_rerank",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):
@@ -235,7 +244,7 @@ _R11_LEAD = (
 # positionally equal to the first 50 keys queries() returns — a typo'd
 # or duplicated lead entry fails the gate instead of silently shrinking
 # the driver-sampled window.
-DRIVER_LEAD = _R11_LEAD
+DRIVER_LEAD = _R12_LEAD
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -255,7 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **ROUND7_QUERIES,
         **STATS_QUERIES,
     }
-    lead = {k: merged[k] for k in _R11_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R12_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()

@@ -127,6 +127,9 @@ HEADLINE = [
     # three partsupp-adapted TPC-H shapes that complete the 22-query suite
     "analyze_bytes",
     "join_order_plan",
+    # round-12 addition: the decision with NDVs fed from the ANALYZE
+    # cell-store layout (zero-scan decision subtree)
+    "join_order_plan_stored",
     "q11_important_stock",
     "q16_supplier_counts",
     "q20_potential_promotion",

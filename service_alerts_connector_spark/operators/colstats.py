@@ -56,6 +56,28 @@ def column_cells(
     )
 
 
+def ndv_from_cells(cells: DataFrame) -> DataFrame:
+    """(col_name, n_rows, ndv) per column from a cell histogram — the
+    ≤#columns-row statistic a PLAN decision reads from the persisted
+    store, never from the analyzed table.  Unlike ``stats_from_cells``
+    (whose MCV ranking needs a per-column window), this is one plain
+    groupBy over the cell frame: n_rows = Σcnt (nulls included, ≡
+    count(*)), ndv = #non-null cells (≡ count(DISTINCT col)).  Ledger
+    sentinel rows are excluded, so the frame works both on a raw
+    ``column_cells`` result and on a store version that carries the
+    exactly-once ledger."""
+    return (
+        cells.where(F.col("col_name") != _LEDGER)
+        .groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("ndv"),
+        )
+    )
+
+
 def stats_from_cells(cells: DataFrame) -> DataFrame:
     """Per-column stats + top-3 MCVs from a cell histogram in ONE
     aggregation over a col_name-partitioned rank window (NULL cells sort

@@ -132,6 +132,68 @@ def analyze_byte_stats(df: DataFrame, table: str) -> DataFrame:
     return one.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+def est_ndv_from_store(
+    stats_cells: DataFrame, cols: list[str]
+) -> dict[str, tuple[int, int]]:
+    """{col → (n_rows, ndv)} for the named columns from a persisted
+    colstats CELL store (``operators/colstats.column_cells`` layout,
+    ledger rows tolerated) — the NDV sibling of ``est_bytes_from_store``.
+    The collect touches ≤#columns stat rows, never the analyzed table,
+    so a join-order decision consulting the store pays nothing per plan
+    (the O(n) DISTINCT shuffle happens ONCE, in the amortized ANALYZE
+    ingest — ``incremental_column_stats_ingest``).  Raises on a column
+    with no cells: a silent 0 NDV would make the System-R estimator
+    divide by the floor guard and wildly over-estimate."""
+    from service_alerts_connector_spark.operators.colstats import (
+        ndv_from_cells,
+    )
+
+    rows = ndv_from_cells(
+        stats_cells.where(F.col("col_name").isin(list(cols)))
+    ).collect()
+    per = {r["col_name"]: (int(r["n_rows"]), int(r["ndv"])) for r in rows}
+    missing = [c for c in cols if c not in per]
+    if missing:
+        raise ValueError(
+            f"columns {missing} have no cells in the colstats store"
+        )
+    return per
+
+
+def join_order_decision(spark, stats: dict[str, int]) -> DataFrame:
+    """System-R left-deep order selection for customer ⋈ orders ⋈
+    lineitem from ALREADY-COLLECTED exact statistics — the driver-side
+    decision a cost-based optimizer makes once the ANALYZE store has
+    answered (``est_ndv_from_store``).  Pure integer arithmetic on the 7
+    stat values (floor division on non-negative operands, divisors
+    floored at 1 — identical semantics to ``catalog_stats
+    q_join_order_plan``'s in-engine expressions), folded into a literal
+    2-row DataFrame: the returned plan contains NO table scan and NO
+    shuffle (pinned in tests/test_plan_shapes.py) — choosing the order
+    for a petabyte join costs four stat rows.
+
+    ``stats`` keys: n_l, ndv_l_ok, n_o, ndv_o_ok, ndv_o_ck, n_c,
+    ndv_c_ck (the stat frame ``catalog_stats.q_join_order_plan_stored``
+    assembles from the cell store)."""
+    n_l, n_o, n_c = stats["n_l"], stats["n_o"], stats["n_c"]
+    i_lo = (n_l * n_o) // max(stats["ndv_l_ok"], stats["ndv_o_ok"], 1)
+    i_oc = (n_o * n_c) // max(stats["ndv_o_ck"], stats["ndv_c_ck"], 1)
+    t_lo = (i_lo * n_c) // max(stats["ndv_o_ck"], stats["ndv_c_ck"], 1)
+    t_oc = (i_oc * n_l) // max(stats["ndv_o_ok"], stats["ndv_l_ok"], 1)
+    c_lo, c_oc = i_lo + t_lo, i_oc + t_oc
+    # rows emitted pre-sorted by order_name: an orderBy here would plan a
+    # rangepartitioning Exchange on the 2-row literal frame for nothing
+    rows = [
+        ("lineitem_orders_first", i_lo, t_lo, c_lo, c_lo <= c_oc),
+        ("orders_customer_first", i_oc, t_oc, c_oc, c_oc < c_lo),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "order_name string, est_intermediate long, est_total long, "
+        "cost long, chosen boolean",
+    )
+
+
 def est_bytes_from_store(
     stats: DataFrame, table: str, cols: list[str] | None = None
 ) -> tuple[int, int]:

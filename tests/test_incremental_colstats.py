@@ -130,3 +130,86 @@ def test_store_stays_cell_bounded(spark, tmp_path):
     store = read_dataset(spark, root, COLSTATS_STORE)
     # grp: 3 values, parity: 2 values, ledger: 4 batches
     assert store.count() == 3 + 2 + 4
+
+
+def test_ndv_from_persisted_store_feeds_join_order_decision(spark, tmp_path):
+    """The NDV half of the stats→plan loop (round-11 verdict #2), end to
+    end through a REAL versioned store: ingest the join-key cells once
+    (the amortized ANALYZE), then derive the System-R order from the
+    store alone — est_ndv_from_store touches ≤#columns stat rows, the
+    NDVs match live countDistinct exactly, and the resulting decision
+    equals the scan-based q_join_order_plan."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.catalog_stats import (
+        q_join_order_plan,
+    )
+    from service_alerts_connector_spark.operators.planner import (
+        est_ndv_from_store,
+        join_order_decision,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "analyze_store")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+
+    incremental_column_stats_ingest(
+        spark,
+        root,
+        li.select("l_orderkey"),
+        [("l_orderkey", F.col("l_orderkey").cast("string"))],
+        "analyze-li",
+    )
+    incremental_column_stats_ingest(
+        spark,
+        root,
+        orders.select("o_orderkey", "o_custkey"),
+        [
+            ("o_orderkey", F.col("o_orderkey").cast("string")),
+            ("o_custkey", F.col("o_custkey").cast("string")),
+        ],
+        "analyze-o",
+    )
+    incremental_column_stats_ingest(
+        spark,
+        root,
+        cust.select("c_custkey"),
+        [("c_custkey", F.col("c_custkey").cast("string"))],
+        "analyze-c",
+    )
+
+    store = read_dataset(spark, root, COLSTATS_STORE)
+    per = est_ndv_from_store(
+        store, ["l_orderkey", "o_orderkey", "o_custkey", "c_custkey"]
+    )
+    # store-fed stats equal live exact aggregates (ledger rows excluded)
+    assert per["l_orderkey"] == (
+        li.count(),
+        li.select("l_orderkey").distinct().count(),
+    )
+    assert per["o_custkey"][1] == (
+        orders.select("o_custkey").distinct().count()
+    )
+
+    decision = join_order_decision(
+        spark,
+        {
+            "n_l": per["l_orderkey"][0],
+            "ndv_l_ok": per["l_orderkey"][1],
+            "n_o": per["o_orderkey"][0],
+            "ndv_o_ok": per["o_orderkey"][1],
+            "ndv_o_ck": per["o_custkey"][1],
+            "n_c": per["c_custkey"][0],
+            "ndv_c_ck": per["c_custkey"][1],
+        },
+    )
+    assert sorted(map(tuple, decision.collect())) == sorted(
+        map(tuple, q_join_order_plan(spark, sf_dir).collect())
+    )
+
+    with pytest.raises(ValueError):
+        est_ndv_from_store(store, ["nosuch_col"])

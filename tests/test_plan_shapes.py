@@ -912,3 +912,29 @@ def test_round11_tpch_shapes(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "LeftSemi" in p  # the qualifying-supplier semi-join
     assert "Window" not in p
+
+
+def test_join_order_plan_stored_has_no_scan(spark):
+    """The store-fed decision (round-11 verdict #2): q_join_order_plan_stored
+    consumes ≤4 collected stat rows, so the RETURNED subtree must be a
+    literal 2-row relation — no table scan, no join, no exchange of any
+    kind.  The O(n) cell work happened in the (amortized) ANALYZE pass at
+    build time, never in the decision plan a consumer re-executes."""
+    from service_alerts_connector_spark.catalog_stats import (
+        q_join_order_plan_stored,
+    )
+
+    df = q_join_order_plan_stored(spark, SF_DIR)
+    p = _plan(df)
+    assert "Scan parquet" not in p and "FileScan" not in p
+    assert "Join" not in p
+    assert "Exchange" not in p
+
+    # and the decision is bit-identical to the in-engine aggregate variant
+    from service_alerts_connector_spark.catalog_stats import (
+        q_join_order_plan,
+    )
+
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, q_join_order_plan(spark, SF_DIR).collect())
+    )

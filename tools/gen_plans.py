@@ -45,8 +45,9 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "incremental_semdedup_fixed",
         "analyze_bytes", "join_order_plan",
         "q11_important_stock", "q16_supplier_counts",
-        "q20_potential_promotion"]
+        "q20_potential_promotion", "join_order_plan_stored"]
 NOTES = {
+    "join_order_plan_stored": "NDVs fed from the ANALYZE cell-store layout; the decision subtree is a literal 2-row relation - zero scans, zero exchanges at plan time",
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
     "weighted_median_price": "weighted exact median, two-phase: (flag, bucket)-partitioned running rank over histogram cells with per-bucket offsets broadcast back - parallelism flags x buckets, no per-group array",
