@@ -187,3 +187,42 @@ def compact_dataset(
             "(compaction requires a single writer per dataset)"
         )
     return write_dataset(df, root, dataset, prune=prune)
+
+
+def compact_if_due(
+    spark: SparkSession,
+    root: str,
+    dataset: str,
+    batch_seq: int,
+    every: int | None,
+    target_files: int = 1,
+    sort_by: list[str] | None = None,
+) -> bool:
+    """Loop-integrated compaction policy: rewrite the newest version of
+    ``dataset`` after every ``every``-th committed micro-batch.
+
+    An ingest loop appends one version per batch, each written at batch
+    parallelism — so the version the NEXT ingest reads accumulates small
+    files (task + footer cost per file at scale).  Firing
+    ``compact_dataset`` on ``batch_seq % every == every - 1`` (0-based
+    engine batch ids: every ``every``-th batch, starting with the
+    ``every``-th) bounds the store's file count at ~``every`` ×
+    batch-parallelism between compactions for a flat amortized cost of
+    one bounded rewrite per ``every`` ingests.
+
+    No-op (returns False) when ``every`` is falsy, the cadence doesn't
+    hit, or the dataset has no committed versions yet.  Safe inside a
+    single-writer ingest loop by construction: it runs BETWEEN batches on
+    the loop's own thread, so no ingest can commit concurrently — the
+    exact requirement ``compact_dataset`` documents.  Crash-safety is
+    inherited: a compaction killed mid-write leaves a torn dir the next
+    write sweeps, and the store keeps serving the pre-compaction version
+    (pinned in tests/test_stats_stream.py's mid-loop chaos test)."""
+    if not every or batch_seq % every != every - 1:
+        return False
+    if not list_versions(root, dataset):
+        return False
+    compact_dataset(
+        spark, root, dataset, target_files=target_files, sort_by=sort_by
+    )
+    return True

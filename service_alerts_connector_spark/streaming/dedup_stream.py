@@ -76,17 +76,24 @@ def run_dedup_ingest(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ) -> None:
     """Resident-stream corpus ingestion with near-dup admission: each
     micro-batch runs ``incremental_dedup_batch`` (O(batch) signatures + one
     semi-join against the persistent band store) and appends the admitted
     docs to a versioned dataset.  The corpus text is never re-read — the
     only cross-batch state is the band store, so the loop's per-batch cost
-    is flat no matter how large the admitted corpus grows."""
+    is flat no matter how large the admitted corpus grows.
+    ``compact_every`` compacts BOTH the band store and the admitted
+    dataset every Nth batch (``parquet_io.compact_if_due`` — between
+    ingests on the loop's own thread, the single-writer window
+    compaction requires)."""
     from service_alerts_connector_spark.operators.textdedup import (
+        BAND_STORE,
         incremental_dedup_batch,
     )
     from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
         read_dataset,
         write_dataset,
     )
@@ -104,6 +111,12 @@ def run_dedup_ingest(
         except FileNotFoundError:
             merged = admitted
         write_dataset(merged, admitted_root, "admitted_docs")
+        compact_if_due(
+            spark, state_root, BAND_STORE, batch_id, compact_every
+        )
+        compact_if_due(
+            spark, admitted_root, "admitted_docs", batch_id, compact_every
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)
 
@@ -117,6 +130,7 @@ def run_substring_strip_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    compact_every: int | None = None,
 ) -> None:
     """Resident-stream SUBSTRING-level dedup: each micro-batch runs
     ``incremental_substring_strip`` (O(batch) shingles + one semi-join
@@ -128,11 +142,15 @@ def run_substring_strip_ingest(
     state is only the digest store — per-batch cost stays flat as the
     corpus grows, and the sequential-ingest invariant (N micro-batches ≡
     one batch-mode ``strip_duplicate_spans`` of the concatenation, for
-    increasing ids) carries over from the operator unchanged."""
+    increasing ids) carries over from the operator unchanged.
+    ``compact_every`` compacts the digest store and the stripped dataset
+    every Nth batch (see ``run_dedup_ingest``)."""
     from service_alerts_connector_spark.operators.textdedup import (
+        SHINGLE_STORE,
         incremental_substring_strip,
     )
     from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
         read_dataset,
         write_dataset,
     )
@@ -150,6 +168,12 @@ def run_substring_strip_ingest(
         except FileNotFoundError:
             merged = stripped
         write_dataset(merged, stripped_root, "stripped_docs")
+        compact_if_due(
+            spark, state_root, SHINGLE_STORE, batch_id, compact_every
+        )
+        compact_if_due(
+            spark, stripped_root, "stripped_docs", batch_id, compact_every
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)
 
@@ -168,6 +192,7 @@ def run_semdedup_ingest(
     n_bands: int = 4,
     seed: int = 7,
     max_bucket: int = 10_000,
+    compact_every: int | None = None,
 ) -> None:
     """Resident-stream SEMANTIC dedup: each micro-batch of embedding rows
     runs ``incremental_semantic_dedup`` (O(batch) assignment/hashing +
@@ -180,11 +205,15 @@ def run_semdedup_ingest(
     ≡ batch-mode ``semantic_dedup(keep="first")`` of the concatenation)
     carries over unchanged.  Verdicts are keyed by id and deterministic,
     so the output merge dedups by id — a foreachBatch redelivery after a
-    crash rewrites identical rows instead of duplicating them."""
+    crash rewrites identical rows instead of duplicating them.
+    ``compact_every`` compacts the vector store and the verdict dataset
+    every Nth batch (see ``run_dedup_ingest``)."""
     from service_alerts_connector_spark.operators.similarity import (
+        SEMDEDUP_STORE,
         incremental_semantic_dedup,
     )
     from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
         read_dataset,
         write_dataset,
     )
@@ -212,5 +241,11 @@ def run_semdedup_ingest(
         except FileNotFoundError:
             merged = verdicts
         write_dataset(merged, verdicts_root, "semdedup_verdicts")
+        compact_if_due(
+            spark, state_root, SEMDEDUP_STORE, batch_id, compact_every
+        )
+        compact_if_due(
+            spark, verdicts_root, "semdedup_verdicts", batch_id, compact_every
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)

@@ -62,6 +62,7 @@ def run_colstats_ingest(
     state_root: str,
     checkpoint_dir: str,
     cols_fn: Callable[[], Sequence[tuple[str, "Column"]]],
+    compact_every: int | None = None,
 ) -> None:
     """Drain the stream through ``incremental_column_stats_ingest``.
 
@@ -70,9 +71,16 @@ def run_colstats_ingest(
     ``F.col`` rule — so the caller passes a builder, not columns).  The
     exactly-once ledger key is ``<checkpoint namespace>-<batch_id>`` —
     see ``_checkpoint_namespace`` for why the bare batch_id is not
-    enough."""
+    enough.  ``compact_every`` runs the loop-integrated small-file
+    compaction (``parquet_io.compact_if_due``) after every Nth batch,
+    between ingests on the loop's own thread (the single-writer window
+    compaction requires)."""
     from service_alerts_connector_spark.operators.colstats import (
+        COLSTATS_STORE,
         incremental_column_stats_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
     )
     from service_alerts_connector_spark.streaming.runner import (
         run_available_now,
@@ -88,6 +96,9 @@ def run_colstats_ingest(
         incremental_column_stats_ingest(
             spark, state_root, batch_df, cols_fn(), f"{ns}-{batch_id}"
         )
+        compact_if_due(
+            spark, state_root, COLSTATS_STORE, batch_id, compact_every
+        )
 
     run_available_now(stream_df, _step, checkpoint_dir)
 
@@ -99,11 +110,18 @@ def run_hll_ingest(
     checkpoint_dir: str,
     key_col: str,
     group_cols: Sequence[str],
+    compact_every: int | None = None,
 ) -> None:
     """Drain the stream through ``incremental_hll_ingest`` (register
-    max-merge — naturally idempotent under replay)."""
+    max-merge — naturally idempotent under replay).  ``compact_every``
+    compacts the register store every Nth batch (see
+    ``run_colstats_ingest``)."""
     from service_alerts_connector_spark.operators.sketches import (
+        HLL_STORE,
         incremental_hll_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
     )
     from service_alerts_connector_spark.streaming.runner import (
         run_available_now,
@@ -113,6 +131,9 @@ def run_hll_ingest(
         # store committed inside the ingest; returned estimate is lazy
         incremental_hll_ingest(
             spark, state_root, batch_df, key_col, list(group_cols)
+        )
+        compact_if_due(
+            spark, state_root, HLL_STORE, batch_id, compact_every
         )
 
     run_available_now(stream_df, _step, checkpoint_dir)
@@ -126,11 +147,18 @@ def run_sample_ingest(
     key_col: str,
     payload_cols: Sequence[str],
     k: int = 256,
+    compact_every: int | None = None,
 ) -> None:
     """Drain the stream through ``incremental_sample_ingest`` (bottom-k
-    by content hash — min-merge, idempotent under replay like HLL)."""
+    by content hash — min-merge, idempotent under replay like HLL).
+    ``compact_every`` compacts the ≤k-row store every Nth batch (see
+    ``run_colstats_ingest``)."""
     from service_alerts_connector_spark.operators.topk import (
+        SAMPLE_STORE,
         incremental_sample_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
     )
     from service_alerts_connector_spark.streaming.runner import (
         run_available_now,
@@ -140,6 +168,9 @@ def run_sample_ingest(
         # store committed inside the ingest; returned sample is lazy
         incremental_sample_ingest(
             spark, state_root, batch_df, key_col, list(payload_cols), k
+        )
+        compact_if_due(
+            spark, state_root, SAMPLE_STORE, batch_id, compact_every
         )
 
     run_available_now(stream_df, _step, checkpoint_dir)

@@ -261,3 +261,135 @@ def test_colstats_second_stream_same_store_not_dropped(spark, tmp_path):
     )
     expected = _rows(stats_from_cells(column_cells(union, _cols())))
     assert got == expected  # stream B's counts present, not dropped
+
+
+def test_streaming_colstats_loop_with_auto_compaction(spark, tmp_path):
+    """Loop-integrated compaction (round-11 verdict #4): with
+    compact_every=2 over 4 micro-batches the store compacts twice, the
+    newest version is a single file, history stays committed-only, and
+    the stats still equal one batch-mode pass over the concatenation."""
+    from service_alerts_connector_spark.sources.parquet_io import (
+        dataset_files,
+        list_versions,
+    )
+
+    batches = [
+        [{"k": n, "grp": f"g{n % 3}"} for n in range(lo, hi)]
+        for lo, hi in ((0, 120), (120, 200), (200, 260), (260, 400))
+    ]
+    staged = _stage(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("k long, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    state = str(tmp_path / "state")
+    run_colstats_ingest(
+        spark,
+        stream,
+        state_root=state,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cols_fn=_cols,
+        compact_every=2,
+    )
+    store = read_dataset(spark, state, COLSTATS_STORE)
+    got = _rows(stats_from_cells(store.where(F.col("col_name") != _LEDGER)))
+    union = spark.createDataFrame(
+        [(r["k"], r["grp"]) for rows in batches for r in rows],
+        "k long, grp string",
+    )
+    assert got == _rows(stats_from_cells(column_cells(union, _cols())))
+    # the final batch (id 3) triggered compaction: newest version = 1 file
+    assert dataset_files(state, COLSTATS_STORE) == 1
+    # 4 ingest versions + 2 compaction versions, retention cap 5
+    assert len(list_versions(state, COLSTATS_STORE)) == 5
+    # the ledger still names exactly the 4 engine batches (compaction
+    # rewrites rows, never counts)
+    ledger = {
+        r["val"]
+        for r in store.where(F.col("col_name") == _LEDGER).collect()
+    }
+    assert len(ledger) == 4
+
+
+def test_streaming_colstats_crash_mid_compaction_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the loop DURING its in-loop compaction (torn dir, no
+    _SUCCESS, query dies).  On restart the engine redelivers the batch:
+    the ledger makes the re-ingest a no-op, the retried compaction
+    succeeds, the torn dir is swept, and the stats equal batch-mode —
+    counts are neither lost nor doubled."""
+    import service_alerts_connector_spark.sources.parquet_io as pio
+    from service_alerts_connector_spark.sources.parquet_io import (
+        dataset_files,
+    )
+
+    real_compact = pio.compact_dataset
+    state = {"armed": True}
+
+    def crashing_compact(spark_, root_, dataset_, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            torn = (
+                pio._dataset_root(root_, dataset_)
+                / "versions"
+                / "99991231T235959999998"
+            )
+            torn.mkdir(parents=True)
+            (torn / "part-00000.parquet").write_bytes(b"\x00torn")
+            raise RuntimeError("injected crash: died mid-compaction")
+        return real_compact(spark_, root_, dataset_, **kw)
+
+    monkeypatch.setattr(pio, "compact_dataset", crashing_compact)
+
+    batches = [
+        [{"k": n, "grp": f"g{n % 3}"} for n in range(lo, hi)]
+        for lo, hi in ((0, 100), (100, 250))
+    ]
+    staged = _stage(tmp_path, batches)
+
+    def make_stream():
+        return (
+            spark.readStream.schema("k long, grp string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(staged))
+        )
+
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    with __import__("pytest").raises(Exception, match="injected crash"):
+        run_colstats_ingest(
+            spark,
+            make_stream(),
+            state_root=state_root,
+            checkpoint_dir=ckpt,
+            cols_fn=_cols,
+            compact_every=2,
+        )
+
+    # restart the loop on the same checkpoint: batch 1 is redelivered
+    run_colstats_ingest(
+        spark,
+        make_stream(),
+        state_root=state_root,
+        checkpoint_dir=ckpt,
+        cols_fn=_cols,
+        compact_every=2,
+    )
+    store = read_dataset(spark, state_root, COLSTATS_STORE)
+    got = _rows(stats_from_cells(store.where(F.col("col_name") != _LEDGER)))
+    union = spark.createDataFrame(
+        [(r["k"], r["grp"]) for rows in batches for r in rows],
+        "k long, grp string",
+    )
+    assert got == _rows(stats_from_cells(column_cells(union, _cols())))
+    assert dataset_files(state_root, COLSTATS_STORE) == 1  # retry compacted
+    torn_dirs = [
+        p.name
+        for p in (
+            pio._dataset_root(state_root, COLSTATS_STORE) / "versions"
+        ).iterdir()
+        if not (p / "_SUCCESS").exists()
+    ]
+    assert torn_dirs == []  # swept by the post-restart writes
