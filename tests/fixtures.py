@@ -117,3 +117,36 @@ NOTIFICATIONS = [
     {"ReferenceNumber": "000000000001"},
     {"ReferenceNumber": None},
 ]
+
+
+def sharepoint_demo_fetcher():
+    """Injectable OData fetcher for the Python DataSource tests: dirty
+    items straight off the wire — ``__metadata`` blobs, nested objects,
+    nulls, a row with no Id, a row with no publish date."""
+    return [
+        {
+            "__metadata": {"type": "SP.Data.Item"},
+            "Id": 900,
+            "Title1": "Fetched alert",
+            "Service_x0020_Area12": "Water & Sanitation",
+            "Publish_x0020_Date": "2024-03-01T08:00:00Z",
+            "Attachments": [{"href": "x"}],  # nested list -> dropped
+            "Status12": "Open",
+        },
+        {
+            "Id": 901,
+            "Title1": "No publish date",  # P2 gate drops this row
+            "Publish_x0020_Date": None,
+        },
+        {
+            "Title1": "No Id at all",  # normalize drops this row
+            "Publish_x0020_Date": "2024-03-01T09:00:00Z",
+        },
+        {
+            "Id": 902,
+            "Title1": "Second fetched alert",
+            "Service_x0020_Area12": "Electricity",
+            "Publish_x0020_Date": "2024-03-02T10:00:00Z",
+            "Status12": "Assigned",
+        },
+    ]
