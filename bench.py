@@ -127,9 +127,11 @@ HEADLINE = [
     # three partsupp-adapted TPC-H shapes that complete the 22-query suite
     "analyze_bytes",
     "join_order_plan",
-    # round-12 addition: the decision with NDVs fed from the ANALYZE
-    # cell-store layout (zero-scan decision subtree)
+    # round-12 additions: the decision with NDVs fed from the ANALYZE
+    # cell-store layout (zero-scan decision subtree) + the MCV-driven
+    # salting decision
     "join_order_plan_stored",
+    "skew_salting_decision",
     "q11_important_stock",
     "q16_supplier_counts",
     "q20_potential_promotion",

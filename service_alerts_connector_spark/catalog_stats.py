@@ -1348,6 +1348,138 @@ def q_join_order_plan_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_PARTS = 32    # reducer budget the hot key is measured against
+_SALT_FACTOR = 4    # AQE's skewedPartitionFactor analogue
+
+
+def q_skew_salting_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD stats→plan consumer, completing the trilogy: byte stats
+    price broadcasts (``broadcast_decision``), NDV stats order joins
+    (``join_order_plan_stored``), and the MCV cell histogram here decides
+    WHERE THE SALT GOES — per candidate shuffle key, salt exactly when
+    the hottest value's row count exceeds ``_SALT_FACTOR ×`` the average
+    reducer's share at ``_SALT_PARTS`` partitions (the same
+    factor-over-median rule AQE's skewedPartitionFactor applies at
+    runtime, applied at PLAN time so the mitigation is chosen before the
+    first shuffle melts a reducer; ``skew_salted_agg`` is the mitigation
+    this decision switches on, ``skew_report`` its per-key drill-down).
+
+    Statistics flow through the colstats CELL layout (one
+    ``column_cells`` pass per table — the frame the versioned ANALYZE
+    store persists, round-trip pinned in tests/test_incremental_colstats
+    — so at 100 TB the decision reads ≤#columns (val, cnt) aggregates
+    from the store, never the tables).  The MCV itself is derived
+    engine-portably with the padded-selector rule (CLAUDE.md min_by/
+    max_by): max over ``lpad(cnt,12,'0')|val`` strings, unique per cell,
+    so Spark and DuckDB agree bit-for-bit without arg_max tie-break
+    trouble.  All arithmetic is non-negative integer div with
+    greatest(...,1) floors."""
+    from service_alerts_connector_spark.operators.colstats import (
+        column_cells,
+    )
+
+    per_table = {
+        "lineitem": [
+            ("l_partkey", F.col("l_partkey").cast("string")),
+            ("l_returnflag", F.col("l_returnflag").cast("string")),
+        ],
+        "orders": [("o_orderstatus", F.col("o_orderstatus").cast("string"))],
+        "events": [
+            ("user_id", F.col("user_id").cast("string")),
+            ("event_type", F.col("event_type").cast("string")),
+        ],
+    }
+    stat_frames = []
+    for tbl, pairs in per_table.items():
+        cells = column_cells(
+            _t(spark, sf_dir, tbl).select(*[p[0] for p in pairs]), pairs
+        )
+        nn = F.col("val").isNotNull()
+        stat_frames.append(
+            cells.groupBy("col_name")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.when(nn, F.lit(1))).cast("long").alias("ndv"),
+                F.max(F.when(nn, F.col("cnt"))).cast("long").alias("mcv1_cnt"),
+                F.max(
+                    F.when(
+                        nn,
+                        F.concat(
+                            F.lpad(F.col("cnt").cast("string"), 12, "0"),
+                            F.lit("|"),
+                            F.col("val"),
+                        ),
+                    )
+                ).alias("_sel"),
+            )
+            .select(F.lit(tbl).alias("tbl"), F.col("col_name").alias("col"),
+                    "n_rows", "ndv", "mcv1_cnt", "_sel")
+        )
+    out = stat_frames[0]
+    for f in stat_frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "ndv",
+        F.expr("substring(_sel, 14)").alias("mcv1"),
+        "mcv1_cnt",
+        F.expr("n_rows div greatest(ndv, 1)").alias("avg_per_key"),
+        F.expr(
+            "CAST(mcv1_cnt * 1000000 div greatest(n_rows, 1) AS BIGINT)"
+        ).alias("hot_share_ppm"),
+        F.expr(
+            f"CASE WHEN mcv1_cnt > {_SALT_FACTOR} * "
+            f"greatest(n_rows div {_SALT_PARTS}, 1) "
+            "THEN 'salt' ELSE 'plain' END"
+        ).alias("decision"),
+    ).orderBy("tbl", "col")
+
+
+def _sql_skew_salting_decision() -> str:
+    legs = {
+        "lineitem": ["l_partkey", "l_returnflag"],
+        "orders": ["o_orderstatus"],
+        "events": ["user_id", "event_type"],
+    }
+    cells = "\nUNION ALL\n".join(
+        f"  SELECT '{tbl}' AS tbl, '{c}' AS col_name, "
+        f"CAST({c} AS VARCHAR) AS val FROM {tbl}"
+        for tbl, cols in legs.items()
+        for c in cols
+    )
+    return f"""
+WITH pairs AS (
+{cells}
+), cells AS (
+  SELECT tbl, col_name, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY tbl, col_name, val
+), stats AS (
+  SELECT tbl, col_name,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+         CAST(max(CASE WHEN val IS NOT NULL THEN cnt END) AS BIGINT)
+           AS mcv1_cnt,
+         max(CASE WHEN val IS NOT NULL THEN
+               lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || val END) AS sel
+  FROM cells GROUP BY tbl, col_name
+)
+SELECT tbl, col_name AS col, n_rows, ndv,
+       substring(sel, 14) AS mcv1, mcv1_cnt,
+       n_rows // greatest(ndv, 1) AS avg_per_key,
+       CAST(mcv1_cnt * 1000000 // greatest(n_rows, 1) AS BIGINT)
+         AS hot_share_ppm,
+       CASE WHEN mcv1_cnt > {_SALT_FACTOR} *
+                 greatest(n_rows // {_SALT_PARTS}, 1)
+            THEN 'salt' ELSE 'plain' END AS decision
+FROM stats ORDER BY tbl, col
+"""
+
+
+SQL_SKEW_SALTING_DECISION = _sql_skew_salting_decision()
+
+
 STATS_QUERIES = {
     "column_stats_mcv": q_column_stats_mcv,
     "equi_depth_histogram": q_equi_depth_histogram,
@@ -1361,6 +1493,7 @@ STATS_QUERIES = {
     "analyze_bytes": q_analyze_bytes,
     "join_order_plan": q_join_order_plan,
     "join_order_plan_stored": q_join_order_plan_stored,
+    "skew_salting_decision": q_skew_salting_decision,
 }
 
 STATS_ORACLES = {
@@ -1378,4 +1511,5 @@ STATS_ORACLES = {
     # bit-identical estimator on the same exact stats — the store-fed
     # variant certifies against the same System-R SQL
     "join_order_plan_stored": SQL_JOIN_ORDER_PLAN,
+    "skew_salting_decision": SQL_SKEW_SALTING_DECISION,
 }

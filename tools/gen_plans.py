@@ -45,8 +45,10 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "incremental_semdedup_fixed",
         "analyze_bytes", "join_order_plan",
         "q11_important_stock", "q16_supplier_counts",
-        "q20_potential_promotion", "join_order_plan_stored"]
+        "q20_potential_promotion", "join_order_plan_stored",
+        "skew_salting_decision"]
 NOTES = {
+    "skew_salting_decision": "one cells pass per table (the ANALYZE store's frame), per-column 1-row aggregates, broadcast-free union - nothing table-sized shuffles twice",
     "join_order_plan_stored": "NDVs fed from the ANALYZE cell-store layout; the decision subtree is a literal 2-row relation - zero scans, zero exchanges at plan time",
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
     "scd2_temporal_join": "point-in-time dimension join as asof union+window - one keyed exchange where the naive inequality join plans a fan-out",
