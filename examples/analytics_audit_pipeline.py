@@ -39,7 +39,9 @@ from service_alerts_connector_spark.catalog_stats import (
     q_equi_depth_histogram,
     q_join_cardinality_check,
     q_join_order_plan,
+    q_join_order_plan_stored,
     q_ks_statistic,
+    q_skew_salting_decision,
     q_range_partition_plan,
 )
 from service_alerts_connector_spark.session import get_spark
@@ -66,6 +68,8 @@ def main() -> None:
         ("Broadcast-vs-shuffle decision table", q_broadcast_decision),
         ("Range-partition balance audit", q_range_partition_plan),
         ("System-R join-order pick", q_join_order_plan),
+        ("Same pick, NDVs from the ANALYZE cell store", q_join_order_plan_stored),
+        ("Skew-salting decision (MCV cell histogram)", q_skew_salting_decision),
         ("Labeler agreement (Cohen's kappa)", q_cohens_kappa),
         ("Score ranking quality (exact AUC)", q_auc_exact),
         ("Purchase-vs-view KS drift test", q_ks_statistic),
