@@ -1366,16 +1366,20 @@ def q_skew_salting_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Statistics flow through the colstats CELL layout (one
     ``column_cells`` pass per table — the frame the versioned ANALYZE
-    store persists, round-trip pinned in tests/test_incremental_colstats
-    — so at 100 TB the decision reads ≤#columns (val, cnt) aggregates
-    from the store, never the tables).  The MCV itself is derived
-    engine-portably with the padded-selector rule (CLAUDE.md min_by/
-    max_by): max over ``lpad(cnt,12,'0')|val`` strings, unique per cell,
-    so Spark and DuckDB agree bit-for-bit without arg_max tie-break
-    trouble.  All arithmetic is non-negative integer div with
-    greatest(...,1) floors."""
+    store persists) into ``operators/planner.salting_decision_from_cells``
+    — the SAME function a runtime planner points at a persisted store
+    version, where it reads ≤ Σ NDV(col) cell rows instead of the tables
+    (store round-trip pinned in tests/test_incremental_colstats.py).
+    The MCV is derived engine-portably with the padded-selector rule
+    (CLAUDE.md min_by/max_by): max over ``lpad(cnt,12,'0')|val``
+    strings, unique per cell, so Spark and DuckDB agree bit-for-bit
+    without arg_max tie-break trouble.  All arithmetic is non-negative
+    integer div with greatest(...,1) floors."""
     from service_alerts_connector_spark.operators.colstats import (
         column_cells,
+    )
+    from service_alerts_connector_spark.operators.planner import (
+        salting_decision_from_cells,
     )
 
     per_table = {
@@ -1389,52 +1393,21 @@ def q_skew_salting_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("event_type", F.col("event_type").cast("string")),
         ],
     }
-    stat_frames = []
-    for tbl, pairs in per_table.items():
-        cells = column_cells(
-            _t(spark, sf_dir, tbl).select(*[p[0] for p in pairs]), pairs
+    stat_frames = [
+        salting_decision_from_cells(
+            column_cells(
+                _t(spark, sf_dir, tbl).select(*[p[0] for p in pairs]), pairs
+            ),
+            parts=_SALT_PARTS,
+            factor=_SALT_FACTOR,
+            tbl=tbl,
         )
-        nn = F.col("val").isNotNull()
-        stat_frames.append(
-            cells.groupBy("col_name")
-            .agg(
-                F.sum("cnt").cast("long").alias("n_rows"),
-                F.count(F.when(nn, F.lit(1))).cast("long").alias("ndv"),
-                F.max(F.when(nn, F.col("cnt"))).cast("long").alias("mcv1_cnt"),
-                F.max(
-                    F.when(
-                        nn,
-                        F.concat(
-                            F.lpad(F.col("cnt").cast("string"), 12, "0"),
-                            F.lit("|"),
-                            F.col("val"),
-                        ),
-                    )
-                ).alias("_sel"),
-            )
-            .select(F.lit(tbl).alias("tbl"), F.col("col_name").alias("col"),
-                    "n_rows", "ndv", "mcv1_cnt", "_sel")
-        )
+        for tbl, pairs in per_table.items()
+    ]
     out = stat_frames[0]
     for f in stat_frames[1:]:
         out = out.unionByName(f)
-    return out.select(
-        "tbl",
-        "col",
-        "n_rows",
-        "ndv",
-        F.expr("substring(_sel, 14)").alias("mcv1"),
-        "mcv1_cnt",
-        F.expr("n_rows div greatest(ndv, 1)").alias("avg_per_key"),
-        F.expr(
-            "CAST(mcv1_cnt * 1000000 div greatest(n_rows, 1) AS BIGINT)"
-        ).alias("hot_share_ppm"),
-        F.expr(
-            f"CASE WHEN mcv1_cnt > {_SALT_FACTOR} * "
-            f"greatest(n_rows div {_SALT_PARTS}, 1) "
-            "THEN 'salt' ELSE 'plain' END"
-        ).alias("decision"),
-    ).orderBy("tbl", "col")
+    return out.orderBy("tbl", "col")
 
 
 def _sql_skew_salting_decision() -> str:

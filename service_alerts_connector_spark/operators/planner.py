@@ -194,6 +194,68 @@ def join_order_decision(spark, stats: dict[str, int]) -> DataFrame:
     )
 
 
+def salting_decision_from_cells(
+    cells: DataFrame,
+    parts: int = 32,
+    factor: int = 4,
+    tbl: str | None = None,
+) -> DataFrame:
+    """Per-column skew-salting decision from a colstats CELL frame (raw
+    ``column_cells`` output or a persisted store version — ledger rows
+    excluded): salt exactly when the hottest value's count exceeds
+    ``factor ×`` the average reducer share at ``parts`` partitions, AQE's
+    skewedPartitionFactor rule applied at plan time.  The third
+    store-fed decision beside ``est_bytes_from_store`` (broadcast) and
+    ``est_ndv_from_store`` (join order): against a persisted store the
+    input is ≤ Σ NDV(col) cell rows, never the analyzed table.  The MCV
+    is derived engine-portably via the padded-selector max
+    (lpad(cnt,12,'0')|val — unique per cell, no arg_max tie-break
+    trouble); all arithmetic is non-negative integer div with
+    greatest(...,1) floors, so the DuckDB oracle of
+    ``catalog_stats.q_skew_salting_decision`` certifies this exact
+    logic."""
+    from service_alerts_connector_spark.operators.colstats import _LEDGER
+
+    nn = F.col("val").isNotNull()
+    stats = (
+        cells.where(F.col("col_name") != _LEDGER)
+        .groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.when(nn, F.lit(1))).cast("long").alias("ndv"),
+            F.max(F.when(nn, F.col("cnt"))).cast("long").alias("mcv1_cnt"),
+            F.max(
+                F.when(
+                    nn,
+                    F.concat(
+                        F.lpad(F.col("cnt").cast("string"), 12, "0"),
+                        F.lit("|"),
+                        F.col("val"),
+                    ),
+                )
+            ).alias("_sel"),
+        )
+    )
+    head = [F.lit(tbl).alias("tbl")] if tbl is not None else []
+    return stats.select(
+        *head,
+        F.col("col_name").alias("col"),
+        "n_rows",
+        "ndv",
+        F.expr("substring(_sel, 14)").alias("mcv1"),
+        "mcv1_cnt",
+        F.expr("n_rows div greatest(ndv, 1)").alias("avg_per_key"),
+        F.expr(
+            "CAST(mcv1_cnt * 1000000 div greatest(n_rows, 1) AS BIGINT)"
+        ).alias("hot_share_ppm"),
+        F.expr(
+            f"CASE WHEN mcv1_cnt > {factor} * "
+            f"greatest(n_rows div {parts}, 1) "
+            "THEN 'salt' ELSE 'plain' END"
+        ).alias("decision"),
+    )
+
+
 def est_bytes_from_store(
     stats: DataFrame, table: str, cols: list[str] | None = None
 ) -> tuple[int, int]:

@@ -213,3 +213,51 @@ def test_ndv_from_persisted_store_feeds_join_order_decision(spark, tmp_path):
 
     with pytest.raises(ValueError):
         est_ndv_from_store(store, ["nosuch_col"])
+
+
+def test_salting_decision_from_persisted_store_matches_catalog(
+    spark, tmp_path
+):
+    """The skew-salting decision's store path: two incremental ANALYZE
+    ingests build the cell store, then salting_decision_from_cells over
+    the PERSISTED version (ledger rows included in the frame it reads)
+    must emit exactly the catalog query's rows for the same column —
+    the runtime planner and the oracled catalog query share one
+    function, so the DuckDB certificate covers the store path too."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.catalog_stats import (
+        q_skew_salting_decision,
+    )
+    from service_alerts_connector_spark.operators.planner import (
+        salting_decision_from_cells,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "analyze_store")
+    orders = _t(spark, sf_dir, "orders")
+    # two id-split batches: the store must converge to the full table's
+    # cells before the decision reads it
+    for i, half in enumerate((0, 1)):
+        incremental_column_stats_ingest(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 2 == half).select(
+                "o_orderstatus"
+            ),
+            [("o_orderstatus", F.col("o_orderstatus").cast("string"))],
+            f"analyze-orders-{i}",
+        )
+
+    store = read_dataset(spark, root, COLSTATS_STORE)
+    got = sorted(
+        map(tuple, salting_decision_from_cells(store, tbl="orders").collect())
+    )
+    expected = sorted(
+        tuple(r)
+        for r in q_skew_salting_decision(spark, sf_dir).collect()
+        if r["col"] == "o_orderstatus"
+    )
+    assert got == expected and len(got) == 1
