@@ -938,3 +938,17 @@ def test_join_order_plan_stored_has_no_scan(spark):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, q_join_order_plan(spark, SF_DIR).collect())
     )
+
+
+def test_skew_salting_decision_plan_shape(spark):
+    """skew_salting_decision: one cells pass per table (3 scans), cell
+    groupBys only — no join of any kind, no window; nothing table-sized
+    shuffles twice."""
+    from service_alerts_connector_spark.catalog_stats import (
+        q_skew_salting_decision,
+    )
+
+    p = _plan(q_skew_salting_decision(spark, SF_DIR))
+    assert p.count("Scan parquet") == 3
+    assert "Join" not in p
+    assert "Window" not in p
