@@ -31,15 +31,19 @@ COLSTATS_STORE = "column_stat_cells"
 _LEDGER = " ingested_batch"  # space-prefixed: collides with no identifier
 
 
-def column_cells(
+def column_pairs(
     df: DataFrame, cols: Sequence[tuple[str, Column]]
 ) -> DataFrame:
-    """Unpivot the pinned columns into (col_name, val) pairs (one narrow
-    explode — no join, no second scan) and reduce to count cells.
-    ``cols`` pairs each stat name with the string-typed expression that
-    produces engine-stable text (the caller's job: never a raw
-    double→string cast)."""
-    pairs = df.select(
+    """Unpivot the pinned columns into raw (col_name, val) pairs — one
+    narrow explode, no join, no second scan.  ``cols`` pairs each stat
+    name with the string-typed expression that produces engine-stable
+    text (the caller's job: never a raw double→string cast).  The shared
+    first step of BOTH ANALYZE representations: ``column_cells`` reduces
+    the pairs to exact count cells (Σ NDV-bounded state), and the
+    sketch path feeds them to ``sketches.incremental_hll_ingest`` with
+    ``group_cols=["col_name"]`` (m-bounded state for high-NDV keys —
+    see ``planner.est_ndv_from_hll_store``)."""
+    return df.select(
         F.explode(
             F.array(
                 *[
@@ -51,7 +55,14 @@ def column_cells(
             )
         ).alias("p")
     ).select("p.col_name", "p.val")
-    return pairs.groupBy("col_name", "val").agg(
+
+
+def column_cells(
+    df: DataFrame, cols: Sequence[tuple[str, Column]]
+) -> DataFrame:
+    """Exact ANALYZE cells: ``column_pairs`` reduced to (col_name, val →
+    cnt) count cells."""
+    return column_pairs(df, cols).groupBy("col_name", "val").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
 

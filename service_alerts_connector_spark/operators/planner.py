@@ -160,6 +160,35 @@ def est_ndv_from_store(
     return per
 
 
+def est_ndv_from_hll_store(
+    registers: DataFrame, cols: list[str]
+) -> dict[str, int]:
+    """{col → estimated NDV} from a persisted HLL register store keyed by
+    ``col_name`` (built by feeding ``colstats.column_pairs`` through
+    ``sketches.incremental_hll_ingest(key_col="val",
+    group_cols=["col_name"])``) — the SKETCH path of the ANALYZE tier for
+    high-NDV keys, where ``est_ndv_from_store``'s exact cells would cost
+    Σ NDV(col) store rows: the register store holds ≤ cols × m rows
+    (m = 256) however many distinct values exist, at the price of the raw
+    HLL error (~1.04/√m ≈ 6.5% σ; no linear-counting correction — in the
+    low-NDV regime use the exact cells, they're small there by
+    definition).  Raises on a column with no registers."""
+    from service_alerts_connector_spark.operators.sketches import (
+        hll_estimate,
+    )
+
+    rows = hll_estimate(
+        registers.where(F.col("col_name").isin(list(cols))), ["col_name"]
+    ).collect()
+    per = {r["col_name"]: int(r["hll_estimate"]) for r in rows}
+    missing = [c for c in cols if c not in per]
+    if missing:
+        raise ValueError(
+            f"columns {missing} have no registers in the HLL store"
+        )
+    return per
+
+
 def join_order_decision(spark, stats: dict[str, int]) -> DataFrame:
     """System-R left-deep order selection for customer ⋈ orders ⋈
     lineitem from ALREADY-COLLECTED exact statistics — the driver-side

@@ -261,3 +261,78 @@ def test_salting_decision_from_persisted_store_matches_catalog(
         if r["col"] == "o_orderstatus"
     )
     assert got == expected and len(got) == 1
+
+
+def test_ndv_sketch_path_from_hll_store(spark, tmp_path):
+    """The high-NDV half of the ANALYZE tier: column_pairs fed through
+    the HLL register store (state ≤ cols × 256 rows regardless of NDV),
+    then est_ndv_from_hll_store reads estimates within the raw-HLL error
+    of the exact counts.  Two id-split ingests prove the max-merge
+    converges to the full table's registers."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.operators.colstats import (
+        column_pairs,
+    )
+    from service_alerts_connector_spark.operators.planner import (
+        est_ndv_from_hll_store,
+    )
+    from service_alerts_connector_spark.operators.sketches import (
+        HLL_STORE,
+        incremental_hll_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "hll_analyze")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    pairs = [
+        ("l_orderkey", F.col("l_orderkey").cast("string")),
+        ("price_cents", F.col("price_cents").cast("string")),
+        # deliberately low-NDV: the raw estimator's WRONG regime — kept in
+        # the store to pin the zero_registers audit signal below
+        ("l_partkey", F.col("l_partkey").cast("string")),
+    ]
+    for i, half in enumerate((0, 1)):
+        incremental_hll_ingest(
+            spark,
+            root,
+            column_pairs(li.where(F.col("l_orderkey") % 2 == half), pairs),
+            "val",
+            ["col_name"],
+        )
+
+    store = read_dataset(spark, root, HLL_STORE)
+    assert store.count() <= 3 * 256  # m-bounded however many values
+    est = est_ndv_from_hll_store(
+        store, ["l_orderkey", "price_cents", "l_partkey"]
+    )
+    for col in ("l_orderkey", "price_cents"):  # NDV ≫ m/2: raw regime
+        exact = li.select(col).distinct().count()
+        assert abs(est[col] - exact) <= 0.2 * exact, (col, est[col], exact)
+
+    # the low-NDV column is OUT of the raw regime (NDV < m): the estimate
+    # is biased high there by design (no ln-based linear counting — engine
+    # portability), and the auditable tell is a large zero_registers count
+    # — a planner seeing it switches to the exact cells, which are small
+    # in exactly that regime
+    from service_alerts_connector_spark.operators.sketches import (
+        hll_estimate,
+    )
+
+    zr = {
+        r["col_name"]: r["zero_registers"]
+        for r in hll_estimate(store, ["col_name"]).collect()
+    }
+    assert zr["l_partkey"] > 256 // 4  # loud regime signal
+    assert zr["l_orderkey"] < 256 // 4
+
+    with pytest.raises(ValueError):
+        est_ndv_from_hll_store(store, ["nosuch_col"])
