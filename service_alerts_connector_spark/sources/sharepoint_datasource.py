@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Iterator
+from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
