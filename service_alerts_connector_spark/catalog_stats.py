@@ -1289,9 +1289,12 @@ def q_join_order_plan_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact frame ``incremental_column_stats_ingest`` persists, one narrow
     explode + groupBy per table — the amortized ANALYZE pass a 100 TB
     deployment runs once per ingest, not per plan), then the DECISION
-    consumes only the 4 (col_name, n_rows, ndv) stat rows via
-    ``operators/planner.est_ndv_from_store`` and folds them into a
-    literal 2-row frame with ``join_order_decision``.  The returned
+    consumes only the 4 (col_name, n_rows, ndv) stat rows
+    (``colstats.ndv_from_cells``, missing columns defaulting to 0 so an
+    empty table estimates 0 exactly like the zero-guarded oracle;
+    ``planner.est_ndv_from_store`` is the strict store-facing API a
+    runtime planner uses) and folds them into a literal 2-row frame
+    with ``join_order_decision``.  The returned
     subtree therefore contains NO table scan and NO shuffle (pinned:
     tests/test_plan_shapes.py::test_join_order_plan_stored_has_no_scan),
     mirroring how ``analyze_bytes``/``est_bytes_from_store`` already
@@ -1311,7 +1314,6 @@ def q_join_order_plan_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         column_cells,
     )
     from service_alerts_connector_spark.operators.planner import (
-        est_ndv_from_store,
         join_order_decision,
     )
 
@@ -1330,10 +1332,23 @@ def q_join_order_plan_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer").select("c_custkey"),
         [("c_custkey", F.col("c_custkey").cast("string"))],
     )
-    per = est_ndv_from_store(
-        li_cells.unionByName(o_cells).unionByName(c_cells),
-        ["l_orderkey", "o_orderkey", "o_custkey", "c_custkey"],
+    # ndv_from_cells directly rather than est_ndv_from_store: the store
+    # helper RAISES on columns with no cells (planner safety), but here an
+    # empty table must estimate 0 exactly like the zero-guarded oracle, so
+    # degenerate testdata yields an agreed 2-row result instead of a
+    # query-side crash vs an oracle-side answer
+    from service_alerts_connector_spark.operators.colstats import (
+        ndv_from_cells,
     )
+
+    rows = ndv_from_cells(
+        li_cells.unionByName(o_cells).unionByName(c_cells)
+    ).collect()
+    present = {r["col_name"]: (int(r["n_rows"]), int(r["ndv"])) for r in rows}
+    per = {
+        c: present.get(c, (0, 0))
+        for c in ("l_orderkey", "o_orderkey", "o_custkey", "c_custkey")
+    }
     return join_order_decision(
         spark,
         {

@@ -295,3 +295,34 @@ def test_round9_operators_partitioning_invariant(spark):
     # the four planted exact duplicates: exactly one survivor among them
     planted = {t[0]: t[3] for t in a if t[0] >= 100}
     assert sum(planted.values()) == 1 and planted[100] is True
+
+
+def test_planner_decisions_on_empty_stats(spark):
+    """Degenerate/empty statistics must yield well-defined decisions, not
+    engine-divergent division-by-zero or a query-side crash: the
+    join-order pick on all-zero stats (guarded divisors → 0 estimates,
+    lineitem-first tiebreak), the salting decision on an empty cell
+    frame (0 rows), and the strict store readers raising the documented
+    ValueError rather than silently estimating 0."""
+    import pytest as _pytest
+
+    from service_alerts_connector_spark.operators.planner import (
+        est_ndv_from_store,
+        join_order_decision,
+        salting_decision_from_cells,
+    )
+
+    zero = dict(
+        n_l=0, ndv_l_ok=0, n_o=0, ndv_o_ok=0, ndv_o_ck=0, n_c=0, ndv_c_ck=0
+    )
+    rows = {r["order_name"]: r for r in join_order_decision(spark, zero).collect()}
+    assert all(r["cost"] == 0 for r in rows.values())
+    assert rows["lineitem_orders_first"]["chosen"] is True
+    assert rows["orders_customer_first"]["chosen"] is False
+
+    empty_cells = spark.createDataFrame(
+        [], "col_name string, val string, cnt long"
+    )
+    assert salting_decision_from_cells(empty_cells).count() == 0
+    with _pytest.raises(ValueError):
+        est_ndv_from_store(empty_cells, ["anything"])
