@@ -220,6 +220,7 @@ _R12_LEAD = (
     "join_order_plan", "join_cardinality_check", "column_stats_mcv",
     # (b) new this round (never certified)
     "join_order_plan_stored", "skew_salting_decision",
+    "dedup_lsh_recall",
     # (c) stalest certificates: round 6 (all 41 remaining)
     "burst_windows", "cohort_ltv", "containment_pairs",
     "contribution_share", "daily_streaks", "dau_new_vs_returning",
@@ -236,7 +237,7 @@ _R12_LEAD = (
     "temporal_split_embargo", "twap_value", "weighted_sample",
     "zone_map_prune",
     # round 8 head (alphabetical) to fill 50
-    "ann_batch", "ann_pq_fixed",
+    "ann_batch",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):

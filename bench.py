@@ -132,6 +132,7 @@ HEADLINE = [
     # salting decision
     "join_order_plan_stored",
     "skew_salting_decision",
+    "dedup_lsh_recall",
     "q11_important_stock",
     "q16_supplier_counts",
     "q20_potential_promotion",

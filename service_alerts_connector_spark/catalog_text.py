@@ -536,6 +536,68 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
 )
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the banded-MinHash candidate tier
+    against exact-Jaccard ground truth at threshold 0.8 (integer
+    predicate 5·|∩| ≥ 4·|∪|), on the same restricted slice as
+    ``dedup_jaccard`` — the knob-tuning harness that replaces trusting
+    the 1-(1-J^r)^b S-curve on faith (``operators/textdedup
+    lsh_recall_eval``).  Ground truth is O(pairs-sharing-a-shingle), so
+    the eval runs on a sample; the tuned (hashes, bands) then serve the
+    full corpus.  One row of exact bigint counts + ppm rates."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        lsh_recall_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return lsh_recall_eval(
+        docs, shingle_k=3, num_hashes=8, bands=4,
+        threshold_num=4, threshold_den=5,
+    )
+
+
+# restricted-corpus variants of the shingle/band CTEs (same text machinery
+# as SQL_MINHASH_LSH, gated to the eval slice before anything expands)
+_SQL_BANDS_LT200 = _SQL_MINHASH_BANDS.replace(
+    "FROM documents", "FROM documents WHERE doc_id < 200"
+)
+
+SQL_LSH_RECALL = (
+    _SQL_BANDS_LT200
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE 5 * i.n_inter >= 4 * (sa.n + sb.n - i.n_inter)
+), hit AS (
+  SELECT t.id_a, t.id_b FROM truth t JOIN cand c
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT CAST(800000 AS BIGINT) AS threshold_ppm,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM hit) * 1000000
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT count(*) FROM hit) * 1000000
+            // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+         AS precision_ppm
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash32(docs).select(
@@ -1922,6 +1984,7 @@ TEXT_QUERIES = {
     "ngram_decontamination": q_ngram_decontamination,
     "corpus_curation": q_corpus_curation,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_lsh_recall": q_dedup_lsh_recall,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "sorted_neighborhood": q_sorted_neighborhood,
     "golden_record": q_golden_record,
@@ -1969,6 +2032,7 @@ TEXT_ORACLES = {
     "ngram_decontamination": SQL_NGRAM_DECONTAMINATION,
     "corpus_curation": SQL_CORPUS_CURATION,
     "dedup_jaccard": SQL_JACCARD,
+    "dedup_lsh_recall": SQL_LSH_RECALL,
     "dedup_prefix_filter": SQL_PREFIX_FILTER,
     "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
     "golden_record": SQL_GOLDEN_RECORD,

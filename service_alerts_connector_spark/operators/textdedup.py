@@ -178,6 +178,101 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Candidate-recall evaluation of the banded-MinHash tier against
+    EXACT Jaccard ground truth — "measure, don't guess" for the dedup
+    knobs: before a 100 TB run you pick (num_hashes, bands) by measuring
+    the S-curve on a sample, not by trusting 1-(1-J^r)^b on faith.
+
+    Truth = all pairs with Jaccard ≥ threshold_num/threshold_den,
+    decided by the EXACT integer predicate ``den·|∩| ≥ num·|∪|`` (no
+    float compare — both engines agree bit-for-bit at the boundary).
+    Candidates = ``lsh_candidate_pairs`` with the same shingles.
+    Returns ONE row: threshold_ppm, n_truth, n_candidates, n_hit,
+    recall_ppm (hits per truth), precision_ppm (hits per candidate) —
+    integer ppm with greatest(...,1) div floors.
+
+    The truth side is O(pairs-sharing-a-shingle): run the eval on a
+    sample corpus (the catalog query uses the same restricted slice as
+    ``dedup_jaccard``), then the tuned knobs serve the full corpus —
+    the standard eval-on-sample methodology."""
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles_of(F.col("_toks"), shingle_k))
+            ).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(_pairs_from_sorted_ids("ids").alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb")
+    )
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.lit(threshold_den) * F.col("n_inter")
+            >= F.lit(threshold_num)
+            * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b")
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k),
+        id_col,
+        num_hashes,
+        bands,
+        max_bucket,
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    h = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    thr_ppm = threshold_num * 1_000_000 // threshold_den
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.lit(thr_ppm).cast("long").alias("threshold_ppm"),
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.expr(
+                "CAST(n_hit * 1000000 div greatest(n_truth, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(n_hit * 1000000 div greatest(n_candidates, 1)"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
 def lsh_bucket_overflow(
     signatures: DataFrame,
     id_col: str = "doc_id",

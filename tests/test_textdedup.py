@@ -1139,3 +1139,26 @@ def test_substring_digest_swap_same_decisions(spark):
 
     with pytest.raises(ValueError, match="unknown digest"):
         duplicate_substring_spans(df, k=3, digest="sha1").collect()
+
+
+def test_lsh_recall_eval_known_corpus(spark):
+    """Constructed corpus with one known near-dup pair: the eval must
+    count exactly that truth pair, catch it with the default knobs
+    (recall 100%), and report integer ppm rates."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        lsh_recall_eval,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    row = lsh_recall_eval(docs, threshold_num=4, threshold_den=5).first()
+    assert row["n_truth"] == 1
+    assert row["n_hit"] == 1
+    assert row["recall_ppm"] == 1_000_000
+    assert row["n_candidates"] >= 1
+    assert 0 < row["precision_ppm"] <= 1_000_000
+    assert row["threshold_ppm"] == 800_000
