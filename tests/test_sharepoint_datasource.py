@@ -183,3 +183,59 @@ def test_pipeline_through_sharepoint_source(sharepoint_format, tmp_path):
     # still pick the higher-_ingest_seq update (page-major seq ordering)
     assert gold[RAW_ALERTS[0]["Id"]]["status"] == "Issue Resolved"
     assert (tmp_path / "feeds" / "v1.2" / "service-alerts").exists()
+
+
+def test_streaming_checkpoint_rebuild_redelivers_idempotently(
+    sharepoint_format, tmp_path
+):
+    """A lost/rebuilt checkpoint restarts page offsets at 0 — the source's
+    documented at-least-once contract across a rebuild.  The pipeline's
+    last-wins upsert makes the redelivery harmless: gold after the rebuilt
+    run equals gold after the first (same ids, same status)."""
+    from service_alerts_connector_spark.constants import AUGMENTED_DATASET
+    from service_alerts_connector_spark.plans.pipeline import run_micro_batch
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    spark = sharepoint_format
+    staged = _stage_pages(tmp_path, [[_dirty(r) for r in RAW_ALERTS[:2]]])
+
+    def batch_fn(bdf, bid):
+        run_micro_batch(
+            bdf, str(tmp_path / "lake"), now=datetime(2024, 2, 14, 12, 0)
+        )
+
+    def stream():
+        return (
+            spark.readStream.format("sharepoint")
+            .option("path", str(staged))
+            .load()
+        )
+
+    run_available_now(stream(), batch_fn, str(tmp_path / "ckpt1"))
+    gold1 = sorted(
+        map(
+            tuple,
+            read_dataset(
+                spark, str(tmp_path / "lake"), AUGMENTED_DATASET
+            ).collect(),
+        )
+    )
+
+    # checkpoint lost: a FRESH checkpoint dir replays every page
+    run_available_now(stream(), batch_fn, str(tmp_path / "ckpt2"))
+    gold2 = sorted(
+        map(
+            tuple,
+            read_dataset(
+                spark, str(tmp_path / "lake"), AUGMENTED_DATASET
+            ).collect(),
+        )
+    )
+    assert [r[:1] for r in gold1] == [r[:1] for r in gold2]  # same ids
+    ids = {r[0] for r in gold2}
+    assert ids == {RAW_ALERTS[0]["Id"], RAW_ALERTS[1]["Id"]}
