@@ -210,10 +210,11 @@ _DRIVER_SAMPLED = frozenset(
 # incremental_semdedup_fixed; r12's catalog_stats.py zero-guards →
 # join_order_plan + join_cardinality_check; r12's colstats.py
 # (ndv_from_cells beside the cell machinery) → column_stats_mcv.  Then
-# (b) the one never-certified query (the store-fed join-order decision,
-# new this round), then (c) the steady-state staleness rotation: all 41
-# remaining round-6 certificates, topped up from the round-8 alphabetical
-# head (ages via python tools/cert_ages.py).
+# (b) the three queries new this round, never certified: the store-fed
+# join-order decision, the MCV skew-salting decision, and the LSH
+# recall/precision eval.  Then (c) the steady-state staleness rotation:
+# all 41 remaining round-6 certificates, topped up from the round-8
+# alphabetical head (ages via python tools/cert_ages.py).
 _R12_LEAD = (
     # (a) changed since their last certificate
     "semdedup_fixed", "incremental_semdedup_fixed",
