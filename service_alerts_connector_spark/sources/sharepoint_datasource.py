@@ -28,15 +28,17 @@ Execution model (PySpark 4 Python Data Source API):
   normalized rows travel by value inside the single partition — workers
   never import the fetcher, so tests/prod can inject anything picklable
   by name.
-* **streaming, ``path`` mode** — a :class:`SimpleDataSourceStreamReader`
-  whose offset is the count of consumed page files under the sorted
-  directory listing.  Page dumps must be append-only with
-  lexicographically increasing names (the stager's timestamped layout
-  guarantees it); replay between checkpointed offsets re-reads the same
-  file slice, so recovery is exactly-once per page.  The simple reader
-  parses on the driver — appropriate for this feed's page sizes; a
-  partition-per-page ``DataSourceStreamReader`` is the documented upgrade
-  if page volume ever outgrows the driver.
+* **streaming, ``path`` mode** — offsets are counts of consumed page
+  files under the sorted directory listing.  Page dumps must be
+  append-only with lexicographically increasing names (the stager's
+  timestamped layout guarantees it); replay between checkpointed offsets
+  re-reads the same file slice, so recovery is exactly-once per page.
+  Two readers share that offset contract: the DEFAULT partitioned
+  :class:`DataSourceStreamReader` plans one partition per new page and
+  parses ON EXECUTORS (N fresh pages ingest on N cores — the scale
+  path), while ``.option("mode", "simple")`` selects the
+  :class:`SimpleDataSourceStreamReader` that prefetches on the driver
+  (tiny feeds; no executor package shipping needed).
 
 ``_ingest_seq`` is page-major: ``page_index * SEQ_STRIDE + line_number``
 (SEQ_STRIDE = 1e6 » any OData page length), preserving the
@@ -50,9 +52,11 @@ import json
 import os
 from typing import Iterator
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -196,6 +200,47 @@ class _SharePointStreamReader(SimpleDataSourceStreamReader):
         return iter(self._slice(int(start["pages"]), int(end["pages"])))
 
 
+class _SharePointPartitionedStreamReader(DataSourceStreamReader):
+    """The scale path for streaming: offsets are page-file counts (same
+    contract as the simple reader — append-only, lexicographically
+    increasing names), but each micro-batch plans one InputPartition per
+    new page and the JSONL parse runs ON EXECUTORS, so N freshly staged
+    pages ingest on N cores and the driver never materializes rows.
+    This is the default; pass .option("mode", "simple") for the
+    driver-side prefetch reader (tiny feeds, no executor package
+    shipping needed)."""
+
+    def __init__(self, options: dict[str, str]):
+        path = options.get("path")
+        if path is None:
+            raise ValueError(
+                "streaming sharepoint source requires .option('path', ...)"
+            )
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"pages": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pages": len(_list_pages(self._path))}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        pages = _list_pages(self._path)
+        return [
+            InputPartition(("page", i, pages[i]))
+            for i in range(int(start["pages"]), min(int(end["pages"]), len(pages)))
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        _, idx, page_path = partition.value
+        yield from _parse_page(page_path, idx)
+
+    def commit(self, end: dict) -> None:
+        # offsets are derived from the immutable staged listing; nothing
+        # to clean up on commit
+        pass
+
+
 class SharePointDataSource(DataSource):
     """``spark.read.format("sharepoint")`` — see module docstring."""
 
@@ -210,6 +255,16 @@ class SharePointDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SharePointBatchReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self.options.get("mode", "partitioned") == "simple":
+            # raising this exact class makes the engine fall back to
+            # simpleStreamReader (pyspark datasource_internal._streamReader)
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return _SharePointPartitionedStreamReader(dict(self.options))
 
     def simpleStreamReader(
         self, schema: StructType

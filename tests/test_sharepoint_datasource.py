@@ -239,3 +239,48 @@ def test_streaming_checkpoint_rebuild_redelivers_idempotently(
     assert [r[:1] for r in gold1] == [r[:1] for r in gold2]  # same ids
     ids = {r[0] for r in gold2}
     assert ids == {RAW_ALERTS[0]["Id"], RAW_ALERTS[1]["Id"]}
+
+
+def test_streaming_partitioned_vs_simple_modes(sharepoint_format, tmp_path):
+    """Both stream readers share the page-count offset contract: the
+    default partitioned reader (executor-side parse, one partition per
+    new page) and mode=simple (driver prefetch) deliver identical row
+    sets over the same staged layout, each exactly once per checkpoint."""
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    spark = sharepoint_format
+    staged = _stage_pages(
+        tmp_path,
+        [[_dirty(RAW_ALERTS[0])], [_dirty(RAW_ALERTS[1])],
+         [_dirty(RAW_ALERTS[2])]],
+    )
+
+    def drain(mode, ckpt):
+        rows: list[tuple] = []
+
+        def batch_fn(bdf, bid):
+            rows.extend(map(tuple, bdf.collect()))
+
+        reader = (
+            spark.readStream.format("sharepoint")
+            .option("path", str(staged))
+        )
+        if mode:
+            reader = reader.option("mode", mode)
+        run_available_now(reader.load(), batch_fn, str(tmp_path / ckpt))
+        return sorted(rows)
+
+    part_rows = drain(None, "ckpt_part")
+    simple_rows = drain("simple", "ckpt_simple")
+    assert part_rows == simple_rows
+    assert len(part_rows) == 3
+    ids = {r[0] for r in part_rows}
+    assert ids == {RAW_ALERTS[i]["Id"] for i in range(3)}
+
+    # incremental resume works on the partitioned path too
+    with open(staged / "page-0003.jsonl", "w") as f:
+        f.write(json.dumps(_dirty(RAW_ALERTS[3])) + "\n")
+    more = drain(None, "ckpt_part")  # same checkpoint: only the new page
+    assert {r[0] for r in more} == {RAW_ALERTS[3]["Id"]}
