@@ -198,47 +198,48 @@ _DRIVER_SAMPLED = frozenset(
         "geo_overlay", "analyze_bytes", "join_order_plan",
         "q11_important_stock", "q16_supplier_counts",
         "q20_potential_promotion",
+        # round 12 (the certified keys of the retired _R12_LEAD not
+        # already above: CORRECTNESS_r12.json — the refresh cohorts and
+        # the changed-code re-certifications were already listed, so
+        # only the two genuinely new keys land here;
+        # skew_salting_decision is deliberately ABSENT: its code changed
+        # in round 13 (NULL-aware hot_cnt), so it leads again per
+        # policy (a))
+        "join_order_plan_stored", "dedup_lsh_recall",
     )
 )
 
-# Round-12 lead: per the cadence policy above.  Category (a) — "changed
-# this round" — is now derived from `git diff --name-only <prev-round-end>`
-# over catalog AND operators/functions modules (the round-11 lesson:
-# operators/similarity.py changed in r11 but only catalog files were
-# checked, so the semdedup pair shipped without a post-change
-# certificate): r11's similarity.py store-cap change → semdedup_fixed +
-# incremental_semdedup_fixed; r12's catalog_stats.py zero-guards →
-# join_order_plan + join_cardinality_check; r12's colstats.py
-# (ndv_from_cells beside the cell machinery) → column_stats_mcv.  Then
-# (b) the three queries new this round, never certified: the store-fed
-# join-order decision, the MCV skew-salting decision, and the LSH
-# recall/precision eval.  Then (c) the steady-state staleness rotation:
-# all 41 remaining round-6 certificates, topped up from the round-8
-# alphabetical head (ages via python tools/cert_ages.py).
-_R12_LEAD = (
+# Round-13 lead: per the cadence policy above.  Category (a) — "changed
+# this round", derived from `git diff --name-only <r12-end>` over
+# catalog AND operators/functions modules: operators/planner.py's
+# salting decision gained NULL-cell skew visibility (null_cnt/hot_cnt,
+# decision on greatest(mcv1_cnt, null_cnt)) and catalog_stats.py's
+# oracle moved with it → skew_salting_decision re-leads despite its
+# fresh r12 certificate.  (b) never-certified: none remain.  (c)
+# steady-state staleness rotation: the ENTIRE round-8 cohort — exactly
+# the 49 stalest certificates per `python tools/cert_ages.py` (TPC-H
+# heads, media decoders, sketches, graph, ANN, asof/window family) —
+# fills the 50-query window.
+_R13_LEAD = (
     # (a) changed since their last certificate
-    "semdedup_fixed", "incremental_semdedup_fixed",
-    "join_order_plan", "join_cardinality_check", "column_stats_mcv",
-    # (b) new this round (never certified)
-    "join_order_plan_stored", "skew_salting_decision",
-    "dedup_lsh_recall",
-    # (c) stalest certificates: round 6 (all 41 remaining)
-    "burst_windows", "cohort_ltv", "containment_pairs",
-    "contribution_share", "daily_streaks", "dau_new_vs_returning",
-    "distribution_drift", "dow_hour_heatmap", "fd_check",
-    "feature_hashing", "gap_fill_interp", "golden_record", "group_mode",
-    "growth_accounting", "header_detail_recon", "hierarchy_roots",
-    "interval_coalesce", "ivm_merge", "join_profile",
-    "k_anonymity_audit", "keyset_pagination", "language_mix",
-    "lift_chart", "multitouch_attribution", "pareto_analysis",
-    "peak_concurrency", "phrase_search", "quota_allocation",
-    "repurchase_intervals", "rule_eval_confusion", "seq_gap_audit",
-    "session_paths", "sorted_neighborhood", "status_mix_trend",
-    "stickiness_ratio", "table_digest", "target_encoding",
-    "temporal_split_embargo", "twap_value", "weighted_sample",
-    "zone_map_prune",
-    # round 8 head (alphabetical) to fill 50
-    "ann_batch",
+    "skew_salting_decision",
+    # (c) stalest certificates: round 8 (all 49)
+    "ann_pq_fixed", "ann_rerank", "ann_sq8", "asof_join",
+    "bloom_semi_join", "cms_heavy_hitters", "conversion_delay_profile",
+    "embedding_center_stats", "embedding_dim_stats", "embedding_normalize",
+    "embedding_sq8", "event_pagerank", "funnel_ordered_3step",
+    "graph_triangles", "grouping_sets", "hll_distinct", "kmeans_update",
+    "kmv_distinct", "label_centroid_similarity", "length_quantile_sketch",
+    "multimodal_audio", "multimodal_decode_gif", "multimodal_decode_jpeg",
+    "multimodal_decode_png", "multimodal_video_frames", "null_safe_join",
+    "ohlc_downsample", "q10_returned_items", "q12_late_by_priority",
+    "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
+    "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
+    "q21_waiting_suppliers", "q22_dormant_value", "q3_shipping_priority",
+    "q4_priority_check", "q5_region_volume", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "range_join_agg",
+    "rolling_distinct_hll", "rolling_window_agg", "scd2_history",
+    "sessionize", "window_rank_suite",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):
@@ -246,7 +247,7 @@ _R12_LEAD = (
 # positionally equal to the first 50 keys queries() returns — a typo'd
 # or duplicated lead entry fails the gate instead of silently shrinking
 # the driver-sampled window.
-DRIVER_LEAD = _R12_LEAD
+DRIVER_LEAD = _R13_LEAD
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -266,7 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **ROUND7_QUERIES,
         **STATS_QUERIES,
     }
-    lead = {k: merged[k] for k in _R12_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R13_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()

@@ -1389,7 +1389,14 @@ def q_skew_salting_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CLAUDE.md min_by/max_by): max over ``lpad(cnt,12,'0')|val``
     strings, unique per cell, so Spark and DuckDB agree bit-for-bit
     without arg_max tie-break trouble.  All arithmetic is non-negative
-    integer div with greatest(...,1) floors."""
+    integer div with greatest(...,1) floors.  Since round 13 the NULL
+    cell participates in the skew test (``hot_cnt =
+    greatest(mcv1_cnt, null_cnt)``): in an aggregate-shaped shuffle
+    every NULL key lands on ONE reducer exactly like a hot value, so a
+    NULL-dominant column must read ``salt`` — ``null_cnt`` rides in the
+    frame so join-shaped consumers (which prune NULL keys) can re-test
+    on ``mcv1_cnt`` alone.  ``planner.stats_driven_aggregate`` is the
+    runtime consumer dispatching on this decision."""
     from service_alerts_connector_spark.operators.colstats import (
         column_cells,
     )
@@ -1449,17 +1456,20 @@ WITH pairs AS (
          CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
          CAST(max(CASE WHEN val IS NOT NULL THEN cnt END) AS BIGINT)
            AS mcv1_cnt,
+         CAST(coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)
+           AS BIGINT) AS null_cnt,
          max(CASE WHEN val IS NOT NULL THEN
                lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || val END) AS sel
   FROM cells GROUP BY tbl, col_name
 )
 SELECT tbl, col_name AS col, n_rows, ndv,
-       substring(sel, 14) AS mcv1, mcv1_cnt,
+       substring(sel, 14) AS mcv1, mcv1_cnt, null_cnt,
+       greatest(coalesce(mcv1_cnt, 0), null_cnt) AS hot_cnt,
        n_rows // greatest(ndv, 1) AS avg_per_key,
-       CAST(mcv1_cnt * 1000000 // greatest(n_rows, 1) AS BIGINT)
-         AS hot_share_ppm,
-       CASE WHEN mcv1_cnt > {_SALT_FACTOR} *
-                 greatest(n_rows // {_SALT_PARTS}, 1)
+       CAST(greatest(coalesce(mcv1_cnt, 0), null_cnt) * 1000000
+            // greatest(n_rows, 1) AS BIGINT) AS hot_share_ppm,
+       CASE WHEN greatest(coalesce(mcv1_cnt, 0), null_cnt)
+                 > {_SALT_FACTOR} * greatest(n_rows // {_SALT_PARTS}, 1)
             THEN 'salt' ELSE 'plain' END AS decision
 FROM stats ORDER BY tbl, col
 """

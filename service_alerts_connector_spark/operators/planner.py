@@ -242,7 +242,15 @@ def salting_decision_from_cells(
     trouble); all arithmetic is non-negative integer div with
     greatest(...,1) floors, so the DuckDB oracle of
     ``catalog_stats.q_skew_salting_decision`` certifies this exact
-    logic."""
+    logic.
+
+    The NULL cell is part of the skew test: in an aggregate-shaped
+    shuffle every NULL key hashes to ONE reducer exactly like a hot
+    value, so the decision fires on ``hot_cnt = greatest(mcv1_cnt,
+    null_cnt)`` and the frame carries ``null_cnt`` beside ``mcv1_cnt``
+    so NULL-hot columns stay visible to consumers (a join-shaped caller,
+    where NULL keys never match and are usually pruned, can re-test on
+    ``mcv1_cnt`` alone from the same row)."""
     from service_alerts_connector_spark.operators.colstats import _LEDGER
 
     nn = F.col("val").isNotNull()
@@ -253,6 +261,9 @@ def salting_decision_from_cells(
             F.sum("cnt").cast("long").alias("n_rows"),
             F.count(F.when(nn, F.lit(1))).cast("long").alias("ndv"),
             F.max(F.when(nn, F.col("cnt"))).cast("long").alias("mcv1_cnt"),
+            F.coalesce(F.sum(F.when(~nn, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("null_cnt"),
             F.max(
                 F.when(
                     nn,
@@ -273,16 +284,118 @@ def salting_decision_from_cells(
         "ndv",
         F.expr("substring(_sel, 14)").alias("mcv1"),
         "mcv1_cnt",
+        "null_cnt",
+        F.expr("greatest(coalesce(mcv1_cnt, 0), null_cnt)").alias("hot_cnt"),
         F.expr("n_rows div greatest(ndv, 1)").alias("avg_per_key"),
         F.expr(
-            "CAST(mcv1_cnt * 1000000 div greatest(n_rows, 1) AS BIGINT)"
+            "CAST(greatest(coalesce(mcv1_cnt, 0), null_cnt) * 1000000 "
+            "div greatest(n_rows, 1) AS BIGINT)"
         ).alias("hot_share_ppm"),
         F.expr(
-            f"CASE WHEN mcv1_cnt > {factor} * "
-            f"greatest(n_rows div {parts}, 1) "
+            f"CASE WHEN greatest(coalesce(mcv1_cnt, 0), null_cnt) "
+            f"> {factor} * greatest(n_rows div {parts}, 1) "
             "THEN 'salt' ELSE 'plain' END"
         ).alias("decision"),
     )
+
+
+def stats_driven_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    phase1: list[Column],
+    phase2: list[Column],
+    cells: DataFrame,
+    key_cols: list[str] | None = None,
+    parts: int = 32,
+    factor: int = 4,
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """GroupBy whose physical shape is chosen by the persisted ANALYZE
+    cell store — the runtime consumer that closes the stats→plan
+    trilogy's third loop, the exact analogue of ``stats_driven_join``'s
+    byte-threshold switch: ``salting_decision_from_cells`` against the
+    store says ``salt`` → dispatch to ``skew.salted_aggregate``'s
+    two-phase plan (hot key spread over ``salt_buckets`` reducers, one
+    extra |keys|×buckets partial-row shuffle); ``plain`` → one ordinary
+    ``groupBy(*keys).agg(*phase1)``.  Both paths return the same schema
+    (``phase2`` merges the phase-1 partials under the same aliases —
+    see ``salted_aggregate``'s contract).
+
+    ``key_cols`` names the store columns to consult (default: ``keys``);
+    salting fires when ANY consulted column decides ``salt`` —
+    conservative-safe for composite keys, since one hot component can
+    concentrate a reducer however the other components spread, and a
+    needless salt costs only the cheap partial shuffle.  Raises when a
+    consulted column has no cells: a silent ``plain`` on an unmeasured
+    key is exactly the melted-reducer case the decision exists to
+    prevent.  Against a persisted store the decision reads ≤ Σ NDV(col)
+    cell rows, never the aggregated table."""
+    from service_alerts_connector_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    consult = list(key_cols) if key_cols is not None else list(keys)
+    rows = salting_decision_from_cells(
+        cells.where(F.col("col_name").isin(consult)),
+        parts=parts,
+        factor=factor,
+    ).collect()
+    per = {r["col"]: r["decision"] for r in rows}
+    missing = [c for c in consult if c not in per]
+    if missing:
+        raise ValueError(
+            f"columns {missing} have no cells in the colstats store"
+        )
+    if any(per[c] == "salt" for c in consult):
+        return salted_aggregate(
+            df, keys, phase1, phase2, salt_buckets=salt_buckets, seed=seed
+        )
+    return df.groupBy(*keys).agg(*phase1)
+
+
+def est_bytes_from_cells(
+    cells: DataFrame, cols: list[str]
+) -> tuple[int, int]:
+    """(n_rows, est_bytes) for a STRING projection read from a persisted
+    colstats CELL store — the byte leg of the one-store trilogy: the
+    same ``column_cells`` version that answers NDV (join order,
+    ``est_ndv_from_store``) and MCV (salting) also prices broadcasts,
+    because each cell carries the value text whose
+    ``octet_length × cnt`` is exactly the column's data bytes.  Only
+    exact for columns whose cell ``val`` IS the stored representation
+    (strings; the cells hold the ANALYZE-time string cast, so a numeric
+    column would price its decimal rendering instead of its fixed
+    width — use ``analyze_byte_stats``/``est_bytes_from_store`` for
+    mixed projections).  Ledger sentinel rows excluded; raises on a
+    column with no cells (a silent 0 would broadcast an unmeasured
+    side).  NULL cells count toward n_rows and add 0 bytes, matching
+    ``row_bytes_expr``'s coalesce-to-0."""
+    from service_alerts_connector_spark.operators.colstats import _LEDGER
+
+    rows = (
+        cells.where(
+            (F.col("col_name") != _LEDGER)
+            & F.col("col_name").isin(list(cols))
+        )
+        .groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.octet_length("val").cast("long") * F.col("cnt")),
+                F.lit(0),
+            ).alias("byte_sum"),
+        )
+        .collect()
+    )
+    per = {r["col_name"]: (int(r["n_rows"]), int(r["byte_sum"])) for r in rows}
+    missing = [c for c in cols if c not in per]
+    if missing:
+        raise ValueError(
+            f"columns {missing} have no cells in the colstats store"
+        )
+    n_rows = max(v[0] for v in per.values())
+    return n_rows, sum(per[c][1] for c in per)
 
 
 def est_bytes_from_store(

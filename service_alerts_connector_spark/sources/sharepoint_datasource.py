@@ -81,6 +81,24 @@ def _list_pages(path: str) -> list[str]:
     )
 
 
+def _pages_for_replay(path: str, needed: int) -> list[str]:
+    """Sorted page listing, validated against a checkpointed offset: the
+    stream offsets are INDICES into this listing, so the append-only /
+    stable-name staging contract is load-bearing — if a page file was
+    deleted or renamed, every later index silently shifts and a
+    checkpointed replay would truncate or read the WRONG files.  Raise
+    loudly instead of losing data silently."""
+    pages = _list_pages(path)
+    if len(pages) < needed:
+        raise RuntimeError(
+            f"sharepoint staging contract violated: checkpointed offset "
+            f"{needed} exceeds the {len(pages)} page files now under "
+            f"{path!r} — page dumps must be append-only with stable "
+            "lexicographic names; refusing to silently truncate replay"
+        )
+    return pages
+
+
 def _parse_page(page_path: str, page_idx: int) -> Iterator[tuple]:
     """One staged page → normalized RAW_SCHEMA tuples with page-major
     ``_ingest_seq`` and the publish-date gate applied."""
@@ -183,17 +201,19 @@ class _SharePointStreamReader(SimpleDataSourceStreamReader):
 
     def _slice(self, lo: int, hi: int) -> list[tuple]:
         # materialized, not a generator: the engine PICKLES the prefetched
-        # rows alongside the offset (simple-reader contract)
-        pages = _list_pages(self._path)
+        # rows alongside the offset (simple-reader contract).  hi is a
+        # committed offset — a listing shorter than it is a staging
+        # contract violation, never a clamp.
+        pages = _pages_for_replay(self._path, hi)
         return [
             row
-            for idx in range(lo, min(hi, len(pages)))
+            for idx in range(lo, hi)
             for row in _parse_page(pages[idx], idx)
         ]
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        n = len(_list_pages(self._path))
         lo = int(start["pages"])
+        n = len(_pages_for_replay(self._path, lo))
         return iter(self._slice(lo, n)), {"pages": n}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -225,10 +245,12 @@ class _SharePointPartitionedStreamReader(DataSourceStreamReader):
         return {"pages": len(_list_pages(self._path))}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        pages = _list_pages(self._path)
+        # end is a committed offset: validate the listing instead of
+        # clamping, so a violated append-only contract fails loudly
+        pages = _pages_for_replay(self._path, int(end["pages"]))
         return [
             InputPartition(("page", i, pages[i]))
-            for i in range(int(start["pages"]), min(int(end["pages"]), len(pages)))
+            for i in range(int(start["pages"]), int(end["pages"]))
         ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:

@@ -336,3 +336,181 @@ def test_ndv_sketch_path_from_hll_store(spark, tmp_path):
 
     with pytest.raises(ValueError):
         est_ndv_from_hll_store(store, ["nosuch_col"])
+
+
+def test_stats_driven_aggregate_dispatches_from_persisted_store(
+    spark, tmp_path
+):
+    """The runtime consumer of the skew-salting decision (round-12
+    verdict #3), the exact analogue of stats_driven_join's
+    threshold switch: against one persisted ANALYZE cell-store version,
+    a hot-keyed frame dispatches to the salted two-phase plan (the salt
+    column appears in the physical plan), a flat frame stays a plain
+    one-shuffle groupBy, BOTH return the exact plain-groupBy results,
+    and an unmeasured key raises instead of silently running plain."""
+    from service_alerts_connector_spark.operators.planner import (
+        stats_driven_aggregate,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    n = 4_000
+    # 60% of rows share one key; tail spread over ~997 keys → mcv1_cnt
+    # 2400 > 4 × (4000 div 32) = 500 → salt
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 5 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 997).cast("string")))
+        .alias("grp"),
+        (F.col("id") % 7).cast("long").alias("v"),
+    )
+    # 16 even keys of 250 rows → 250 ≤ 500 → plain
+    flat = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 16).cast("string")).alias("grp"),
+        (F.col("id") % 7).cast("long").alias("v"),
+    )
+    incremental_column_stats_ingest(
+        spark, root, skewed.select("grp"),
+        [("grp_skew", F.col("grp"))], "analyze-skewed",
+    )
+    incremental_column_stats_ingest(
+        spark, root, flat.select("grp"),
+        [("grp_flat", F.col("grp"))], "analyze-flat",
+    )
+    store = read_dataset(spark, root, COLSTATS_STORE)
+
+    phase1 = [F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s")]
+    phase2 = [F.sum("cnt").alias("cnt"), F.sum("s").alias("s")]
+
+    salted = stats_driven_aggregate(
+        skewed, ["grp"], phase1, phase2, store, key_cols=["grp_skew"]
+    )
+    plain = stats_driven_aggregate(
+        flat, ["grp"], phase1, phase2, store, key_cols=["grp_flat"]
+    )
+    assert "_salt" in salted._jdf.queryExecution().toString()
+    assert "_salt" not in plain._jdf.queryExecution().toString()
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, skewed.groupBy("grp").agg(*phase1).collect())
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, flat.groupBy("grp").agg(*phase1).collect())
+    )
+
+    with pytest.raises(ValueError):
+        stats_driven_aggregate(
+            flat, ["grp"], phase1, phase2, store, key_cols=["nosuch_col"]
+        )
+
+
+def test_one_store_version_feeds_all_three_decisions(spark, tmp_path):
+    """The trilogy's shared-store contract (round-12 verdict #5) in one
+    place: a single persisted cell-store version answers ALL THREE
+    stats→plan decisions — bytes (est_bytes_from_cells → broadcast in
+    stats_driven_join), NDV (est_ndv_from_store → join_order_decision),
+    MCV+NULL (salting_decision_from_cells → stats_driven_aggregate) —
+    with every decision reading only stat cells, never a table scan."""
+    from service_alerts_connector_spark.catalog import _t
+    from service_alerts_connector_spark.catalog_stats import (
+        q_join_order_plan,
+    )
+    from service_alerts_connector_spark.operators.planner import (
+        est_bytes_from_cells,
+        est_ndv_from_store,
+        join_order_decision,
+        salting_decision_from_cells,
+        stats_driven_aggregate,
+        stats_driven_join,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "analyze_store")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    # ONE ANALYZE sweep, one store: join keys (NDV leg), the dim's string
+    # payload (byte leg), and the status column (salt leg)
+    incremental_column_stats_ingest(
+        spark, root, li.select("l_orderkey"),
+        [("l_orderkey", F.col("l_orderkey").cast("string"))], "a-li",
+    )
+    incremental_column_stats_ingest(
+        spark, root, orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
+        [
+            ("o_orderkey", F.col("o_orderkey").cast("string")),
+            ("o_custkey", F.col("o_custkey").cast("string")),
+            ("o_orderstatus", F.col("o_orderstatus").cast("string")),
+        ],
+        "a-o",
+    )
+    incremental_column_stats_ingest(
+        spark, root, cust.select("c_custkey"),
+        [("c_custkey", F.col("c_custkey").cast("string"))], "a-c",
+    )
+    incremental_column_stats_ingest(
+        spark, root, nation.select("n_name"),
+        [("n_name", F.col("n_name"))], "a-n",
+    )
+    store = read_dataset(spark, root, COLSTATS_STORE)
+
+    # (1) byte leg: cell-priced string bytes equal the live octet sum,
+    # and the sub-threshold estimate drives a BroadcastHashJoin
+    n_rows, est = est_bytes_from_cells(store, ["n_name"])
+    live = nation.agg(
+        F.sum(F.octet_length("n_name").cast("long")).alias("b")
+    ).first()["b"]
+    assert (n_rows, est) == (nation.count(), int(live))
+    joined = stats_driven_join(
+        cust,
+        nation.select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        ),
+        "c_nationkey",
+        est_bytes=est,
+    )
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().toString()
+
+    # (2) NDV leg: store-fed System-R order equals the scan-based catalog
+    per = est_ndv_from_store(
+        store, ["l_orderkey", "o_orderkey", "o_custkey", "c_custkey"]
+    )
+    decision = join_order_decision(
+        spark,
+        {
+            "n_l": per["l_orderkey"][0],
+            "ndv_l_ok": per["l_orderkey"][1],
+            "n_o": per["o_orderkey"][0],
+            "ndv_o_ok": per["o_orderkey"][1],
+            "ndv_o_ck": per["o_custkey"][1],
+            "n_c": per["c_custkey"][0],
+            "ndv_c_ck": per["c_custkey"][1],
+        },
+    )
+    assert sorted(map(tuple, decision.collect())) == sorted(
+        map(tuple, q_join_order_plan(spark, sf_dir).collect())
+    )
+
+    # (3) salt leg: the status column is hot (two values carry ~96% of
+    # rows) → decision 'salt', and the runtime consumer dispatches the
+    # two-phase plan off the SAME store version
+    salt_rows = salting_decision_from_cells(
+        store.where(F.col("col_name") == "o_orderstatus")
+    ).collect()
+    assert [r["decision"] for r in salt_rows] == ["salt"]
+    agg = stats_driven_aggregate(
+        orders,
+        ["o_orderstatus"],
+        [F.count(F.lit(1)).alias("cnt")],
+        [F.sum("cnt").alias("cnt")],
+        store,
+    )
+    assert "_salt" in agg._jdf.queryExecution().toString()
+    assert sorted(map(tuple, agg.collect())) == sorted(
+        map(tuple, orders.groupBy("o_orderstatus").count().collect())
+    )

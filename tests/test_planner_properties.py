@@ -76,8 +76,10 @@ def test_salting_decision_property_batch(spark):
     """100 generated columns (random value histograms, optional NULL
     cells, hot-key spikes) through ONE salting_decision_from_cells call,
     checked cell-for-cell against a pure-Python reference: counts, NDV,
-    MCV with the (cnt, val)-max tiebreak, ppm shares, and the
-    factor-over-reducer-budget decision."""
+    MCV with the (cnt, val)-max tiebreak, NULL-cell counts, ppm shares
+    over the NULL-aware hot count, and the factor-over-reducer-budget
+    decision (which fires on greatest(mcv1_cnt, null_cnt) — a NULL-hot
+    column concentrates one reducer exactly like a hot value)."""
     parts, factor = 32, 4
     cells_rows = []
     reference = {}
@@ -92,6 +94,8 @@ def test_salting_decision_property_batch(spark):
             hot = rng.choice(list(vals))
             vals[hot] = rng.randrange(5_000, 200_000)
         null_cnt = rng.randrange(0, 100) if rng.random() < 0.4 else 0
+        if rng.random() < 0.15:  # NULL-hot spike: one reducer melts too
+            null_cnt = rng.randrange(5_000, 200_000)
         for v, cnt in vals.items():
             cells_rows.append((col, v, cnt))
         if null_cnt:
@@ -101,20 +105,23 @@ def test_salting_decision_property_batch(spark):
         ndv = len(vals)
         mcv_cnt = max(vals.values())
         mcv = max(v for v, cnt in vals.items() if cnt == mcv_cnt)
+        hot_cnt = max(mcv_cnt, null_cnt)
         avg = n_rows // max(ndv, 1)
-        ppm = mcv_cnt * 1_000_000 // max(n_rows, 1)
+        ppm = hot_cnt * 1_000_000 // max(n_rows, 1)
         decision = (
-            "salt" if mcv_cnt > factor * max(n_rows // parts, 1) else "plain"
+            "salt" if hot_cnt > factor * max(n_rows // parts, 1) else "plain"
         )
-        reference[col] = (n_rows, ndv, mcv, mcv_cnt, avg, ppm, decision)
+        reference[col] = (
+            n_rows, ndv, mcv, mcv_cnt, null_cnt, hot_cnt, avg, ppm, decision
+        )
 
     cells = spark.createDataFrame(
         cells_rows, "col_name string, val string, cnt long"
     )
     got = {
         r["col"]: (
-            r["n_rows"], r["ndv"], r["mcv1"], r["mcv1_cnt"],
-            r["avg_per_key"], r["hot_share_ppm"], r["decision"],
+            r["n_rows"], r["ndv"], r["mcv1"], r["mcv1_cnt"], r["null_cnt"],
+            r["hot_cnt"], r["avg_per_key"], r["hot_share_ppm"], r["decision"],
         )
         for r in salting_decision_from_cells(
             cells, parts=parts, factor=factor

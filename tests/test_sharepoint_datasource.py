@@ -284,3 +284,35 @@ def test_streaming_partitioned_vs_simple_modes(sharepoint_format, tmp_path):
         f.write(json.dumps(_dirty(RAW_ALERTS[3])) + "\n")
     more = drain(None, "ckpt_part")  # same checkpoint: only the new page
     assert {r[0] for r in more} == {RAW_ALERTS[3]["Id"]}
+
+
+def test_shrunk_staging_listing_fails_loudly(tmp_path):
+    """Round-12 advice: stream offsets are INDICES into the sorted page
+    listing, so a deleted or renamed page file shifts every later index
+    — checkpointed replay must surface that as an error, never a
+    silently truncated (or wrong-file) read."""
+    from service_alerts_connector_spark.sources.sharepoint_datasource import (
+        _SharePointPartitionedStreamReader,
+        _SharePointStreamReader,
+    )
+
+    staged = _stage_pages(
+        tmp_path,
+        [[_dirty(RAW_ALERTS[i])] for i in range(3)],
+    )
+    opts = {"path": str(staged)}
+    simple = _SharePointStreamReader(opts)
+    part = _SharePointPartitionedStreamReader(opts)
+    # healthy replay of the committed slice works in both readers
+    assert len(list(simple.readBetweenOffsets({"pages": 0}, {"pages": 3}))) == 3
+    assert len(part.partitions({"pages": 0}, {"pages": 3})) == 3
+
+    (staged / "page-0002.jsonl").unlink()  # violate append-only staging
+    with pytest.raises(RuntimeError, match="staging contract violated"):
+        list(simple.readBetweenOffsets({"pages": 0}, {"pages": 3}))
+    with pytest.raises(RuntimeError, match="staging contract violated"):
+        part.partitions({"pages": 0}, {"pages": 3})
+    with pytest.raises(RuntimeError, match="staging contract violated"):
+        simple.read({"pages": 3})
+    # the surviving prefix still replays — the guard is exact, not jumpy
+    assert len(list(simple.readBetweenOffsets({"pages": 0}, {"pages": 2}))) == 2
