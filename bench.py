@@ -367,16 +367,71 @@ def main() -> None:
         for name, s in stats.items()
         if s["median_warm"] > s["cold"] * 1.1
     )
+    # Anchor pre-flight (round-12 lesson: one bad 2.9× sample slipped into
+    # a committed anchor because the inversion gate above only catches
+    # median>cold contention, not a single slow BEST-warm).  Compare each
+    # query's best-warm against the previous quiet anchor's value: >2× is
+    # flagged as an anchor regression — either a real plan change (then a
+    # SCALE.md row should explain it) or a bad sample (then re-record in a
+    # quiet window before committing the artifact as the next anchor).
+    anchor_path = os.environ.get("SPARK_GRAFT_BENCH_ANCHOR")
+    if anchor_path is None:
+        import glob as _glob
+
+        quiets = sorted(
+            _glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*_quiet.json",
+                )
+            )
+        )
+        anchor_path = quiets[-1] if quiets else None
+    anchor_regressions: dict[str, list[float]] = {}
+    if anchor_path and os.path.exists(anchor_path):
+        prev: dict[str, float] = {}
+        this_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+        try:
+            with open(anchor_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    if rec.get("sf") != this_sf:
+                        continue  # cross-SF comparisons are meaningless
+                    q = rec.get("queries") or {}
+                    # prefer the full per-query record (carries
+                    # query_stats); a compact record only lists worst-5
+                    if rec.get("query_stats") or len(q) > len(prev):
+                        prev = q
+        except (OSError, ValueError):
+            prev = {}
+        anchor_regressions = {
+            name: [prev[name], secs]
+            for name, secs in timings.items()
+            if name in prev and prev[name] > 0 and secs > 2 * prev[name]
+        }
+    # ONE pollution verdict, carried identically by both emitted records
+    # (the round-12 anchor held `polluted: []` beside `polluted_count: 2`
+    # — self-contradicting): `polluted` is always the full inversion list,
+    # `contended_sample` the >2 verdict on it.
+    verdict = {
+        "polluted": polluted,
+        "contended_sample": len(polluted) > 2,
+        "anchor": os.path.basename(anchor_path) if anchor_path else None,
+        "anchor_regressions": anchor_regressions,
+    }
     payload = {
-        "metric": "headline_queries_total",
+        # distinct metric name: exactly one record per run carries the
+        # headline metric (the compact, tail-window-safe line below)
+        "metric": "headline_queries_full",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_meta": {"n_runs": n_runs, "timing": "best_warm", "action": "noop_write"},
         "query_stats": stats,
-        "polluted": polluted if len(polluted) > 2 else [],
-        "contended_sample": len(polluted) > 2,
+        **verdict,
     }
     full_line = json.dumps(payload)
     # The external harness keeps only a bounded TAIL of stdout (~2000
@@ -424,8 +479,7 @@ def main() -> None:
                     "queries_truncated_to_worst5": True,
                     "full_artifact": artifact,
                 },
-                "contended_sample": payload["contended_sample"],
-                "polluted_count": len(polluted),
+                **verdict,
             }
         )
     )

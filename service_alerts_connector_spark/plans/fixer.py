@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from service_alerts_connector_spark.constants import ID_COL
 from service_alerts_connector_spark.functions import cleaning as C
-from service_alerts_connector_spark.operators.dedup import upsert
+from service_alerts_connector_spark.operators.dedup import (
+    dedup_last_wins,
+    upsert,
+)
 from service_alerts_connector_spark.operators.joins import lookup_join
 
 
@@ -108,4 +111,13 @@ def fix_alerts(
         )
     if previous_silver is not None:
         silver = upsert(previous_silver, silver, key=ID_COL, order_col="_ingest_seq")
+    else:
+        # a first batch can still carry several versions of one alert
+        # (multi-page backfill: the same Id updated across staged poll
+        # cycles) — without this, duplicate Ids leak into silver and
+        # every downstream Id-keyed join multiplies them (found by the
+        # batch≡stream pipeline equivalence test).  upsert() covers the
+        # previous_silver branch: it last-wins over old ∪ new as one
+        # window, reference ServiceAlertFixer.py:148-159.
+        silver = dedup_last_wins(silver, key=ID_COL, order_col="_ingest_seq")
     return silver

@@ -99,3 +99,84 @@ def test_two_microbatch_pipeline(spark, tmp_path):
     # pending_emails-owned cache leaked one per micro-batch)
     n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached_after <= n_cached_before
+
+
+def test_streaming_sharepoint_source_equals_batch_run(spark, tmp_path):
+    """The full alert pipeline driven from the REGISTERED SharePoint
+    DataSource in streaming mode — partitioned executor-side reader (the
+    default since round 12), checkpoint resume across a mid-run page
+    append, last-wins upsert — must land byte-identical gold to ONE
+    batch-mode run of the same staged directory through the same source
+    (reference DAG src/dags/service-alerts-pipeline.py:45: the poll loop
+    is semantically one big fetch)."""
+    from service_alerts_connector_spark.constants import AUGMENTED_DATASET
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+    from service_alerts_connector_spark.sources.sharepoint_datasource import (
+        register,
+    )
+
+    register(spark)
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    def dirty(rec, **extra):
+        out = dict(rec)
+        out.pop("_ingest_seq", None)
+        out.update(__metadata={"type": "SP.Data.Item"})
+        out.update(extra)
+        return out
+
+    def stage(idx, recs):
+        with open(staged / f"page-{idx:04d}.jsonl", "w") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+
+    stage(0, [dirty(r) for r in RAW_ALERTS[:3]])
+
+    def batch_fn(lake):
+        def fn(bdf, bid):
+            run_micro_batch(bdf, lake, now=NOW)
+
+        return fn
+
+    def stream():
+        return (
+            spark.readStream.format("sharepoint")
+            .option("path", str(staged))
+            .load()
+        )
+
+    lake_stream = str(tmp_path / "lake_stream")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(stream(), batch_fn(lake_stream), ckpt)
+    # next poll cycle: one update + one fresh alert land as a new page;
+    # the resumed checkpoint must deliver ONLY that page
+    stage(1, [dirty(RAW_ALERTS[0], Status12="Issue Resolved"),
+              dirty(RAW_ALERTS[3])])
+    run_available_now(stream(), batch_fn(lake_stream), ckpt)
+
+    # the batch path: same registered source over the same staged dir,
+    # one micro-batch (page-major _ingest_seq makes last-wins identical)
+    lake_batch = str(tmp_path / "lake_batch")
+    bdf = (
+        spark.read.format("sharepoint").option("path", str(staged)).load()
+    )
+    run_micro_batch(bdf, lake_batch, now=NOW)
+
+    # the upsert write path may order columns differently than the single
+    # batch write: equality is BY NAME, row for row
+    def rows_by_name(lake):
+        df = read_dataset(spark, lake, AUGMENTED_DATASET)
+        return sorted(
+            tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+        ), sorted(df.columns)
+
+    gold_s, cols_s = rows_by_name(lake_stream)
+    gold_b, cols_b = rows_by_name(lake_batch)
+    assert cols_s == cols_b
+    assert gold_s == gold_b
+    ids = {r[sorted(cols_s).index("id")] for r in gold_s} if "id" in cols_s \
+        else {r[0] for r in gold_s}
+    assert ids == {RAW_ALERTS[i]["Id"] for i in range(4)}
