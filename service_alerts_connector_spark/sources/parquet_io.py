@@ -186,7 +186,30 @@ def compact_dataset(
             "so the newer ingest is not superseded by a stale snapshot "
             "(compaction requires a single writer per dataset)"
         )
-    return write_dataset(df, root, dataset, prune=prune)
+    out = write_dataset(df, root, dataset, prune=prune)
+    # Post-write re-check: an ingest that committed DURING the rewrite job
+    # itself slipped past the pre-check above.  Its version is now
+    # shadowed (or superseded) by the compacted snapshot of the OLDER
+    # pinned state — raise so the lost update is detected instead of
+    # silent.  The compacted version stays committed (it is data-identical
+    # to `pinned`, just fewer files), and recovery is cheap: the intruding
+    # batch's ledger rows live only in its own version, not in the
+    # compacted latest, so an exactly-once ingest loop that redelivers the
+    # batch converges (the ledger in the latest snapshot does not name it).
+    written = Path(out).name
+    intruders = [
+        v
+        for v in list_versions(root, dataset)
+        if v > pinned and v != written
+    ]
+    if intruders:
+        raise RuntimeError(
+            f"compact_dataset({dataset!r}): version(s) {intruders} were "
+            f"committed while the rewrite of {pinned} ran — the compacted "
+            f"version {out} supersedes them with a stale snapshot; "
+            "redeliver the lost batch(es) (single-writer contract violated)"
+        )
+    return out
 
 
 def compact_if_due(

@@ -379,3 +379,48 @@ def test_compaction_preserves_data_and_survives_crash(
     compact_dataset(spark, root, "wide", target_files=1)
     assert dataset_files(root, "wide") == 1
     assert _store_rows(spark, root, "wide") == before
+
+
+def test_compaction_detects_concurrent_commit_during_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 advice: the pre-rewrite version re-check cannot see an
+    ingest that commits WHILE the rewrite job runs — the compacted
+    snapshot of the older pinned state then supersedes it (lost update).
+    compact_dataset must re-verify after its write returns and raise, so
+    the violation of the single-writer contract is detected (the lost
+    batch's ledger is absent from the compacted latest, so an
+    exactly-once redelivery converges)."""
+    import service_alerts_connector_spark.sources.parquet_io as pio
+
+    root = str(tmp_path)
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+    )
+    pio.write_dataset(df.repartition(8), root, "wide")
+    before = _store_rows(spark, root, "wide")
+
+    real = pio.write_dataset
+    state = {"armed": True}
+
+    def racing(d, r, name, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            # a concurrent ingest commits just as the rewrite's own
+            # write begins — past the pre-check, inside the race window
+            real(
+                spark.range(5).selectExpr(
+                    "id AS k", "CAST(id % 7 AS STRING) AS g"
+                ),
+                root,
+                "wide",
+            )
+        return real(d, r, name, **kw)
+
+    monkeypatch.setattr(pio, "write_dataset", racing)
+    with pytest.raises(RuntimeError, match="committed while the rewrite"):
+        pio.compact_dataset(spark, root, "wide", target_files=1)
+    # the store still serves a committed snapshot (the stale compaction —
+    # detection, not rollback; redelivering the lost batch converges)
+    assert len(_store_rows(spark, root, "wide")) == len(before)
