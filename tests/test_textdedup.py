@@ -1162,3 +1162,45 @@ def test_lsh_recall_eval_known_corpus(spark):
     assert row["n_candidates"] >= 1
     assert 0 < row["precision_ppm"] <= 1_000_000
     assert row["threshold_ppm"] == 800_000
+
+
+def test_lsh_recall_monotone_in_bands(spark):
+    """The S-curve sanity the eval harness exists to measure: with a
+    fixed signature, splitting bands (1→2→4→8 over 8 hashes, so rows
+    per band 8→4→2→1) can only ADD candidate pairs — a pair agreeing on
+    a full r-row band agrees on both nested r/2-row halves.  So against
+    a fixed exact-Jaccard truth, n_candidates, n_hit and recall_ppm are
+    each monotone non-decreasing in bands (equivalently non-increasing
+    in rows-per-band), for any corpus.  Random seeded corpora with
+    controlled mutation rates exercise the claim across the curve."""
+    import random
+
+    from service_alerts_connector_spark.operators.textdedup import (
+        lsh_recall_eval,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    rows, did = [], 0
+    for fam in range(12):
+        base = [f"w{fam}_{i}" for i in range(30)]
+        for copy in range(rng.randrange(1, 4)):
+            toks = list(base)
+            for _ in range(rng.randrange(0, 8)):  # 0-25% mutation
+                toks[rng.randrange(len(toks))] = f"mut{rng.randrange(999)}"
+            did += 1
+            rows.append((did, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {}
+    for bands in (1, 2, 4, 8):
+        got[bands] = lsh_recall_eval(
+            docs, num_hashes=8, bands=bands, max_bucket=1_000_000
+        ).first()
+    truths = {r["n_truth"] for r in got.values()}
+    assert len(truths) == 1  # truth is knob-independent
+    for a, b in ((1, 2), (2, 4), (4, 8)):
+        assert got[a]["n_candidates"] <= got[b]["n_candidates"], (a, b)
+        assert got[a]["n_hit"] <= got[b]["n_hit"], (a, b)
+        assert got[a]["recall_ppm"] <= got[b]["recall_ppm"], (a, b)
+    # the curve actually moves on this corpus (not a vacuous pass)
+    assert got[8]["n_candidates"] > got[1]["n_candidates"]
