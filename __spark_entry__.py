@@ -54,6 +54,10 @@ from service_alerts_connector_spark.catalog_round7 import (
     ROUND7_ORACLES,
     ROUND7_QUERIES,
 )
+from service_alerts_connector_spark.catalog_novelty import (
+    NOVELTY_ORACLES,
+    NOVELTY_QUERIES,
+)
 from service_alerts_connector_spark.catalog_stats import (
     STATS_ORACLES,
     STATS_QUERIES,
@@ -215,15 +219,20 @@ _DRIVER_SAMPLED = frozenset(
 # salting decision gained NULL-cell skew visibility (null_cnt/hot_cnt,
 # decision on greatest(mcv1_cnt, null_cnt)) and catalog_stats.py's
 # oracle moved with it → skew_salting_decision re-leads despite its
-# fresh r12 certificate.  (b) never-certified: none remain.  (c)
-# steady-state staleness rotation: the ENTIRE round-8 cohort — exactly
-# the 49 stalest certificates per `python tools/cert_ages.py` (TPC-H
-# heads, media decoders, sketches, graph, ANN, asof/window family) —
-# fills the 50-query window.
+# fresh r12 certificate.  (b) never-certified: the three round-13
+# corpus-saturation queries (catalog_novelty.py) must be driver-sampled
+# their first round.  (c) steady-state staleness rotation: the round-8
+# cohort — the stalest certificates per `python tools/cert_ages.py`
+# (TPC-H heads, media decoders, sketches, graph, ANN, asof/window
+# family) — fills the remaining 46 slots; the three displaced names
+# (scd2_history, sessionize, window_rank_suite) stay the stalest and
+# lead round 14.
 _R13_LEAD = (
     # (a) changed since their last certificate
     "skew_salting_decision",
-    # (c) stalest certificates: round 8 (all 49)
+    # (b) never certified (new this round)
+    "ngram_novelty", "doc_rarity_score", "stratified_kfold",
+    # (c) stalest certificates: round 8 (46 of 49)
     "ann_pq_fixed", "ann_rerank", "ann_sq8", "asof_join",
     "bloom_semi_join", "cms_heavy_hitters", "conversion_delay_profile",
     "embedding_center_stats", "embedding_dim_stats", "embedding_normalize",
@@ -238,8 +247,7 @@ _R13_LEAD = (
     "q21_waiting_suppliers", "q22_dormant_value", "q3_shipping_priority",
     "q4_priority_check", "q5_region_volume", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "range_join_agg",
-    "rolling_distinct_hll", "rolling_window_agg", "scd2_history",
-    "sessionize", "window_rank_suite",
+    "rolling_distinct_hll", "rolling_window_agg",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):
@@ -266,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES,
         **ROUND7_QUERIES,
         **STATS_QUERIES,
+        **NOVELTY_QUERIES,
     }
     lead = {k: merged[k] for k in _R13_LEAD if k in merged}
     fresh = {
@@ -296,4 +305,5 @@ def oracle_sql() -> dict[str, str]:
         **EXTRA_ORACLES,
         **ROUND7_ORACLES,
         **STATS_ORACLES,
+        **NOVELTY_ORACLES,
     }

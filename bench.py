@@ -33,6 +33,9 @@ from service_alerts_connector_spark.catalog_round7 import (
 from service_alerts_connector_spark.catalog_temporal import (
     TEMPORAL_QUERIES as _TMP,
 )
+from service_alerts_connector_spark.catalog_novelty import (
+    NOVELTY_QUERIES as _NOV,
+)
 from service_alerts_connector_spark.catalog_stats import STATS_QUERIES as _ST
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as _TEXT
 from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES as _TPCH
@@ -40,7 +43,7 @@ from service_alerts_connector_spark.session import get_spark
 
 CORE_QUERIES = {
     **_CORE, **_TEXT, **_FIX, **_AN, **_GEO, **_CORP, **_EV, **_EX, **_TMP,
-    **_TPCH, **_R7, **_ST,
+    **_TPCH, **_R7, **_ST, **_NOV,
 }
 
 
@@ -251,6 +254,10 @@ HEADLINE = [
     "delta_join_ivm",
     "ancestor_path_sum",
     "winsorized_mean_value",
+    # round-13 additions
+    "ngram_novelty",
+    "doc_rarity_score",
+    "stratified_kfold",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

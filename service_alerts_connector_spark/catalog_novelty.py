@@ -1,0 +1,179 @@
+"""Catalog — corpus-saturation & split-assignment operators: n-gram
+novelty attribution, rarity-based document scoring, and stratified
+k-fold cross-validation folds.
+
+Every query is DuckDB-oracled.  Determinism notes (catalog.py rules):
+first-occurrence attribution uses ``min_by(source, doc_id)`` ↔ DuckDB
+``arg_min(source, doc_id)`` — valid because ``doc_id`` is unique, hence
+a total order (the min_by/arg_max selector rule); rarity keeps idf in
+exact 64-bit integer micro units (``div`` / ``//`` on non-negative
+operands only); fold assignment orders by ``(md5(vec_id), vec_id)`` —
+md5 hex renders identically in both engines and the trailing key breaks
+nothing (md5 of distinct ids never collides in practice, the id makes
+ties impossible by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.catalog import _t
+from service_alerts_connector_spark.operators.novelty import (
+    doc_rarity_scores,
+    ngram_novelty_by_source,
+)
+
+# Guarded tokenization (empty/null text → []), mirroring
+# functions/text.py tokens() — the catalog_corpus._TOKS convention.
+_TOKS = (
+    "CASE WHEN trim(lower(text)) IS NULL OR trim(lower(text)) = '' "
+    "THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+# 3-word shingles over a materialized token array t, mirroring
+# functions/text.py word_shingles_of (shorter than k → one whole-text
+# shingle).
+_SHINGLES_OF_T = (
+    "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+    "ELSE list_transform(range(len(t) - 2), "
+    "i -> array_to_string(t[i+1:i+3], ' ')) END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-source first-occurrence n-gram novelty (corpus saturation curve)
+# ---------------------------------------------------------------------------
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources still contribute unseen n-grams —
+    `operators/novelty.py ngram_novelty_by_source` (one shingle-keyed
+    aggregation folding min_by owner + collect_set presence)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty_by_source(docs, k=3)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest({_SHINGLES_OF_T}) AS sh FROM toks
+), g AS (
+  SELECT sh,
+         arg_min(source, doc_id) AS first_source,
+         list_distinct(list(source)) AS srcs
+  FROM sh GROUP BY sh
+), e AS (
+  SELECT first_source, unnest(srcs) AS source FROM g
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(coalesce(sum(CASE WHEN source = first_source THEN 1 END), 0)
+            AS BIGINT) AS n_novel,
+       CAST((coalesce(sum(CASE WHEN source = first_source THEN 1 END), 0)
+             * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+FROM e
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Integer-idf mean token rarity per document (quality-filter signal)
+# ---------------------------------------------------------------------------
+def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 rare-token-heavy documents —
+    `operators/novelty.py doc_rarity_scores` (integer micro-idf mean;
+    TakeOrderedAndProject top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return doc_rarity_scores(docs, top_n=50)
+
+
+SQL_DOC_RARITY = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), dfq AS (
+  SELECT tok, count(DISTINCT doc_id) AS dfreq FROM occ GROUP BY tok
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), sc AS (
+  SELECT o.doc_id,
+         count(*) AS n_tokens,
+         sum((nd.n_docs * 1000000) // d.dfreq) AS s
+  FROM occ o JOIN dfq d USING (tok) CROSS JOIN nd
+  GROUP BY o.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s // n_tokens AS BIGINT) AS rarity_micro
+FROM sc
+ORDER BY rarity_micro DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (cross-validation folds, leak-free)
+# ---------------------------------------------------------------------------
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment stratified by label: within
+    each label, rows ordered by (md5(vec_id), vec_id) round-robin into
+    folds, so every fold carries an equal (±1) share of every stratum.
+    Output is the label × fold balance audit.  Partitioned window only
+    (per-label row_number) — never a global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    assigned = emb.select(
+        F.col("label").cast("long").alias("label"),
+        ((F.row_number().over(w) - 1) % 5).cast("long").alias("fold"),
+    )
+    counts = assigned.groupBy("label", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot_w = Window.partitionBy("label")
+    return (
+        counts.withColumn("ltot", F.sum("n").over(tot_w))
+        .select(
+            "label",
+            "fold",
+            "n",
+            F.expr("(n * 1000000) div ltot").alias("share_ppm"),
+        )
+        .orderBy("label", "fold")
+    )
+
+
+SQL_STRATIFIED_KFOLD = """
+WITH assigned AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST((row_number() OVER (
+             PARTITION BY label
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) - 1) % 5 AS BIGINT) AS fold
+  FROM embeddings
+), counts AS (
+  SELECT label, fold, count(*) AS n FROM assigned GROUP BY label, fold
+)
+SELECT label, fold,
+       CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY label) AS BIGINT)
+         AS share_ppm
+FROM counts
+ORDER BY label, fold
+"""
+
+
+NOVELTY_QUERIES = {
+    "ngram_novelty": q_ngram_novelty,
+    "doc_rarity_score": q_doc_rarity_score,
+    "stratified_kfold": q_stratified_kfold,
+}
+
+NOVELTY_ORACLES = {
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "doc_rarity_score": SQL_DOC_RARITY,
+    "stratified_kfold": SQL_STRATIFIED_KFOLD,
+}

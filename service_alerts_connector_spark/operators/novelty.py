@@ -1,0 +1,298 @@
+"""Corpus-saturation operators: n-gram novelty attribution, rarity-based
+document scoring, and an incremental first-occurrence shingle store.
+
+A 100 TB curation loop needs to know *when to stop collecting*: each new
+source (or each arriving ingest batch) contributes some share of n-grams
+the corpus has never seen, and that share decays as the corpus saturates
+(the motivation behind dedup-pressure curves in large-scale dataset
+reports).  These operators measure that decay two ways:
+
+- **Batch attribution** (``ngram_novelty_by_source``): over the full
+  corpus, attribute every distinct word k-shingle to the source of its
+  first-occurrence document (min ``doc_id`` — unique, so the attribution
+  is total-order deterministic, the ``min_by``/``arg_min`` oracle rule).
+  One shuffle on the shingle, one on the source: the per-shingle pass
+  folds presence (``collect_set(source)``, bounded by #sources) and
+  first-owner (``min_by``) into a single aggregation, so the corpus is
+  never re-shuffled for the two metrics separately.
+
+- **Incremental tracking** (``incremental_novelty_ingest``): a persistent
+  store of every shingle digest ever seen with the batch that introduced
+  it.  Per ingest the work is O(batch ∪ store-anti-join): the arriving
+  batch's distinct digests anti-join the store, survivors are appended
+  under the new batch id.  Set-union with first-wins attribution is
+  idempotent at the set level, and the ingested-batch ledger (committed
+  atomically with the digests, one ``_SUCCESS``) makes the *reported
+  metric* exactly-once: a redelivered batch re-derives its ORIGINAL
+  novelty from the store's ``first_batch`` column instead of reporting a
+  bogus 0 (every digest would already be present).  Telescoping
+  invariant (pytest-pinned): Σ n_novel over distinct delivered batches
+  == COUNT(DISTINCT shingle) over their union — the saturation curve
+  integrates to the vocabulary size.
+
+- **Rarity scoring** (``doc_rarity_scores``): integer-exact idf in micro
+  units — ``(n_docs * 1_000_000) div doc_freq`` — averaged over a
+  document's token occurrences.  Rare-token-heavy documents are a
+  classic noise tell in web-corpus quality filtering; keeping the score
+  in 64-bit integer arithmetic end-to-end makes it engine-exact (no
+  libm ``log``, whose last ulp differs per platform — the same dodge
+  ``tfidf_top_terms`` uses).
+
+The reference corpus surface is plain pandas string cleaning
+(``ServiceAlertFixer.py``); these extend it with the saturation metrics
+a training-data pipeline needs (SURVEY §2 training-pipeline mandate).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.functions.text import (
+    tokens,
+    word_shingles_of,
+)
+
+NOVELTY_STORE = "novelty_shingles"
+# space-prefixed sentinel: collides with no md5 hex digest
+_LEDGER_DIGEST = " batch"
+
+
+def ngram_novelty_by_source(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-source first-occurrence novelty over word k-shingles.
+
+    For every distinct shingle in the corpus, the *owner* is the source
+    of the minimum-``doc_id`` document containing it.  Per source:
+    ``n_shingles`` = distinct shingles present, ``n_novel`` = shingles
+    owned, ``novelty_ppm`` = owned-per-million-present.  A source whose
+    novelty_ppm is near zero adds no new n-grams — the collect-more
+    signal inverted.
+
+    Plan shape: ONE aggregation keyed on the shingle (min_by owner +
+    collect_set presence, the set bounded by #sources), one explode of
+    the tiny presence set, one aggregation keyed on source.  No join
+    against the corpus, no per-shingle window.
+    """
+    base = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    sh = base.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles_of(F.col("toks"), k)).alias("sh"),
+    )
+    per_shingle = sh.groupBy("sh").agg(
+        F.min_by("source", "doc_id").alias("first_source"),
+        F.collect_set("source").alias("srcs"),
+    )
+    exploded = per_shingle.select(
+        F.col("first_source"), F.explode("srcs").alias("source")
+    )
+    return (
+        exploded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("source") == F.col("first_source"), 1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").alias(
+                "novelty_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_rarity_scores(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Top-``top_n`` documents by mean token rarity, integer-exact.
+
+    rarity(token) = (n_docs * 1_000_000) div doc_freq(token) — an idf in
+    micro units kept in 64-bit integer arithmetic so Spark and any SQL
+    oracle agree bit-for-bit.  A document's score is the integer mean of
+    rarity over its token OCCURRENCES (repeated rare tokens weigh more,
+    the quality-filter behaviour we want).  Documents with no tokens
+    (empty/null text) carry no score and are excluded.
+
+    Plan shape: one count-distinct aggregation keyed on token, a
+    token-keyed join of occurrences against the ≤vocabulary-sized
+    frequency frame, one doc-keyed aggregation, and a
+    TakeOrderedAndProject top-k (per-partition partial top-k — never an
+    unpartitioned window).  The 1-row corpus count rides in on a
+    broadcast cross join (BNLJ at 1×N is the documented harmless case).
+    """
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = occ.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("dfreq")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    rarity = freq.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.expr("(n_docs * 1000000) div dfreq").alias("idf_micro"),
+    )
+    return (
+        occ.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("idf_micro").cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(_s div n_tokens)").alias("rarity_micro"),
+        )
+        .orderBy(F.col("rarity_micro").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+
+
+def batch_shingle_digests(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct md5 digests of a batch's word k-shingles (one narrow
+    column — 32 bytes/shingle into the store regardless of text size)."""
+    base = docs.select(tokens(F.col("text")).alias("toks"))
+    return (
+        base.select(
+            F.explode(word_shingles_of(F.col("toks"), k)).alias("sh")
+        )
+        .select(F.md5("sh").alias("digest"))
+        .distinct()
+    )
+
+
+def ingested_novelty_batches(store: DataFrame) -> list[str]:
+    """Batch ids committed into a novelty store frame (ledger rows)."""
+    return [
+        r["first_batch"]
+        for r in store.where(
+            F.col("digest") == _LEDGER_DIGEST
+        ).collect()
+    ]
+
+
+def _novelty_stats(
+    batch_digests: DataFrame, novel_count: DataFrame, batch_id: str
+) -> DataFrame:
+    """1-row stats frame: (batch_id, n_shingles, n_novel, novelty_ppm).
+    Both inputs are 1-row aggregates; the cross join broadcasts."""
+    n_batch = batch_digests.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        n_batch.crossJoin(F.broadcast(novel_count))
+        .select(
+            F.lit(batch_id).alias("batch_id"),
+            "n_shingles",
+            "n_novel",
+            F.when(F.col("n_shingles") > 0,
+                   F.expr("(n_novel * 1000000) div n_shingles"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+def incremental_novelty_ingest(
+    spark,
+    root: str,
+    batch: DataFrame,
+    batch_id: str,
+    k: int = 3,
+) -> DataFrame:
+    """O(batch) maintenance of the first-occurrence shingle store; returns
+    the 1-row novelty stats frame for ``batch_id``.
+
+    Exactly-once: the ledger row commits atomically with the digests
+    (one ``write_dataset`` job, one ``_SUCCESS``).  A redelivered batch
+    is recognized and re-derives its ORIGINAL stats from the store's
+    ``first_batch`` attribution — no second version, no zeroed metric.
+
+    ``k`` is an irreversible store parameter (digests of k-shingles and
+    k'-shingles live in disjoint spaces, so mixing silently reports
+    everything as novel): persisted beside the store on first ingest,
+    re-validated on every later one (the sample-store k rule).
+
+    The returned frame is forced (eager localCheckpoint) before the new
+    version commits, so callers holding it across later ingests never
+    read through a retention-pruned version (store discipline per
+    CLAUDE.md / ``operators/topk.py incremental_sample_ingest``).
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    kf = os.path.join(root, NOVELTY_STORE, "shingle_k.txt")
+    if os.path.exists(kf):
+        with open(kf) as f:
+            stored_k = int(f.read().strip())
+        if stored_k != k:
+            raise ValueError(
+                f"novelty store at {root!r} was built with k={stored_k}; "
+                f"ingesting with k={k} would mark every shingle novel "
+                "(disjoint digest spaces) — use the original k or rebuild"
+            )
+    else:
+        os.makedirs(os.path.dirname(kf), exist_ok=True)
+        tmp = kf + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(k))
+        os.replace(tmp, kf)
+
+    batch_dg = batch_shingle_digests(batch, k)
+    versions = list_versions(root, NOVELTY_STORE)
+    if versions:
+        prev = read_dataset(
+            spark, root, NOVELTY_STORE, version=versions[-1]
+        )
+        if batch_id in ingested_novelty_batches(prev):
+            novel_count = prev.where(
+                (F.col("digest") != _LEDGER_DIGEST)
+                & (F.col("first_batch") == batch_id)
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+            return _novelty_stats(
+                batch_dg, novel_count, batch_id
+            ).localCheckpoint(eager=True)
+        novel = batch_dg.join(
+            prev.select("digest"), "digest", "left_anti"
+        ).select(
+            "digest", F.lit(batch_id).alias("first_batch")
+        )
+    else:
+        prev = None
+        novel = batch_dg.select(
+            "digest", F.lit(batch_id).alias("first_batch")
+        )
+
+    ledger_row = spark.createDataFrame(
+        [(_LEDGER_DIGEST, batch_id)], "digest string, first_batch string"
+    )
+    merged = novel.unionByName(ledger_row)
+    if prev is not None:
+        merged = prev.unionByName(merged)
+    # Force the stats BEFORE committing: they read `novel`, which is
+    # pinned to the PREVIOUS version via the anti-join — a lazy return
+    # would break once retention prunes that dir.
+    novel_count = novel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    stats = _novelty_stats(
+        batch_dg, novel_count, batch_id
+    ).localCheckpoint(eager=True)
+    write_dataset(merged, root, NOVELTY_STORE)
+    return stats

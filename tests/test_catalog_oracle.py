@@ -32,6 +32,10 @@ from service_alerts_connector_spark.catalog_geo import (
     GEO_ORACLES,
     GEO_QUERIES,
 )
+from service_alerts_connector_spark.catalog_novelty import (
+    NOVELTY_ORACLES,
+    NOVELTY_QUERIES,
+)
 from service_alerts_connector_spark.catalog_round7 import (
     ROUND7_ORACLES,
     ROUND7_QUERIES,
@@ -58,7 +62,7 @@ CORE_QUERIES = {
     **CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES,
     **ANALYTICS_QUERIES, **GEO_QUERIES, **TEMPORAL_QUERIES,
     **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES, **ROUND7_QUERIES,
-    **STATS_QUERIES,
+    **STATS_QUERIES, **NOVELTY_QUERIES,
     # only the oracled subset of EXTRA_QUERIES (the rest are rows-only)
     **{k: EXTRA_QUERIES[k] for k in EXTRA_ORACLES},
 }
@@ -66,7 +70,7 @@ CORE_ORACLES = {
     **CORE_ORACLES, **TEXT_ORACLES, **FIXER_ORACLES,
     **ANALYTICS_ORACLES, **GEO_ORACLES, **TEMPORAL_ORACLES,
     **CORPUS_ORACLES, **EVENTS_ORACLES, **TPCH_ORACLES, **EXTRA_ORACLES,
-    **ROUND7_ORACLES, **STATS_ORACLES,
+    **ROUND7_ORACLES, **STATS_ORACLES, **NOVELTY_ORACLES,
 }
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")

@@ -1,0 +1,157 @@
+"""Corpus-saturation operators: per-source n-gram novelty attribution,
+integer-idf rarity scoring, and the incremental first-occurrence shingle
+store.  Pins the telescoping invariant (Σ per-batch novel ≡ distinct
+total), sequential ≡ batch store equality, committed-redelivery
+idempotence (original stats re-derived, no new version), the
+irreversible shingle-k guard, and hand-computed batch-op results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_alerts_connector_spark.operators.novelty import (
+    NOVELTY_STORE,
+    batch_shingle_digests,
+    doc_rarity_scores,
+    incremental_novelty_ingest,
+    ngram_novelty_by_source,
+)
+from service_alerts_connector_spark.sources.parquet_io import list_versions
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_ngram_novelty_attributes_first_occurrence(spark):
+    # doc 1 (src a): shingles {x y z}, {y z w}
+    # doc 2 (src b): shingle {x y z} (seen) — contributes nothing new
+    # doc 3 (src b): shingle {p q r} (new)
+    df = _docs(
+        spark,
+        [
+            (1, "a", "x y z w"),
+            (2, "b", "x y z"),
+            (3, "b", "p q r"),
+        ],
+    )
+    out = {
+        r["source"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty_by_source(df, k=3).collect()
+    }
+    assert out["a"] == (2, 2, 1000000)
+    # b contains {x y z} (owned by a) and {p q r} (owned by b)
+    assert out["b"] == (2, 1, 500000)
+
+
+def test_ngram_novelty_short_and_empty_docs(spark):
+    # <3 tokens → one whole-text shingle; empty text → one '' shingle
+    df = _docs(spark, [(1, "a", "hi there"), (2, "b", ""), (3, "c", "hi there")])
+    out = {
+        r["source"]: (r["n_shingles"], r["n_novel"])
+        for r in ngram_novelty_by_source(df, k=3).collect()
+    }
+    assert out["a"] == (1, 1)
+    assert out["b"] == (1, 1)  # the '' shingle, first seen in doc 2
+    assert out["c"] == (1, 0)  # 'hi there' owned by doc 1 / source a
+
+
+def test_doc_rarity_scores_integer_exact(spark):
+    # 4 docs; token 'common' in all 4 (idf = 4e6 div 4 = 1e6),
+    # 'rare' in one (idf = 4e6).  doc 4 = ['common','rare'] →
+    # (1e6 + 4e6) div 2 = 2_500_000.
+    df = _docs(
+        spark,
+        [
+            (1, "s", "common"),
+            (2, "s", "common"),
+            (3, "s", "common"),
+            (4, "s", "common rare"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in doc_rarity_scores(df, top_n=10).collect()}
+    assert rows[4]["rarity_micro"] == 2_500_000
+    assert rows[4]["n_tokens"] == 2
+    assert rows[1]["rarity_micro"] == 1_000_000
+    # ordering: rarest first, then doc_id
+    ordered = [r["doc_id"] for r in doc_rarity_scores(df, top_n=10).collect()]
+    assert ordered == [4, 1, 2, 3]
+
+
+def test_incremental_novelty_telescoping_invariant(spark, tmp_path):
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y z w"), (2, "a", "p q r")])
+    b2 = _docs(spark, [(3, "b", "x y z"), (4, "b", "m n o")])
+    b3 = _docs(spark, [(5, "c", "m n o p")])
+    stats = []
+    for bid, b in (("b1", b1), ("b2", b2), ("b3", b3)):
+        stats.append(
+            incremental_novelty_ingest(spark, root, b, bid).collect()[0]
+        )
+    union = b1.unionByName(b2).unionByName(b3)
+    total_distinct = batch_shingle_digests(union, 3).count()
+    assert sum(r["n_novel"] for r in stats) == total_distinct
+    # per-batch: b1 all-novel, b2's 'x y z' already seen
+    assert stats[0]["n_novel"] == stats[0]["n_shingles"]
+    assert stats[1]["n_novel"] == stats[1]["n_shingles"] - 1
+    # store digests == batch-union digests (set semantics)
+    from service_alerts_connector_spark.sources.parquet_io import read_dataset
+
+    store = read_dataset(spark, root, NOVELTY_STORE)
+    got = store.where(F.col("digest") != " batch").select("digest")
+    assert got.distinct().count() == got.count() == total_distinct
+    assert (
+        got.join(batch_shingle_digests(union, 3), "digest", "left_anti").count()
+        == 0
+    )
+
+
+def test_incremental_novelty_redelivery_is_idempotent(spark, tmp_path):
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y z w")])
+    b2 = _docs(spark, [(2, "b", "x y z")])
+    first = incremental_novelty_ingest(spark, root, b1, "b1").collect()[0]
+    incremental_novelty_ingest(spark, root, b2, "b2")
+    n_versions = len(list_versions(root, NOVELTY_STORE))
+    # redeliver b1 after later ingests: ORIGINAL stats, no new version
+    again = incremental_novelty_ingest(spark, root, b1, "b1").collect()[0]
+    assert again == first
+    assert again["n_novel"] == 2  # not 0 — re-derived from first_batch
+    assert len(list_versions(root, NOVELTY_STORE)) == n_versions
+
+
+def test_incremental_novelty_k_mismatch_raises(spark, tmp_path):
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y z w")])
+    incremental_novelty_ingest(spark, root, b1, "b1", k=3)
+    with pytest.raises(ValueError, match="built with k=3"):
+        incremental_novelty_ingest(spark, root, b1, "b2", k=2)
+
+
+def test_novelty_store_matches_batch_mirror(spark, tmp_path):
+    """Sequential per-source ingests reproduce the batch query's
+    attribution: ingesting sources in min-doc_id order makes
+    first_batch ≡ first-occurrence source."""
+    root = str(tmp_path)
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "x y z w"),
+            (2, "a", "p q r"),
+            (3, "b", "x y z"),
+            (4, "b", "m n o"),
+            (5, "c", "m n o p"),
+        ],
+    )
+    batch_out = {
+        r["source"]: r["n_novel"]
+        for r in ngram_novelty_by_source(docs, k=3).collect()
+    }
+    for src in ("a", "b", "c"):
+        st = incremental_novelty_ingest(
+            spark, root, docs.where(F.col("source") == src), src
+        ).collect()[0]
+        assert st["n_novel"] == batch_out[src], src
