@@ -10,6 +10,7 @@ from service_alerts_connector_spark.catalog_geo import GEO_QUERIES
 from service_alerts_connector_spark.catalog_corpus import CORPUS_QUERIES
 from service_alerts_connector_spark.catalog_events import EVENTS_QUERIES
 from service_alerts_connector_spark.catalog_text import TEXT_QUERIES as TQ2
+from service_alerts_connector_spark.catalog_novelty import NOVELTY_QUERIES
 from service_alerts_connector_spark.catalog_round7 import ROUND7_QUERIES
 from service_alerts_connector_spark.catalog_stats import STATS_QUERIES
 from service_alerts_connector_spark.catalog_tpch import TPCH_QUERIES
@@ -18,7 +19,7 @@ spark = get_spark(master="local[8]", shuffle_partitions=8)
 sf = "/root/testdata/sf0.001"
 ALL = {**CORE_QUERIES, **TEXT_QUERIES, **FIXER_QUERIES, **ANALYTICS_QUERIES,
        **GEO_QUERIES, **CORPUS_QUERIES, **EVENTS_QUERIES, **TPCH_QUERIES,
-       **ROUND7_QUERIES, **STATS_QUERIES}
+       **ROUND7_QUERIES, **STATS_QUERIES, **NOVELTY_QUERIES}
 PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti",
         "a3_lastwins_dedup", "p10_topk", "dedup_minhash_lsh", "ann_cosine_topk",
         "config_join_fanout", "w5_windowed_agg", "rollup_pricing",
@@ -46,8 +47,10 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "analyze_bytes", "join_order_plan",
         "q11_important_stock", "q16_supplier_counts",
         "q20_potential_promotion", "join_order_plan_stored",
-        "skew_salting_decision"]
+        "skew_salting_decision", "ngram_novelty", "doc_rarity_score"]
 NOTES = {
+    "ngram_novelty": "ONE shingle-keyed aggregation folds first-owner (min_by) and presence set (collect_set, bounded by #sources); explode of the tiny set + one source-keyed agg - the corpus is shuffled once on the shingle, never joined back",
+    "doc_rarity_score": "token-keyed count-distinct -> vocabulary-sized idf frame joined to occurrences on the token, doc-keyed agg, TakeOrderedAndProject top-50; the 1-row corpus count broadcasts through a 1xN BNLJ (the documented harmless case)",
     "skew_salting_decision": "one cells pass per table (the ANALYZE store's frame), per-column 1-row aggregates, broadcast-free union - nothing table-sized shuffles twice",
     "join_order_plan_stored": "NDVs fed from the ANALYZE cell-store layout; the decision subtree is a literal 2-row relation - zero scans, zero exchanges at plan time",
     "clamped_running_balance": "Lindley recursion closed form: ONE user_id hash exchange feeds both running windows, no join, no loop",
