@@ -181,6 +181,34 @@ def batch_shingle_digests(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def novelty_curve(store: DataFrame) -> DataFrame:
+    """The corpus saturation curve, re-derived from the store ALONE:
+    (batch_id, n_novel) per ingested batch, including batches that
+    contributed nothing (their ledger row exists; their digest count is
+    0).  Because every digest carries its introducing batch, the curve
+    needs no metric log — the store IS the metric.  Ordered by batch_id
+    string (callers using the streaming loop's ``<namespace>-<epoch>``
+    keys should order by epoch themselves if they exceed 9 batches —
+    lexicographic '10' < '2')."""
+    ledger = store.where(F.col("digest") == _LEDGER_DIGEST).select(
+        F.col("first_batch").alias("batch_id")
+    )
+    counts = (
+        store.where(F.col("digest") != _LEDGER_DIGEST)
+        .groupBy("first_batch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        .withColumnRenamed("first_batch", "batch_id")
+    )
+    return (
+        ledger.join(counts, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .orderBy("batch_id")
+    )
+
+
 def ingested_novelty_batches(store: DataFrame) -> list[str]:
     """Batch ids committed into a novelty store frame (ledger rows)."""
     return [

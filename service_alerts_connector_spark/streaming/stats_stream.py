@@ -174,3 +174,54 @@ def run_sample_ingest(
         )
 
     run_available_now(stream_df, _step, checkpoint_dir)
+
+
+def run_novelty_ingest(
+    spark,
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    shingle_k: int = 3,
+    compact_every: int | None = None,
+) -> None:
+    """Drain a document stream through ``incremental_novelty_ingest`` —
+    resident-stream maintenance of the first-occurrence shingle store
+    (corpus saturation tracking, the streaming face of
+    ``catalog_novelty.q_ngram_novelty``'s batch attribution).
+
+    Set-union with first-wins attribution is replay-idempotent at the
+    SET level, but the per-batch novelty METRIC is not (a replayed
+    batch would re-report 0 — everything already stored), so the
+    operator's ledger does the deduplication keyed on
+    ``<checkpoint namespace>-<batch_id>`` (see ``_checkpoint_namespace``
+    for why the bare engine batch_id is not enough).  The saturation
+    curve re-derives from the store alone at any time
+    (``operators/novelty.py novelty_curve``) — no separate metric log
+    to keep consistent.  ``compact_every`` compacts the digest store
+    every Nth batch (see ``run_colstats_ingest``)."""
+    from service_alerts_connector_spark.operators.novelty import (
+        NOVELTY_STORE,
+        incremental_novelty_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    ns = _checkpoint_namespace(checkpoint_dir)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # store committed inside the ingest; the returned 1-row stats
+        # frame is eagerly checkpointed by the operator (it must be
+        # forced before the version commit anyway), so it costs nothing
+        # to drop here — consumers read the curve from the store
+        incremental_novelty_ingest(
+            spark, state_root, batch_df, f"{ns}-{batch_id}", k=shingle_k
+        )
+        compact_if_due(
+            spark, state_root, NOVELTY_STORE, batch_id, compact_every
+        )
+
+    run_available_now(stream_df, _step, checkpoint_dir)

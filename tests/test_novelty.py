@@ -155,3 +155,86 @@ def test_novelty_store_matches_batch_mirror(spark, tmp_path):
             spark, root, docs.where(F.col("source") == src), src
         ).collect()[0]
         assert st["n_novel"] == batch_out[src], src
+
+
+def _stage_docs(tmp_path, batches):
+    import json
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for b, rows in enumerate(batches):
+        with open(staged / f"b{b}.jsonl", "w") as f:
+            for doc_id, source, text in rows:
+                f.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "source": source, "text": text}
+                    )
+                    + "\n"
+                )
+    return staged
+
+
+def test_streaming_novelty_loop(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        novelty_curve,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+    from service_alerts_connector_spark.streaming.stats_stream import (
+        run_novelty_ingest,
+    )
+
+    batches = [
+        [(1, "a", "x y z w"), (2, "a", "p q r")],
+        [(3, "b", "x y z"), (4, "b", "m n o")],
+    ]
+    staged = _stage_docs(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_novelty_ingest(
+        spark,
+        stream,
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    store = read_dataset(spark, str(tmp_path / "state"), NOVELTY_STORE)
+    # streamed ≡ batch: store digests equal the union's distinct shingles
+    union = _docs(spark, [r for b in batches for r in b])
+    expected = batch_shingle_digests(union, 3)
+    got = store.where(F.col("digest") != " batch").select("digest")
+    assert got.count() == expected.count()
+    assert got.join(expected, "digest", "left_anti").count() == 0
+    # the saturation curve re-derives from the store alone: batch 0 all
+    # novel (3 shingles: 'x y z','y z w','p q r'), batch 1 adds 'm n o'
+    curve = novelty_curve(store).collect()
+    assert [r["n_novel"] for r in curve] == [3, 1]
+    # ledger keys are namespaced per checkpoint lineage
+    prefixes = {r["batch_id"].rsplit("-", 1)[0] for r in curve}
+    suffixes = [r["batch_id"].rsplit("-", 1)[1] for r in curve]
+    assert len(prefixes) == 1 and suffixes == ["0", "1"]
+    marker = tmp_path / "ckpt" / "ledger_namespace.txt"
+    assert marker.read_text() == prefixes.pop()
+
+
+def test_novelty_curve_counts_zero_contribution_batches(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        novelty_curve,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    incremental_novelty_ingest(
+        spark, root, _docs(spark, [(1, "a", "x y z")]), "b1"
+    )
+    incremental_novelty_ingest(
+        spark, root, _docs(spark, [(2, "b", "x y z")]), "b2"
+    )
+    store = read_dataset(spark, root, NOVELTY_STORE)
+    curve = {r["batch_id"]: r["n_novel"] for r in novelty_curve(store).collect()}
+    assert curve == {"b1": 1, "b2": 0}
