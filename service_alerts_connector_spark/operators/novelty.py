@@ -59,6 +59,12 @@ NOVELTY_STORE = "novelty_shingles"
 # space-prefixed sentinel: collides with no md5 hex digest
 _LEDGER_DIGEST = " batch"
 
+DOCFREQ_STORE = "docfreq_cells"
+# space-prefixed sentinels: whitespace tokens can't survive tokens()'s
+# \s+ split, so no real token collides
+_DF_LEDGER_PREFIX = " batch:"
+_DF_NDOCS = " n_docs"
+
 
 def ngram_novelty_by_source(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-source first-occurrence novelty over word k-shingles.
@@ -332,3 +338,153 @@ def incremental_novelty_ingest(
     ).localCheckpoint(eager=True)
     write_dataset(merged, root, NOVELTY_STORE)
     return stats
+
+
+def batch_docfreq_cells(docs: DataFrame) -> DataFrame:
+    """(tok → dfreq) cells for one batch: distinct (doc, token) pairs
+    counted per token, plus the ``n_docs`` sentinel cell.  Additive
+    across DISJOINT batches (each doc arrives exactly once), which is
+    what makes the store mergeable — the colstats cell-histogram class."""
+    pairs = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.lit(1))
+    )
+    cells = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    ndocs_row = docs.agg(
+        F.lit(_DF_NDOCS).alias("tok"),
+        F.count(F.lit(1)).cast("long").alias("dfreq"),
+    )
+    return cells.unionByName(ndocs_row)
+
+
+def ingested_docfreq_batches(store: DataFrame) -> list[str]:
+    return [
+        r["tok"][len(_DF_LEDGER_PREFIX):]
+        for r in store.where(
+            F.col("tok").startswith(_DF_LEDGER_PREFIX)
+        ).collect()
+    ]
+
+
+def incremental_docfreq_ingest(
+    spark, root: str, batch: DataFrame, batch_id: str
+) -> DataFrame:
+    """O(batch) maintenance of the global document-frequency store —
+    the statistic ``doc_rarity_scores`` needs, kept incrementally so a
+    100 TB corpus never recomputes global dfreq per scoring pass.
+
+    Counts are ADDITIVE (each document is delivered in exactly one
+    batch), so redelivery would double them — the ingested-batch ledger
+    commits atomically with the cells inside one version write, making
+    a replayed ``batch_id`` a committed no-op (the
+    ``operators/colstats.py incremental_column_stats_ingest`` crash
+    story, applied to the token domain).  Store size is bounded at the
+    vocabulary (+1 ``n_docs`` cell, +1 ledger row per batch).
+
+    Contract: batches must partition the corpus by document — a doc
+    re-sent in a LATER batch under a new batch_id is the caller's
+    double-count (no ledger can catch it).  Returns the refreshed
+    1-row (n_docs, vocab_size) stats frame, forced before commit.
+    """
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    batch_cells = batch_docfreq_cells(batch)
+    ledger_row = spark.createDataFrame(
+        [(_DF_LEDGER_PREFIX + batch_id, 0)], "tok string, dfreq long"
+    )
+    versions = list_versions(root, DOCFREQ_STORE)
+    if versions:
+        prev = read_dataset(spark, root, DOCFREQ_STORE, version=versions[-1])
+        if batch_id in ingested_docfreq_batches(prev):
+            return docfreq_store_stats(prev).localCheckpoint(eager=True)
+        merged = (
+            prev.unionByName(batch_cells)
+            .unionByName(ledger_row)
+            .groupBy("tok")
+            .agg(F.sum("dfreq").cast("long").alias("dfreq"))
+        )
+    else:
+        merged = batch_cells.unionByName(ledger_row)
+    merged = merged.localCheckpoint(eager=True)
+    write_dataset(merged, root, DOCFREQ_STORE)
+    return docfreq_store_stats(merged).localCheckpoint(eager=True)
+
+
+def docfreq_store_stats(store: DataFrame) -> DataFrame:
+    """1-row (n_docs, vocab_size) from a docfreq store frame."""
+    return store.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("tok") == _DF_NDOCS, F.col("dfreq"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_docs"),
+        F.count(
+            F.when(
+                (F.col("tok") != _DF_NDOCS)
+                & (~F.col("tok").startswith(_DF_LEDGER_PREFIX)),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("vocab_size"),
+    )
+
+
+def rarity_scores_from_store(store: DataFrame, docs: DataFrame) -> DataFrame:
+    """Score documents against a PERSISTED docfreq store — the O(batch)
+    scoring pass: only the scored docs tokenize and join; the corpus
+    contributes nothing but the ≤vocabulary-sized idf frame.  With a
+    store covering exactly the scored corpus this is bit-equal to
+    ``doc_rarity_scores`` (pytest-pinned); with a larger corpus behind
+    the store, scores reflect GLOBAL frequencies — the point of keeping
+    the store.  Tokens absent from the store (dfreq would be 0) score
+    as maximally rare: idf = n_docs × 10⁶ (one hypothetical occurrence
+    — the standard unseen-token convention, kept integer-exact)."""
+    n_docs_df = store.where(F.col("tok") == _DF_NDOCS).select(
+        F.col("dfreq").alias("n_docs")
+    )
+    idf = (
+        store.where(
+            (F.col("tok") != _DF_NDOCS)
+            & (~F.col("tok").startswith(_DF_LEDGER_PREFIX))
+        )
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "tok",
+            F.expr("(n_docs * 1000000) div dfreq").alias("idf_micro"),
+        )
+    )
+    pairs = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        pairs.join(idf, "tok", "left")
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce(
+                F.col("idf_micro"), F.expr("n_docs * 1000000")
+            ).alias("idf_eff"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("idf_eff")).cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(_s div n_tokens)").alias("rarity_micro"),
+        )
+    )

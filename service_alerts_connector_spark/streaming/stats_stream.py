@@ -225,3 +225,39 @@ def run_novelty_ingest(
         )
 
     run_available_now(stream_df, _step, checkpoint_dir)
+
+
+def run_docfreq_ingest(
+    spark,
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+) -> None:
+    """Drain a document stream through ``incremental_docfreq_ingest`` —
+    resident maintenance of the global document-frequency cells that
+    ``rarity_scores_from_store`` prices new batches against.  Additive
+    counts need the ledger (colstats class): keys are
+    ``<checkpoint namespace>-<batch_id>``."""
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        compact_if_due,
+    )
+    from service_alerts_connector_spark.streaming.runner import (
+        run_available_now,
+    )
+
+    ns = _checkpoint_namespace(checkpoint_dir)
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_docfreq_ingest(
+            spark, state_root, batch_df, f"{ns}-{batch_id}"
+        )
+        compact_if_due(
+            spark, state_root, DOCFREQ_STORE, batch_id, compact_every
+        )
+
+    run_available_now(stream_df, _step, checkpoint_dir)

@@ -238,3 +238,154 @@ def test_novelty_curve_counts_zero_contribution_batches(spark, tmp_path):
     store = read_dataset(spark, root, NOVELTY_STORE)
     curve = {r["batch_id"]: r["n_novel"] for r in novelty_curve(store).collect()}
     assert curve == {"b1": 1, "b2": 0}
+
+
+def test_incremental_docfreq_sequential_equals_batch(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        batch_docfreq_cells,
+        incremental_docfreq_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y x"), (2, "a", "y z")])
+    b2 = _docs(spark, [(3, "b", "z w")])
+    incremental_docfreq_ingest(spark, root, b1, "b1")
+    stats = incremental_docfreq_ingest(spark, root, b2, "b2").collect()[0]
+    assert (stats["n_docs"], stats["vocab_size"]) == (3, 4)
+    store = read_dataset(spark, root, DOCFREQ_STORE)
+    got = sorted(
+        (r["tok"], r["dfreq"])
+        for r in store.where(~F.col("tok").startswith(" batch")).collect()
+    )
+    expected = sorted(
+        (r["tok"], r["dfreq"])
+        for r in batch_docfreq_cells(b1.unionByName(b2)).collect()
+    )
+    assert got == expected  # x:1 y:2 z:2 w:1 + n_docs:3
+
+
+def test_incremental_docfreq_redelivery_noop(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y")])
+    s1 = incremental_docfreq_ingest(spark, root, b1, "b1").collect()[0]
+    n_versions = len(list_versions(root, DOCFREQ_STORE))
+    again = incremental_docfreq_ingest(spark, root, b1, "b1").collect()[0]
+    assert again == s1  # additive counts NOT doubled
+    assert len(list_versions(root, DOCFREQ_STORE)) == n_versions
+    store = read_dataset(spark, root, DOCFREQ_STORE)
+    x = store.where(F.col("tok") == "x").collect()[0]
+    assert x["dfreq"] == 1
+
+
+def test_rarity_scores_from_store_match_batch_query(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+        rarity_scores_from_store,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "common common"),
+            (2, "s", "common rare"),
+            (3, "s", "common mid"),
+            (4, "s", "mid rare rare"),
+        ],
+    )
+    # two disjoint ingests, then score the WHOLE corpus off the store
+    incremental_docfreq_ingest(spark, root, docs.where("doc_id <= 2"), "b1")
+    incremental_docfreq_ingest(spark, root, docs.where("doc_id > 2"), "b2")
+    store = read_dataset(spark, root, DOCFREQ_STORE)
+    got = sorted(
+        map(tuple, rarity_scores_from_store(store, docs).collect())
+    )
+    expected = sorted(
+        map(tuple, doc_rarity_scores(docs, top_n=1000).collect())
+    )
+    assert got == expected
+
+
+def test_rarity_scores_unseen_token_maximally_rare(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+        rarity_scores_from_store,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    corpus = _docs(spark, [(1, "s", "a b"), (2, "s", "a c")])
+    incremental_docfreq_ingest(spark, root, corpus, "b1")
+    store = read_dataset(spark, root, DOCFREQ_STORE)
+    new_doc = _docs(spark, [(9, "s", "zzz")])
+    r = rarity_scores_from_store(store, new_doc).collect()[0]
+    assert r["rarity_micro"] == 2 * 1000000  # n_docs * 1e6
+
+
+def test_streaming_docfreq_loop_scores_new_batch(spark, tmp_path):
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        batch_docfreq_cells,
+        rarity_scores_from_store,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+    from service_alerts_connector_spark.streaming.stats_stream import (
+        run_docfreq_ingest,
+    )
+
+    batches = [
+        [(1, "s", "common common"), (2, "s", "common rare")],
+        [(3, "s", "common mid"), (4, "s", "mid rare rare")],
+    ]
+    staged = _stage_docs(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    run_docfreq_ingest(
+        spark,
+        stream,
+        state_root=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    store = read_dataset(spark, str(tmp_path / "state"), DOCFREQ_STORE)
+    union = _docs(spark, [r for b in batches for r in b])
+    got = sorted(
+        (r["tok"], r["dfreq"])
+        for r in store.where(~F.col("tok").startswith(" batch")).collect()
+    )
+    expected = sorted(
+        (r["tok"], r["dfreq"]) for r in batch_docfreq_cells(union).collect()
+    )
+    assert got == expected
+    # store-fed scoring over the streamed corpus == the batch query
+    scored = sorted(
+        map(tuple, rarity_scores_from_store(store, union).collect())
+    )
+    batch_q = sorted(
+        map(tuple, doc_rarity_scores(union, top_n=1000).collect())
+    )
+    assert scored == batch_q
