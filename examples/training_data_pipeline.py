@@ -3,10 +3,11 @@
 Run:  python examples/training_data_pipeline.py [sf_dir]
       (default /root/testdata/sf0.001)
 
-Flow: documents → quality gate → substring-span screen (rolling-shingle
-Lee-et-al dedup audit) → exact dedup → near dedup (MinHash+LSH) →
-leakage-safe train/val/test split → chunk → pack into fixed token
-budgets.  Every stage is the same operator the catalog exposes (and the
+Flow: documents → quality gate → saturation audit (per-source n-gram
+novelty + rare-token noise scoring) → substring-span screen
+(rolling-shingle Lee-et-al dedup audit) → exact dedup → near dedup
+(MinHash+LSH) → leakage-safe train/val/test split → chunk → pack into
+fixed token budgets.  Every stage is the same operator the catalog exposes (and the
 DuckDB oracle checks); this file just strings them together the way a
 pipeline team would.  (The embedding-side variant of stage 2/3 is
 ``operators/similarity.semantic_dedup`` — SemDeDup — exposed as the
@@ -26,6 +27,10 @@ from service_alerts_connector_spark.functions.text import token_count
 from service_alerts_connector_spark.operators.chunking import (
     chunk_documents,
     pack_bins,
+)
+from service_alerts_connector_spark.operators.novelty import (
+    doc_rarity_scores,
+    ngram_novelty_by_source,
 )
 from service_alerts_connector_spark.operators.textdedup import (
     duplicate_substring_spans,
@@ -48,6 +53,17 @@ def main() -> None:
     #    thresholded at the quality_deciles cutoffs)
     gated = docs.where(token_count(F.col("text")) >= 5)
     print(f"after quality gate: {gated.count()}")
+
+    # 1b. saturation audit: which sources still contribute unseen
+    #     n-grams (the collect-more signal — a near-zero novelty_ppm
+    #     source adds nothing new), and which docs are rare-token-heavy
+    #     noise.  At 100 TB the same scores come from the persistent
+    #     stores (incremental_novelty_ingest / rarity_scores_from_store)
+    #     instead of a full recompute.
+    print("per-source n-gram novelty:")
+    ngram_novelty_by_source(gated).show(5)
+    print("rare-token-heaviest docs (noise candidates):")
+    doc_rarity_scores(gated, top_n=3).show()
 
     # 2. substring-span screen: drop docs that are mostly duplicated
     #    spans of earlier docs (>50% of tokens inside repeated 8-token
