@@ -389,3 +389,98 @@ def test_streaming_docfreq_loop_scores_new_batch(spark, tmp_path):
         map(tuple, doc_rarity_scores(union, top_n=1000).collect())
     )
     assert scored == batch_q
+
+
+@pytest.fixture()
+def crash_before_snapshot(monkeypatch):
+    import service_alerts_connector_spark.sources.parquet_io as pio
+
+    real = pio.write_dataset
+    state = {"armed": False}
+
+    def wrapper(df, root, dataset, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            kw["latest_copy"] = False
+            real(df, root, dataset, **kw)
+            raise RuntimeError("injected crash: died before snapshot refresh")
+        return real(df, root, dataset, **kw)
+
+    monkeypatch.setattr(pio, "write_dataset", wrapper)
+    return lambda: state.update(armed=True)
+
+
+def test_docfreq_crash_redelivery_does_not_double_count(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Additive dfreq cells are the double-count class: the version
+    commit SUCCEEDED (cells + ledger atomically), only the snapshot
+    refresh died — the redelivered batch must be a ledgered no-op."""
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        batch_docfreq_cells,
+        incremental_docfreq_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y"), (2, "a", "y z")])
+    b2 = _docs(spark, [(3, "b", "y w")])
+    incremental_docfreq_ingest(spark, root, b1, "b1")
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_docfreq_ingest(spark, root, b2, "b2")
+
+    incremental_docfreq_ingest(spark, root, b2, "b2")  # redelivery
+    # pin the newest committed VERSION: the crashed ingest died before
+    # the snapshot refresh, and a ledgered no-op redelivery deliberately
+    # writes nothing — `current` stays stale until the next real ingest
+    store = read_dataset(
+        spark, root, DOCFREQ_STORE,
+        version=list_versions(root, DOCFREQ_STORE)[-1],
+    )
+    got = sorted(
+        (r["tok"], r["dfreq"])
+        for r in store.where(~F.col("tok").startswith(" batch")).collect()
+    )
+    expected = sorted(
+        (r["tok"], r["dfreq"])
+        for r in batch_docfreq_cells(b1.unionByName(b2)).collect()
+    )
+    assert got == expected  # y stays 3, never 4
+
+
+def test_novelty_store_crash_redelivery_converges(
+    spark, tmp_path, crash_before_snapshot
+):
+    """Set-union first-wins is replay-idempotent at the set level AND the
+    metric level here: the crashed ingest's version committed, so the
+    retry re-derives the ORIGINAL stats from first_batch."""
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y z w")])
+    b2 = _docs(spark, [(2, "b", "x y z"), (3, "b", "m n o")])
+    incremental_novelty_ingest(spark, root, b1, "b1")
+
+    crash_before_snapshot()
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_novelty_ingest(spark, root, b2, "b2")
+
+    st = incremental_novelty_ingest(spark, root, b2, "b2").collect()[0]
+    # b2's docs are exactly 3 tokens each → one shingle apiece;
+    # 'x y z' was introduced by b1, so only 'm n o' is novel
+    assert (st["n_shingles"], st["n_novel"]) == (2, 1)
+    n_all = batch_shingle_digests(b1.unionByName(b2), 3).count()
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    store = read_dataset(
+        spark, root, NOVELTY_STORE,
+        version=list_versions(root, NOVELTY_STORE)[-1],
+    )
+    assert (
+        store.where(F.col("digest") != " batch").distinct().count() == n_all
+    )
