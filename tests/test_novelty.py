@@ -484,3 +484,65 @@ def test_novelty_store_crash_redelivery_converges(
     assert (
         store.where(F.col("digest") != " batch").distinct().count() == n_all
     )
+
+
+def test_ngram_novelty_properties_on_random_corpora(spark):
+    """Seeded-random corpora property check (one Spark round-trip per
+    corpus, hypothesis-style invariants without per-example sessions):
+    (1) telescoping — Σ per-source n_novel == corpus-wide distinct
+    shingles; (2) bounds — 0 ≤ n_novel ≤ n_shingles, ppm ≤ 10⁶; (3) the
+    min-doc_id document's source always owns at least one shingle."""
+    import random
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(4, 12))]
+        rows = [
+            (
+                i,
+                f"s{rng.randint(0, 3)}",
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))),
+            )
+            for i in range(1, rng.randint(10, 40))
+        ]
+        df = _docs(spark, rows)
+        out = ngram_novelty_by_source(df, k=3).collect()
+        total_distinct = batch_shingle_digests(df, 3).count()
+        assert sum(r["n_novel"] for r in out) == total_distinct, seed
+        for r in out:
+            assert 0 <= r["n_novel"] <= r["n_shingles"], (seed, r)
+            assert 0 <= r["novelty_ppm"] <= 1_000_000, (seed, r)
+        first_source = min(rows)[1]
+        owned = {r["source"]: r["n_novel"] for r in out}
+        assert owned[first_source] >= 1, seed
+
+
+def test_novelty_store_order_insensitive_digest_set(spark, tmp_path):
+    """Set-union commutativity: ingesting the same corpus under any
+    batch partition/order lands the same digest set (attribution
+    differs by design — first_batch follows arrival order)."""
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    rows = [
+        (1, "a", "x y z w"),
+        (2, "a", "p q r"),
+        (3, "b", "x y z"),
+        (4, "b", "m n o"),
+        (5, "c", "m n o p"),
+    ]
+    digests = {}
+    for label, order in (("fwd", [0, 1, 2]), ("rev", [2, 1, 0])):
+        root = str(tmp_path / label)
+        parts = [rows[0:2], rows[2:4], rows[4:5]]
+        for i in order:
+            incremental_novelty_ingest(
+                spark, root, _docs(spark, parts[i]), f"b{i}"
+            )
+        store = read_dataset(spark, root, NOVELTY_STORE)
+        digests[label] = {
+            r["digest"]
+            for r in store.where(F.col("digest") != " batch").collect()
+        }
+    assert digests["fwd"] == digests["rev"]
