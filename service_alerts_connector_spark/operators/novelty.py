@@ -268,6 +268,13 @@ def incremental_novelty_ingest(
     everything as novel): persisted beside the store on first ingest,
     re-validated on every later one (the sample-store k rule).
 
+    Cost honesty: the anti-join PROBE is O(batch), but each version
+    commit rewrites prev ∪ novel — O(store) write I/O per ingest, the
+    same full-snapshot discipline as the sibling band/shingle/semdedup
+    stores (what buys the one-``_SUCCESS`` crash story).  At
+    lakehouse scale the documented swap is ``sources/lakehouse.py``'s
+    Delta MERGE (true file-level appends + a transaction log).
+
     The returned frame is forced (eager localCheckpoint) before the new
     version commits, so callers holding it across later ingests never
     read through a retention-pruned version (store discipline per
