@@ -30,6 +30,9 @@ def test_no_name_collisions():
     from service_alerts_connector_spark.catalog_temporal import (
         TEMPORAL_QUERIES,
     )
+    from service_alerts_connector_spark.catalog_novelty import (
+        NOVELTY_QUERIES,
+    )
     from service_alerts_connector_spark.catalog_round7 import (
         ROUND7_QUERIES,
     )
@@ -50,6 +53,7 @@ def test_no_name_collisions():
         CORPUS_QUERIES,
         EVENTS_QUERIES,
         EXTRA_QUERIES,
+        NOVELTY_QUERIES,
     ]
     total = sum(len(p) for p in parts)
     assert len(E.queries()) == total  # a collision would silently drop one
