@@ -24,12 +24,10 @@ from service_alerts_connector_spark.operators.novelty import (
     ngram_novelty_by_source,
 )
 
-# Guarded tokenization (empty/null text → []), mirroring
-# functions/text.py tokens() — the catalog_corpus._TOKS convention.
-_TOKS = (
-    "CASE WHEN trim(lower(text)) IS NULL OR trim(lower(text)) = '' "
-    "THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
-)
+# ONE DuckDB rendering of functions/text.py tokens() — imported, not
+# re-stated, so the two tiers' oracles can't drift apart on a future
+# tokenization change.
+from service_alerts_connector_spark.catalog_corpus import _TOKS
 
 # 3-word shingles over a materialized token array t, mirroring
 # functions/text.py word_shingles_of (shorter than k → one whole-text
@@ -54,7 +52,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_NOVELTY = f"""
 WITH toks AS (
-  SELECT doc_id, source, {_TOKS} AS t FROM documents
+  SELECT doc_id, coalesce(source, '<null>') AS source, {_TOKS} AS t
+  FROM documents
 ), sh AS (
   SELECT doc_id, source, unnest({_SHINGLES_OF_T}) AS sh FROM toks
 ), g AS (

@@ -80,9 +80,17 @@ def ngram_novelty_by_source(docs: DataFrame, k: int = 3) -> DataFrame:
     collect_set presence, the set bounded by #sources), one explode of
     the tiny presence set, one aggregation keyed on source.  No join
     against the corpus, no per-shingle window.
+
+    NULL sources group under the ``<null>`` label: ``collect_set`` drops
+    NULLs and ``min_by`` would return a NULL owner, so without the
+    coalesce a shingle first seen in a null-source doc would be owned by
+    NOBODY and Σ n_novel would silently undercount the vocabulary —
+    breaking the telescoping invariant the property test pins.
     """
     base = docs.select(
-        "doc_id", "source", tokens(F.col("text")).alias("toks")
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"),
+        tokens(F.col("text")).alias("toks"),
     )
     sh = base.select(
         "doc_id",
@@ -125,11 +133,21 @@ def doc_rarity_scores(docs: DataFrame, top_n: int = 50) -> DataFrame:
     """Top-``top_n`` documents by mean token rarity, integer-exact.
 
     rarity(token) = (n_docs * 1_000_000) div doc_freq(token) — an idf in
-    micro units kept in 64-bit integer arithmetic so Spark and any SQL
+    micro units kept in exact integer arithmetic so Spark and any SQL
     oracle agree bit-for-bit.  A document's score is the integer mean of
     rarity over its token OCCURRENCES (repeated rare tokens weigh more,
     the quality-filter behaviour we want).  Documents with no tokens
     (empty/null text) carry no score and are excluded.
+
+    Overflow discipline: the per-doc sum Σ n·idf can exceed int64 on
+    exactly the documents this filter exists to catch (a 10k-token doc
+    of df=1 tokens at 10⁹ corpus docs sums to ~10¹⁹ > 2⁶³, and Spark's
+    non-ANSI long sum would WRAP — inverting the top-k while DuckDB's
+    HUGEINT oracle stays correct).  The sum therefore runs in
+    DECIMAL(38,0) (exact; Spark's decimal ``div`` returns the exact
+    integral quotient as BIGINT, matching HUGEINT ``//``), leaving one
+    residual bound: idf itself stays int64-exact while
+    n_docs ≤ 9.2×10¹², beyond any 100 TB corpus.
 
     Plan shape: occurrences reduce ONCE to unique (doc, token) pairs
     with a repeat count — the doc-freq count-distinct becomes a plain
@@ -160,9 +178,9 @@ def doc_rarity_scores(docs: DataFrame, top_n: int = 50) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_tokens"),
-            F.sum(F.col("n") * F.col("idf_micro"))
-            .cast("long")
-            .alias("_s"),
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * idf_micro")).alias(
+                "_s"
+            ),
         )
         .select(
             "doc_id",
@@ -193,9 +211,9 @@ def novelty_curve(store: DataFrame) -> DataFrame:
     contributed nothing (their ledger row exists; their digest count is
     0).  Because every digest carries its introducing batch, the curve
     needs no metric log — the store IS the metric.  Ordered by batch_id
-    string (callers using the streaming loop's ``<namespace>-<epoch>``
-    keys should order by epoch themselves if they exceed 9 batches —
-    lexicographic '10' < '2')."""
+    string; the streaming loops zero-pad their ``<namespace>-<epoch>``
+    keys to 12 digits so lexicographic == arrival order (callers
+    inventing their own keys own the same obligation)."""
     ledger = store.where(F.col("digest") == _LEDGER_DIGEST).select(
         F.col("first_batch").alias("batch_id")
     )
@@ -286,6 +304,7 @@ def incremental_novelty_ingest(
         write_dataset,
     )
 
+    versions = list_versions(root, NOVELTY_STORE)
     kf = os.path.join(root, NOVELTY_STORE, "shingle_k.txt")
     if os.path.exists(kf):
         with open(kf) as f:
@@ -296,6 +315,15 @@ def incremental_novelty_ingest(
                 f"ingesting with k={k} would mark every shingle novel "
                 "(disjoint digest spaces) — use the original k or rebuild"
             )
+    elif versions:
+        # committed versions but no sidecar: the parameter record was
+        # lost (partial copy/cleanup) — re-seeding with the CALLER's k
+        # would silently defeat the guard exactly when it matters
+        raise ValueError(
+            f"novelty store at {root!r} has committed versions but no "
+            "shingle_k.txt parameter record — restore the sidecar (the "
+            "k the store was built with) or rebuild the store"
+        )
     else:
         os.makedirs(os.path.dirname(kf), exist_ok=True)
         tmp = kf + ".tmp"
@@ -303,8 +331,6 @@ def incremental_novelty_ingest(
             f.write(str(k))
         os.replace(tmp, kf)
 
-    batch_dg = batch_shingle_digests(batch, k)
-    versions = list_versions(root, NOVELTY_STORE)
     if versions:
         prev = read_dataset(
             spark, root, NOVELTY_STORE, version=versions[-1]
@@ -315,18 +341,28 @@ def incremental_novelty_ingest(
                 & (F.col("first_batch") == batch_id)
             ).agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
             return _novelty_stats(
-                batch_dg, novel_count, batch_id
+                batch_shingle_digests(batch, k), novel_count, batch_id
             ).localCheckpoint(eager=True)
-        novel = batch_dg.join(
-            prev.select("digest"), "digest", "left_anti"
-        ).select(
-            "digest", F.lit(batch_id).alias("first_batch")
-        )
     else:
         prev = None
+
+    # Pin ONE evaluation of each expensive subtree (CLAUDE.md multi-
+    # consumer rule): batch_dg feeds the anti-join AND the n_shingles
+    # count; novel feeds the stats count AND the version write — unpinned,
+    # the shingling would run 3× and the O(store) anti-join 2× per ingest.
+    batch_dg = batch_shingle_digests(batch, k).localCheckpoint(eager=True)
+    if prev is not None:
+        novel = batch_dg.join(
+            prev.select("digest"), "digest", "left_anti"
+        ).select("digest", F.lit(batch_id).alias("first_batch"))
+    else:
         novel = batch_dg.select(
             "digest", F.lit(batch_id).alias("first_batch")
         )
+    # the eager pin also forces `novel` BEFORE the commit: it reads the
+    # PREVIOUS version through the anti-join — a lazy return would break
+    # once retention prunes that dir
+    novel = novel.localCheckpoint(eager=True)
 
     ledger_row = spark.createDataFrame(
         [(_LEDGER_DIGEST, batch_id)], "digest string, first_batch string"
@@ -334,9 +370,6 @@ def incremental_novelty_ingest(
     merged = novel.unionByName(ledger_row)
     if prev is not None:
         merged = prev.unionByName(merged)
-    # Force the stats BEFORE committing: they read `novel`, which is
-    # pinned to the PREVIOUS version via the anti-join — a lazy return
-    # would break once retention prunes that dir.
     novel_count = novel.agg(
         F.count(F.lit(1)).cast("long").alias("n_novel")
     )
@@ -487,7 +520,10 @@ def rarity_scores_from_store(store: DataFrame, docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_tokens"),
-            F.sum(F.col("n") * F.col("idf_eff")).cast("long").alias("_s"),
+            # DECIMAL(38,0) sum: see doc_rarity_scores' overflow note
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * idf_eff")).alias(
+                "_s"
+            ),
         )
         .select(
             "doc_id",

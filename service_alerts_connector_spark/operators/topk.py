@@ -119,6 +119,13 @@ def incremental_sample_ingest(
     next ingest (the hazard the semdedup store fixed the same way)."""
     import os
 
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+        write_dataset,
+    )
+
+    existing = list_versions(root, SAMPLE_STORE)
     kf = os.path.join(root, SAMPLE_STORE, "sample_k.txt")
     if os.path.exists(kf):
         with open(kf) as f:
@@ -130,17 +137,21 @@ def incremental_sample_ingest(
                 "truncation is irreversible) — use the original k or "
                 "rebuild the store"
             )
+    elif existing:
+        # committed versions but no sidecar: the parameter record was
+        # lost (partial copy/cleanup) — re-seeding with the CALLER's k
+        # would silently defeat the guard exactly when it matters
+        raise ValueError(
+            f"sample store at {root!r} has committed versions but no "
+            "sample_k.txt parameter record — restore the sidecar (the "
+            "k the store was built with) or rebuild the store"
+        )
     else:
         os.makedirs(os.path.dirname(kf), exist_ok=True)
         tmp = kf + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(k))
         os.replace(tmp, kf)
-    from service_alerts_connector_spark.sources.parquet_io import (
-        list_versions,
-        read_dataset,
-        write_dataset,
-    )
 
     batch_s = (
         batch.select(

@@ -216,9 +216,13 @@ def run_novelty_ingest(
         # store committed inside the ingest; the returned 1-row stats
         # frame is eagerly checkpointed by the operator (it must be
         # forced before the version commit anyway), so it costs nothing
-        # to drop here — consumers read the curve from the store
+        # to drop here — consumers read the curve from the store.
+        # Zero-padded epoch: novelty_curve orders batch_ids as STRINGS,
+        # and an unpadded 'ns-10' sorts before 'ns-2' — the lpad rule
+        # (lexicographic == numeric for fixed-width non-negatives).
         incremental_novelty_ingest(
-            spark, state_root, batch_df, f"{ns}-{batch_id}", k=shingle_k
+            spark, state_root, batch_df, f"{ns}-{batch_id:012d}",
+            k=shingle_k,
         )
         compact_if_due(
             spark, state_root, NOVELTY_STORE, batch_id, compact_every
@@ -253,8 +257,10 @@ def run_docfreq_ingest(
     ns = _checkpoint_namespace(checkpoint_dir)
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # zero-padded epoch for lexicographic == arrival order (see
+        # run_novelty_ingest)
         incremental_docfreq_ingest(
-            spark, state_root, batch_df, f"{ns}-{batch_id}"
+            spark, state_root, batch_df, f"{ns}-{batch_id:012d}"
         )
         compact_if_due(
             spark, state_root, DOCFREQ_STORE, batch_id, compact_every

@@ -212,10 +212,11 @@ def test_streaming_novelty_loop(spark, tmp_path):
     # novel (3 shingles: 'x y z','y z w','p q r'), batch 1 adds 'm n o'
     curve = novelty_curve(store).collect()
     assert [r["n_novel"] for r in curve] == [3, 1]
-    # ledger keys are namespaced per checkpoint lineage
+    # ledger keys are namespaced per checkpoint lineage and zero-padded
+    # so the curve's string order IS arrival order
     prefixes = {r["batch_id"].rsplit("-", 1)[0] for r in curve}
     suffixes = [r["batch_id"].rsplit("-", 1)[1] for r in curve]
-    assert len(prefixes) == 1 and suffixes == ["0", "1"]
+    assert len(prefixes) == 1 and suffixes == ["0" * 12, "0" * 11 + "1"]
     marker = tmp_path / "ckpt" / "ledger_namespace.txt"
     assert marker.read_text() == prefixes.pop()
 
@@ -546,3 +547,53 @@ def test_novelty_store_order_insensitive_digest_set(spark, tmp_path):
             for r in store.where(F.col("digest") != " batch").collect()
         }
     assert digests["fwd"] == digests["rev"]
+
+
+def test_ngram_novelty_null_source_keeps_telescoping(spark):
+    """A shingle first seen in a NULL-source doc must still be owned by
+    SOMEBODY (the '<null>' group) or Σ n_novel undercounts the
+    vocabulary — collect_set drops NULLs and min_by would return a NULL
+    owner without the coalesce."""
+    df = _docs(
+        spark,
+        [
+            (1, None, "x y z w"),
+            (2, "b", "x y z"),
+            (3, "b", "p q r"),
+        ],
+    )
+    out = ngram_novelty_by_source(df, k=3).collect()
+    total = batch_shingle_digests(df, 3).count()
+    assert sum(r["n_novel"] for r in out) == total
+    by_src = {r["source"]: r["n_novel"] for r in out}
+    assert by_src["<null>"] == 2  # 'x y z' and 'y z w'
+    assert by_src["b"] == 1  # 'p q r'
+
+
+def test_novelty_store_missing_sidecar_raises(spark, tmp_path):
+    import os
+
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y z w")])
+    incremental_novelty_ingest(spark, root, b1, "b1", k=3)
+    os.remove(os.path.join(root, NOVELTY_STORE, "shingle_k.txt"))
+    with pytest.raises(ValueError, match="no shingle_k.txt"):
+        incremental_novelty_ingest(spark, root, b1, "b2", k=2)
+
+
+def test_sample_store_missing_sidecar_raises(spark, tmp_path):
+    import os
+
+    from service_alerts_connector_spark.operators.topk import (
+        SAMPLE_STORE,
+        incremental_sample_ingest,
+    )
+
+    root = str(tmp_path)
+    batch = spark.range(100).select(F.col("id").alias("doc_id"))
+    incremental_sample_ingest(spark, root, batch, "doc_id", ["doc_id"], k=16)
+    os.remove(os.path.join(root, SAMPLE_STORE, "sample_k.txt"))
+    with pytest.raises(ValueError, match="no sample_k.txt"):
+        incremental_sample_ingest(
+            spark, root, batch, "doc_id", ["doc_id"], k=32
+        )
