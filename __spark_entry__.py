@@ -224,14 +224,15 @@ _DRIVER_SAMPLED = frozenset(
 # their first round.  (c) steady-state staleness rotation: the round-8
 # cohort — the stalest certificates per `python tools/cert_ages.py`
 # (TPC-H heads, media decoders, sketches, graph, ANN, asof/window
-# family) — fills the remaining 46 slots; the three displaced names
-# (scd2_history, sessionize, window_rank_suite) stay the stalest and
-# lead round 14.
+# family) — fills the remaining 45 slots; the four displaced names
+# (rolling_window_agg, scd2_history, sessionize, window_rank_suite)
+# stay the stalest and lead round 14.
 _R13_LEAD = (
     # (a) changed since their last certificate
     "skew_salting_decision",
     # (b) never certified (new this round)
     "ngram_novelty", "doc_rarity_score", "stratified_kfold",
+    "group_kfold",
     # (c) stalest certificates: round 8 (46 of 49)
     "ann_pq_fixed", "ann_rerank", "ann_sq8", "asof_join",
     "bloom_semi_join", "cms_heavy_hitters", "conversion_delay_profile",
@@ -247,7 +248,7 @@ _R13_LEAD = (
     "q21_waiting_suppliers", "q22_dormant_value", "q3_shipping_priority",
     "q4_priority_check", "q5_region_volume", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "range_join_agg",
-    "rolling_distinct_hll", "rolling_window_agg",
+    "rolling_distinct_hll",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):

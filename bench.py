@@ -258,6 +258,7 @@ HEADLINE = [
     "ngram_novelty",
     "doc_rarity_score",
     "stratified_kfold",
+    "group_kfold",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -176,3 +176,93 @@ NOVELTY_ORACLES = {
     "doc_rarity_score": SQL_DOC_RARITY,
     "stratified_kfold": SQL_STRATIFIED_KFOLD,
 }
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware k-fold (GroupKFold): near-dups never straddle CV folds
+# ---------------------------------------------------------------------------
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation folds assigned at the duplicate-CLUSTER level:
+    the fold is a hash of the document's connected-component
+    representative (LSH pair mining; unclustered docs key on their own
+    id), so near-duplicates can never land in different folds — the CV
+    counterpart of ``leakage_safe_split``'s train/test discipline
+    (per-doc fold hashing would leak every near-dup pair across fold
+    boundaries, inflating every cross-validated metric).
+
+    Fold = 32-bit md5 fraction of the group key mod 5 — a pure row
+    function (stable under repartitioning and appends, no window at
+    all), trading the per-stratum ±1 balance of ``stratified_kfold``
+    for cluster atomicity and unbounded scalability.  No orderBy: the
+    correctness gate hashes the value multiset, and a corpus-wide sort
+    would be this plan's only super-linear cost at 100 TB."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gkf-v1:"), F.col("group_key").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return keyed.select(
+        "doc_id", "group_key", F.pmod(h32, F.lit(5)).cast("long").alias("fold")
+    )
+
+
+def _sql_group_kfold() -> str:
+    # ONE rendering of the minhash/band/pair/CC SQL — imported from
+    # catalog_text so the two split-family oracles cannot drift.
+    from service_alerts_connector_spark.catalog_text import (
+        _SQL_MINHASH_BANDS,
+        _SQL_PAIR_SELECT,
+    )
+
+    fold = (
+        "('0x' || substr(md5('gkf-v1:' || "
+        "CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8))"
+        "::BIGINT % 5"
+    )
+    return (
+        _SQL_MINHASH_BANDS.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+, pairs AS (
+  {_SQL_PAIR_SELECT}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_key,
+       CAST({fold} AS BIGINT) AS fold
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+    )
+
+
+NOVELTY_QUERIES["group_kfold"] = q_group_kfold
+NOVELTY_ORACLES["group_kfold"] = _sql_group_kfold()
