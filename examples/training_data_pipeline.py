@@ -85,11 +85,16 @@ def main() -> None:
     print(f"after exact+near dedup: {kept.count()}")
 
     # 4. leakage-safe split (cluster-aware: near-dups never straddle
-    #    train and held-out)
+    #    train and held-out), plus cluster-atomic CV folds for the
+    #    evaluation loop (same discipline at fold granularity)
     split = q_leakage_safe_split(spark, sf_dir).join(
         kept, "doc_id", "left_semi"
     )
     split.groupBy("split").count().orderBy("split").show()
+    from service_alerts_connector_spark.catalog_novelty import q_group_kfold
+
+    folds = q_group_kfold(spark, sf_dir).join(kept, "doc_id", "left_semi")
+    folds.groupBy("fold").count().orderBy("fold").show()
 
     # 5. chunk to 64-token windows (16 overlap), pack into 256-token bins
     #    across 4 shards (packing parallelizes per shard)

@@ -597,3 +597,32 @@ def test_sample_store_missing_sidecar_raises(spark, tmp_path):
         incremental_sample_ingest(
             spark, root, batch, "doc_id", ["doc_id"], k=32
         )
+
+
+def test_group_kfold_is_cluster_atomic(spark):
+    """Every duplicate cluster maps to exactly ONE fold (the property the
+    query exists for), and folds span the full 0..4 range on the sf0.001
+    corpus.  Guards refactors that might re-derive the fold from the
+    doc_id instead of the group key."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    from service_alerts_connector_spark.catalog_novelty import q_group_kfold
+
+    out = q_group_kfold(spark, sf)
+    violations = (
+        out.groupBy("group_key")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .count()
+    )
+    assert violations == 0
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds == {0, 1, 2, 3, 4}
+    # and at least one real multi-doc cluster exercised the property
+    assert (
+        out.groupBy("group_key").count().where(F.col("count") > 1).count()
+        > 0
+    )
