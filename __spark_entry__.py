@@ -233,7 +233,7 @@ _R13_LEAD = (
     # (b) never certified (new this round)
     "ngram_novelty", "doc_rarity_score", "stratified_kfold",
     "group_kfold",
-    # (c) stalest certificates: round 8 (46 of 49)
+    # (c) stalest certificates: round 8 (45 of 49)
     "ann_pq_fixed", "ann_rerank", "ann_sq8", "asof_join",
     "bloom_semi_join", "cms_heavy_hitters", "conversion_delay_profile",
     "embedding_center_stats", "embedding_dim_stats", "embedding_normalize",

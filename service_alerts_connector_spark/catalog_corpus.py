@@ -30,6 +30,20 @@ _TOKS = (
     "THEN [] ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 )
 
+# DuckDB rendering of functions/text.py word_shingles_of(k=3) over a
+# token-array column named ``t`` (shorter than k → one whole-text
+# shingle).  The ONE shared shingle fragment: catalog_text composes it
+# over its raw-split tokens, catalog_novelty over ``_TOKS`` — the
+# tokenizations intentionally differ on empty/NULL text (raw split of
+# '' is [''] → shingle ['']; _TOKS is [] → shingle [NULL], and DuckDB's
+# array_to_string([]) is NULL, not ''), so only the SHINGLING is
+# shared, never a merged tokenizer.
+_SHINGLES_OF_T = (
+    "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+    "ELSE list_transform(range(len(t) - 2), "
+    "i -> array_to_string(t[i+1:i+3], ' ')) END"
+)
+
 
 # ---------------------------------------------------------------------------
 # Fixed-size overlapping token windows (tokenizer stride convention)

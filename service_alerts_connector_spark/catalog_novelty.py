@@ -24,18 +24,14 @@ from service_alerts_connector_spark.operators.novelty import (
     ngram_novelty_by_source,
 )
 
-# ONE DuckDB rendering of functions/text.py tokens() — imported, not
-# re-stated, so the two tiers' oracles can't drift apart on a future
-# tokenization change.
-from service_alerts_connector_spark.catalog_corpus import _TOKS
-
-# 3-word shingles over a materialized token array t, mirroring
-# functions/text.py word_shingles_of (shorter than k → one whole-text
-# shingle).
-_SHINGLES_OF_T = (
-    "CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
-    "ELSE list_transform(range(len(t) - 2), "
-    "i -> array_to_string(t[i+1:i+3], ' ')) END"
+# ONE DuckDB rendering of functions/text.py tokens() and of
+# word_shingles_of(k=3) — imported, not re-stated, so the tiers'
+# oracles can't drift apart on a future tokenization/shingling change
+# (catalog_text composes the same shingle fragment over its raw-split
+# tokens).
+from service_alerts_connector_spark.catalog_corpus import (
+    _SHINGLES_OF_T,
+    _TOKS,
 )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from service_alerts_connector_spark.catalog_corpus import _SHINGLES_OF_T
 from service_alerts_connector_spark.functions import text as TX
 from service_alerts_connector_spark.operators.similarity import (
     bucketed_cosine_topk,
@@ -34,17 +35,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Shared DuckDB CTE: tokenization + 3-word shingles, mirroring
-# functions/text.py exactly (trim→lower→split on \s+; slice windows of 3).
-_SQL_SHINGLES = r"""
+# functions/text.py exactly (trim→lower→split on \s+; slice windows of
+# 3).  The shingle expression is the ONE shared fragment from
+# catalog_corpus (also composed by catalog_novelty over _TOKS); the
+# raw-split tokenization here is this tier's own, deliberately — see
+# the fragment's note on the empty-text divergence.
+_SQL_SHINGLES = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
 ), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE list_transform(range(len(t) - 2),
-                                  i -> array_to_string(t[i+1:i+3], ' '))
-         END AS shingles
+  SELECT doc_id, {_SHINGLES_OF_T} AS shingles
   FROM toks
 )
 """

@@ -45,8 +45,6 @@ a training-data pipeline needs (SURVEY §2 training-pipeline mandate).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -300,37 +298,20 @@ def incremental_novelty_ingest(
     """
     from service_alerts_connector_spark.sources.parquet_io import (
         list_versions,
+        persist_or_validate_store_param,
         read_dataset,
         write_dataset,
     )
 
+    persist_or_validate_store_param(
+        root,
+        NOVELTY_STORE,
+        "shingle_k.txt",
+        "k",
+        k,
+        "mark every shingle novel (disjoint digest spaces)",
+    )
     versions = list_versions(root, NOVELTY_STORE)
-    kf = os.path.join(root, NOVELTY_STORE, "shingle_k.txt")
-    if os.path.exists(kf):
-        with open(kf) as f:
-            stored_k = int(f.read().strip())
-        if stored_k != k:
-            raise ValueError(
-                f"novelty store at {root!r} was built with k={stored_k}; "
-                f"ingesting with k={k} would mark every shingle novel "
-                "(disjoint digest spaces) — use the original k or rebuild"
-            )
-    elif versions:
-        # committed versions but no sidecar: the parameter record was
-        # lost (partial copy/cleanup) — re-seeding with the CALLER's k
-        # would silently defeat the guard exactly when it matters
-        raise ValueError(
-            f"novelty store at {root!r} has committed versions but no "
-            "shingle_k.txt parameter record — restore the sidecar (the "
-            "k the store was built with) or rebuild the store"
-        )
-    else:
-        os.makedirs(os.path.dirname(kf), exist_ok=True)
-        tmp = kf + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(k))
-        os.replace(tmp, kf)
-
     if versions:
         prev = read_dataset(
             spark, root, NOVELTY_STORE, version=versions[-1]

@@ -117,42 +117,21 @@ def incremental_sample_ingest(
     ``current`` would silently resolve to a later ingest's sample, or
     hit a missing path mid-refresh, if the caller held it across the
     next ingest (the hazard the semdedup store fixed the same way)."""
-    import os
-
     from service_alerts_connector_spark.sources.parquet_io import (
         list_versions,
+        persist_or_validate_store_param,
         read_dataset,
         write_dataset,
     )
 
-    existing = list_versions(root, SAMPLE_STORE)
-    kf = os.path.join(root, SAMPLE_STORE, "sample_k.txt")
-    if os.path.exists(kf):
-        with open(kf) as f:
-            stored_k = int(f.read().strip())
-        if stored_k != k:
-            raise ValueError(
-                f"sample store at {root!r} was built with k={stored_k}; "
-                f"ingesting with k={k} would bias the sample (bottom-k "
-                "truncation is irreversible) — use the original k or "
-                "rebuild the store"
-            )
-    elif existing:
-        # committed versions but no sidecar: the parameter record was
-        # lost (partial copy/cleanup) — re-seeding with the CALLER's k
-        # would silently defeat the guard exactly when it matters
-        raise ValueError(
-            f"sample store at {root!r} has committed versions but no "
-            "sample_k.txt parameter record — restore the sidecar (the "
-            "k the store was built with) or rebuild the store"
-        )
-    else:
-        os.makedirs(os.path.dirname(kf), exist_ok=True)
-        tmp = kf + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(k))
-        os.replace(tmp, kf)
-
+    persist_or_validate_store_param(
+        root,
+        SAMPLE_STORE,
+        "sample_k.txt",
+        "k",
+        k,
+        "bias the sample (bottom-k truncation is irreversible)",
+    )
     batch_s = (
         batch.select(
             F.md5(F.col(key_col).cast("string")).alias("_h"),

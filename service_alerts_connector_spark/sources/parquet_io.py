@@ -15,6 +15,7 @@ travel + VACUUM instead; the interface is deliberately storage-agnostic.
 
 from __future__ import annotations
 
+import os
 import shutil
 from datetime import datetime, timezone
 from pathlib import Path
@@ -40,6 +41,47 @@ def list_versions(root: str, dataset: str) -> list[str]:
         for p in vdir.iterdir()
         if p.is_dir() and (p / "_SUCCESS").exists()
     )
+
+
+def persist_or_validate_store_param(
+    root: str,
+    dataset: str,
+    filename: str,
+    param: str,
+    value: int,
+    consequence: str,
+) -> None:
+    """Guard an IRREVERSIBLE store parameter (sample-store ``k``,
+    novelty-shingle ``k``): persist it beside the store on first ingest
+    (atomic tmp+rename), re-validate on every later one, and raise when
+    a store has committed versions but the sidecar is missing —
+    re-seeding with the CALLER's value would silently defeat the guard
+    exactly when it matters (partial copy/cleanup lost the record).
+
+    ``consequence`` finishes the mismatch message: what ingesting with
+    a different value would silently do to THIS store's semantics.
+    """
+    sidecar = _dataset_root(root, dataset) / filename
+    if sidecar.exists():
+        stored = int(sidecar.read_text().strip())
+        if stored != value:
+            raise ValueError(
+                f"{dataset} store at {root!r} was built with "
+                f"{param}={stored}; ingesting with {param}={value} would "
+                f"{consequence} — use the original {param} or rebuild "
+                "the store"
+            )
+    elif list_versions(root, dataset):
+        raise ValueError(
+            f"{dataset} store at {root!r} has committed versions but no "
+            f"{filename} parameter record — restore the sidecar (the "
+            "value the store was built with) or rebuild the store"
+        )
+    else:
+        sidecar.parent.mkdir(parents=True, exist_ok=True)
+        tmp = sidecar.with_suffix(sidecar.suffix + ".tmp")
+        tmp.write_text(str(value))
+        os.replace(tmp, sidecar)
 
 
 def write_dataset(
