@@ -210,45 +210,56 @@ _DRIVER_SAMPLED = frozenset(
         # in round 13 (NULL-aware hot_cnt), so it leads again per
         # policy (a))
         "join_order_plan_stored", "dedup_lsh_recall",
+        # round 13 (the certified keys of the retired _R13_LEAD not
+        # already above: CORRECTNESS_r13.json 50/50 green — the (c)
+        # round-8 cohort was already listed, so only the changed + new
+        # keys land here)
+        "skew_salting_decision", "ngram_novelty", "doc_rarity_score",
+        "stratified_kfold", "group_kfold",
     )
 )
 
-# Round-13 lead: per the cadence policy above.  Category (a) — "changed
-# this round", derived from `git diff --name-only <r12-end>` over
-# catalog AND operators/functions modules: operators/planner.py's
-# salting decision gained NULL-cell skew visibility (null_cnt/hot_cnt,
-# decision on greatest(mcv1_cnt, null_cnt)) and catalog_stats.py's
-# oracle moved with it → skew_salting_decision re-leads despite its
-# fresh r12 certificate.  (b) never-certified: the three round-13
-# corpus-saturation queries (catalog_novelty.py) must be driver-sampled
-# their first round.  (c) steady-state staleness rotation: the round-8
-# cohort — the stalest certificates per `python tools/cert_ages.py`
-# (TPC-H heads, media decoders, sketches, graph, ANN, asof/window
-# family) — fills the remaining 45 slots; the four displaced names
-# (rolling_window_agg, scd2_history, sessionize, window_rank_suite)
-# stay the stalest and lead round 14.
-_R13_LEAD = (
-    # (a) changed since their last certificate
-    "skew_salting_decision",
+# Round-14 lead: per the cadence policy above.  Category (a) — "changed
+# this round", derived NOT from the module diff alone but from a
+# rendered-oracle byte-diff against the r13-end tree (load both trees'
+# oracle_sql() and compare strings — stronger than eyeballing the git
+# diff): the shingle-SQL hoist into catalog_corpus re-rendered the
+# shared _SQL_SHINGLES/_SQL_MINHASH_BANDS CTE, so every query composed
+# over it re-leads (12 names) even though the expression is
+# semantically identical; all 12 re-verified green in the local sf0.01
+# differential before commit.  catalog_novelty's byte-identical moved
+# constants (ngram_novelty, doc_rarity_score, stratified_kfold render
+# unchanged) do NOT re-lead — they hold fresh r13 certificates.
+# (b) never-certified: group_kfold_balance (new this round).
+# (c) steady-state staleness rotation per `python tools/cert_ages.py`:
+# the four round-8 stragglers displaced last round, then the round-9
+# cohort oldest-first (alphabetical within equal age) fills the
+# remaining 33 slots; the 11 round-9 names that didn't fit
+# (quality_deciles … winsorized_mean_value) lead round 15.
+_R14_LEAD = (
+    # (a) rendered oracle changed this round (shingle-SQL hoist)
+    "containment_pairs", "contamination", "dedup_clusters",
+    "dedup_jaccard", "dedup_lsh_recall", "dedup_minhash_lsh",
+    "dedup_near_keep", "group_kfold", "leakage_safe_split",
+    "ngram_decontamination", "text_fingerprint", "text_ngram_repetition",
     # (b) never certified (new this round)
-    "ngram_novelty", "doc_rarity_score", "stratified_kfold",
-    "group_kfold",
-    # (c) stalest certificates: round 8 (45 of 49)
-    "ann_pq_fixed", "ann_rerank", "ann_sq8", "asof_join",
-    "bloom_semi_join", "cms_heavy_hitters", "conversion_delay_profile",
-    "embedding_center_stats", "embedding_dim_stats", "embedding_normalize",
-    "embedding_sq8", "event_pagerank", "funnel_ordered_3step",
-    "graph_triangles", "grouping_sets", "hll_distinct", "kmeans_update",
-    "kmv_distinct", "label_centroid_similarity", "length_quantile_sketch",
-    "multimodal_audio", "multimodal_decode_gif", "multimodal_decode_jpeg",
-    "multimodal_decode_png", "multimodal_video_frames", "null_safe_join",
-    "ohlc_downsample", "q10_returned_items", "q12_late_by_priority",
-    "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
-    "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
-    "q21_waiting_suppliers", "q22_dormant_value", "q3_shipping_priority",
-    "q4_priority_check", "q5_region_volume", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "range_join_agg",
-    "rolling_distinct_hll",
+    "group_kfold_balance",
+    # (c) stalest certificates: round 8 (the 4 displaced last round)
+    "rolling_window_agg", "scd2_history", "sessionize",
+    "window_rank_suite",
+    # (c) stalest certificates: round 9 (33 of the 45 not already
+    # absorbed by (a))
+    "ancestor_path_sum", "assign_seq_ids", "attribution_join",
+    "auc_exact", "bm25_rank", "bpe_merge_step",
+    "cheapest_supplier_per_part", "clamped_running_balance",
+    "cohens_kappa", "cohort_retention", "correlated_column_stats",
+    "cusum_changepoint", "decontaminate_strip", "dedup_prefix_filter",
+    "dedup_substring_spans", "dedup_substring_strip", "delta_join_ivm",
+    "doc_chunking", "equi_depth_histogram", "event_throttle",
+    "event_value_quantiles", "funnel_conversion", "hash_split",
+    "inverted_index", "json_typed_extract", "ks_statistic",
+    "linear_trend", "multimodal_decode", "multimodal_resize",
+    "pack_bins", "passage_dedup", "pmi_top_pairs", "q9_profit_rollup",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):
@@ -256,7 +267,7 @@ _R13_LEAD = (
 # positionally equal to the first 50 keys queries() returns — a typo'd
 # or duplicated lead entry fails the gate instead of silently shrinking
 # the driver-sampled window.
-DRIVER_LEAD = _R13_LEAD
+DRIVER_LEAD = _R14_LEAD
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -277,7 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **STATS_QUERIES,
         **NOVELTY_QUERIES,
     }
-    lead = {k: merged[k] for k in _R13_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R14_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()

@@ -259,6 +259,8 @@ HEADLINE = [
     "doc_rarity_score",
     "stratified_kfold",
     "group_kfold",
+    # round-14 additions
+    "group_kfold_balance",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -177,6 +177,23 @@ NOVELTY_ORACLES = {
 # ---------------------------------------------------------------------------
 # Cluster-aware k-fold (GroupKFold): near-dups never straddle CV folds
 # ---------------------------------------------------------------------------
+def group_fold_expr(group_key, n_folds: int = 5):
+    """Fold id for a group key: 32-bit md5 fraction of the key mod
+    ``n_folds`` — a pure row function (stable under repartitioning and
+    appends, no window), shared by ``q_group_kfold`` and the balance
+    property test so the certified expression IS the tested one."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gkf-v1:"), group_key.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h32, F.lit(n_folds)).cast("long")
+
+
 def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-validation folds assigned at the duplicate-CLUSTER level:
     the fold is a hash of the document's connected-component
@@ -209,23 +226,18 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(comp, "doc_id", "left")
         .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
     )
-    h32 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("gkf-v1:"), F.col("group_key").cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
     return keyed.select(
-        "doc_id", "group_key", F.pmod(h32, F.lit(5)).cast("long").alias("fold")
+        "doc_id",
+        "group_key",
+        group_fold_expr(F.col("group_key")).alias("fold"),
     )
 
 
-def _sql_group_kfold() -> str:
-    # ONE rendering of the minhash/band/pair/CC SQL — imported from
-    # catalog_text so the two split-family oracles cannot drift.
+def _sql_group_kfold_assigned() -> str:
+    """CTE chain ending in ``assigned`` (doc_id, group_key, fold) —
+    ONE rendering of the minhash/band/pair/CC SQL, imported from
+    catalog_text so the split-family oracles cannot drift; both the
+    assignment query and the balance audit select from it."""
     from service_alerts_connector_spark.catalog_text import (
         _SQL_MINHASH_BANDS,
         _SQL_PAIR_SELECT,
@@ -251,14 +263,67 @@ def _sql_group_kfold() -> str:
   SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
 ), comp AS (
   SELECT id, min(r) AS component FROM reach GROUP BY id
+), assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS group_key,
+         CAST({fold} AS BIGINT) AS fold
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 )
-SELECT d.doc_id,
-       coalesce(c.component, d.doc_id) AS group_key,
-       CAST({fold} AS BIGINT) AS fold
-FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# GroupKFold balance audit: how unbalanced does cluster atomicity get?
+# ---------------------------------------------------------------------------
+def q_group_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold doc/group counts + ppm share for ``group_kfold`` — the
+    audit that makes the documented balance trade-off VISIBLE (fold =
+    hash of the cluster representative, so fold sizes are binomial, not
+    the ±1 of ``stratified_kfold``; a user deciding whether the skew is
+    acceptable reads this, the property test pins the envelope).  The
+    doc total comes from a broadcast 1-row aggregate of the documents
+    scan, never an unpartitioned window."""
+    assigned = q_group_kfold(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_key").cast("long").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "n_groups",
+            F.expr("(n_docs * 1000000) div ntot").alias("share_ppm"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _sql_group_kfold_balance() -> str:
+    return (
+        _sql_group_kfold_assigned()
+        + """
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups,
+       CAST((count(*) * 1000000) // (SELECT count(*) FROM documents)
+            AS BIGINT) AS share_ppm
+FROM assigned
+GROUP BY fold
+ORDER BY fold
 """
     )
 
 
 NOVELTY_QUERIES["group_kfold"] = q_group_kfold
-NOVELTY_ORACLES["group_kfold"] = _sql_group_kfold()
+NOVELTY_ORACLES["group_kfold"] = (
+    _sql_group_kfold_assigned()
+    + "SELECT doc_id, group_key, fold FROM assigned"
+)
+NOVELTY_QUERIES["group_kfold_balance"] = q_group_kfold_balance
+NOVELTY_ORACLES["group_kfold_balance"] = _sql_group_kfold_balance()

@@ -626,3 +626,64 @@ def test_group_kfold_is_cluster_atomic(spark):
         out.groupBy("group_key").count().where(F.col("count") > 1).count()
         > 0
     )
+
+def test_group_fold_balance_within_binomial_envelope(spark):
+    """Fold sizes under the group-hash assignment stay within a 1.5x
+    max/min envelope at >=1k groups (the balance the cluster-atomicity
+    trade-off costs; binomial std at n=1500, p=0.2 is ~15.5, so 1.5x
+    would need a >4-sigma excursion).  md5 is deterministic, so each
+    seeded corpus is a fixed fixture, never a flake.  Exercises the
+    SAME ``group_fold_expr`` the certified query uses."""
+    from service_alerts_connector_spark.catalog_novelty import (
+        group_fold_expr,
+    )
+
+    for seed in (0, 1, 2):
+        groups = spark.range(1500).select(
+            F.concat(
+                F.lit(f"s{seed}-grp-"), F.col("id").cast("string")
+            ).alias("group_key"),
+            # seeded cluster sizes 1..4: doc-count balance must hold
+            # under heterogeneous cluster sizes, not just singletons
+            (F.pmod(F.col("id") * (seed + 7), F.lit(4)) + 1).alias("sz"),
+        )
+        docs = groups.select(
+            "group_key",
+            F.explode(F.sequence(F.lit(1), F.col("sz"))).alias("i"),
+        )
+        per_fold = (
+            docs.withColumn("fold", group_fold_expr(F.col("group_key")))
+            .groupBy("fold")
+            .agg(
+                F.countDistinct("group_key").alias("n_groups"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .collect()
+        )
+        assert {r["fold"] for r in per_fold} == {0, 1, 2, 3, 4}
+        for col in ("n_groups", "n_docs"):
+            vals = [r[col] for r in per_fold]
+            assert max(vals) / min(vals) < 1.5, (seed, col, vals)
+
+
+def test_group_kfold_balance_audit_consistent(spark):
+    """The balance-audit query's rows reconcile with the assignment it
+    audits: n_docs sums to the corpus size, n_groups to >= the distinct
+    group count per fold, and share_ppm is the exact integer share."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    from service_alerts_connector_spark.catalog_novelty import (
+        q_group_kfold,
+        q_group_kfold_balance,
+    )
+
+    audit = q_group_kfold_balance(spark, sf).collect()
+    assigned = q_group_kfold(spark, sf)
+    tot = assigned.count()
+    assert sum(r["n_docs"] for r in audit) == tot
+    for r in audit:
+        assert r["share_ppm"] == r["n_docs"] * 1_000_000 // tot
+        assert 0 < r["n_groups"] <= r["n_docs"]
