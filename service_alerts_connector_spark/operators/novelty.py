@@ -62,6 +62,10 @@ DOCFREQ_STORE = "docfreq_cells"
 # \s+ split, so no real token collides
 _DF_LEDGER_PREFIX = " batch:"
 _DF_NDOCS = " n_docs"
+# bottom-k KMV sketch of every ingested doc-id digest (the disjointness
+# tripwire's memory); rows ride the same atomic version write
+_DF_SKETCH_PREFIX = " docsketch:"
+_DOC_SKETCH_K = 1024
 
 
 def ngram_novelty_by_source(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -390,6 +394,14 @@ def ingested_docfreq_batches(store: DataFrame) -> list[str]:
     ]
 
 
+def _batch_doc_digests(batch: DataFrame) -> DataFrame:
+    """Distinct md5 digests of a batch's doc ids — the unit the
+    disjointness tripwire reasons about."""
+    return batch.select(
+        F.md5(F.col("doc_id").cast("string")).alias("dg")
+    ).distinct()
+
+
 def incremental_docfreq_ingest(
     spark, root: str, batch: DataFrame, batch_id: str
 ) -> DataFrame:
@@ -403,12 +415,29 @@ def incremental_docfreq_ingest(
     a replayed ``batch_id`` a committed no-op (the
     ``operators/colstats.py incremental_column_stats_ingest`` crash
     story, applied to the token domain).  Store size is bounded at the
-    vocabulary (+1 ``n_docs`` cell, +1 ledger row per batch).
+    vocabulary (+1 ``n_docs`` cell, +1 ledger row per batch, +≤1024
+    sketch rows).
 
     Contract: batches must partition the corpus by document — a doc
-    re-sent in a LATER batch under a new batch_id is the caller's
-    double-count (no ledger can catch it).  Returns the refreshed
-    1-row (n_docs, vocab_size) stats frame, forced before commit.
+    re-sent in a LATER batch under a new batch_id double-counts dfreq
+    by construction.  No ledger can PROVE disjointness without storing
+    every doc id (O(corpus)), but a bottom-k KMV sketch of ingested
+    doc-id digests is a cheap probabilistic tripwire: any EXACT digest
+    match between a new batch and the sketch means a doc id reappeared
+    (md5 collisions aside, a repeated digest IS a repeated id — zero
+    false positives on unique ids), so the ingest raises with sample
+    offending ids.  Detection is one-sided: the sketch holds the k
+    smallest of N ingested digests, so a single replayed doc trips
+    w.p. ≈ k/N and a replayed batch of b docs w.p. ≈ 1 − e^(−bk/N) —
+    near-certain for the gross violations the guard exists for (a
+    replayed feed, a re-pointed upstream), vanishing for one stray doc
+    at billion-doc scale, which is the honest limit of bounded state.
+    The sketch rows commit atomically with the counts (same version
+    write, same ``_SUCCESS``), so a crash before commit never leaves a
+    sketch that accuses the legitimate retry.
+
+    Returns the refreshed 1-row (n_docs, vocab_size) stats frame,
+    forced before commit.
     """
     from service_alerts_connector_spark.sources.parquet_io import (
         list_versions,
@@ -421,18 +450,68 @@ def incremental_docfreq_ingest(
         [(_DF_LEDGER_PREFIX + batch_id, 0)], "tok string, dfreq long"
     )
     versions = list_versions(root, DOCFREQ_STORE)
+    # two consumers (overlap probe + sketch union): pin ONE evaluation
+    # of the batch's distinct-digest shuffle
+    batch_dg = _batch_doc_digests(batch).localCheckpoint(eager=True)
     if versions:
         prev = read_dataset(spark, root, DOCFREQ_STORE, version=versions[-1])
+        # ledger FIRST: a redelivered committed batch is a no-op, and
+        # its docs are all in the sketch — probing it for overlap would
+        # accuse every legitimate at-least-once redelivery
         if batch_id in ingested_docfreq_batches(prev):
             return docfreq_store_stats(prev).localCheckpoint(eager=True)
-        merged = (
-            prev.unionByName(batch_cells)
+        prev_sketch = prev.where(
+            F.col("tok").startswith(_DF_SKETCH_PREFIX)
+        ).select(
+            F.substring(
+                F.col("tok"), len(_DF_SKETCH_PREFIX) + 1, 32
+            ).alias("dg")
+        )
+        offenders = [
+            r["doc_id"]
+            for r in batch.select(
+                "doc_id",
+                F.md5(F.col("doc_id").cast("string")).alias("dg"),
+            )
+            .join(F.broadcast(prev_sketch), "dg", "left_semi")
+            .select("doc_id")
+            .limit(5)
+            .collect()
+        ]
+        if offenders:
+            raise ValueError(
+                f"docfreq store at {root!r}: batch {batch_id!r} re-sends "
+                f"documents already ingested under an earlier batch "
+                f"(sample doc_ids: {offenders}) — batches must partition "
+                "the corpus by document (re-ingesting double-counts "
+                "dfreq); dedupe the feed or rebuild the store"
+            )
+        prev_counts = prev.where(
+            ~F.col("tok").startswith(_DF_SKETCH_PREFIX)
+        )
+        merged_counts = (
+            prev_counts.unionByName(batch_cells)
             .unionByName(ledger_row)
             .groupBy("tok")
             .agg(F.sum("dfreq").cast("long").alias("dfreq"))
         )
+        sketch_src = prev_sketch.unionByName(batch_dg)
     else:
-        merged = batch_cells.unionByName(ledger_row)
+        merged_counts = batch_cells.unionByName(ledger_row)
+        sketch_src = batch_dg
+    # bottom-k of old sketch ∪ batch digests = bottom-k of the full
+    # ingested union (KMV merge law); TakeOrderedAndProject, no global
+    # sort
+    sketch_rows = (
+        sketch_src.distinct()
+        .orderBy("dg")
+        .limit(_DOC_SKETCH_K)
+        .select(
+            F.concat(F.lit(_DF_SKETCH_PREFIX), F.col("dg")).alias("tok"),
+            F.lit(0).cast("long").alias("dfreq"),
+        )
+    )
+    merged = merged_counts.unionByName(sketch_rows)
     merged = merged.localCheckpoint(eager=True)
     write_dataset(merged, root, DOCFREQ_STORE)
     return docfreq_store_stats(merged).localCheckpoint(eager=True)
@@ -450,7 +529,8 @@ def docfreq_store_stats(store: DataFrame) -> DataFrame:
         F.count(
             F.when(
                 (F.col("tok") != _DF_NDOCS)
-                & (~F.col("tok").startswith(_DF_LEDGER_PREFIX)),
+                & (~F.col("tok").startswith(_DF_LEDGER_PREFIX))
+                & (~F.col("tok").startswith(_DF_SKETCH_PREFIX)),
                 F.lit(1),
             )
         )
@@ -476,6 +556,7 @@ def rarity_scores_from_store(store: DataFrame, docs: DataFrame) -> DataFrame:
         store.where(
             (F.col("tok") != _DF_NDOCS)
             & (~F.col("tok").startswith(_DF_LEDGER_PREFIX))
+            & (~F.col("tok").startswith(_DF_SKETCH_PREFIX))
         )
         .crossJoin(F.broadcast(n_docs_df))
         .select(

@@ -260,7 +260,10 @@ def test_incremental_docfreq_sequential_equals_batch(spark, tmp_path):
     store = read_dataset(spark, root, DOCFREQ_STORE)
     got = sorted(
         (r["tok"], r["dfreq"])
-        for r in store.where(~F.col("tok").startswith(" batch")).collect()
+        for r in store.where(
+            ~F.col("tok").startswith(" batch")
+            & ~F.col("tok").startswith(" docsketch")
+        ).collect()
     )
     expected = sorted(
         (r["tok"], r["dfreq"])
@@ -376,7 +379,10 @@ def test_streaming_docfreq_loop_scores_new_batch(spark, tmp_path):
     union = _docs(spark, [r for b in batches for r in b])
     got = sorted(
         (r["tok"], r["dfreq"])
-        for r in store.where(~F.col("tok").startswith(" batch")).collect()
+        for r in store.where(
+            ~F.col("tok").startswith(" batch")
+            & ~F.col("tok").startswith(" docsketch")
+        ).collect()
     )
     expected = sorted(
         (r["tok"], r["dfreq"]) for r in batch_docfreq_cells(union).collect()
@@ -445,7 +451,10 @@ def test_docfreq_crash_redelivery_does_not_double_count(
     )
     got = sorted(
         (r["tok"], r["dfreq"])
-        for r in store.where(~F.col("tok").startswith(" batch")).collect()
+        for r in store.where(
+            ~F.col("tok").startswith(" batch")
+            & ~F.col("tok").startswith(" docsketch")
+        ).collect()
     )
     expected = sorted(
         (r["tok"], r["dfreq"])
@@ -687,3 +696,71 @@ def test_group_kfold_balance_audit_consistent(spark):
     for r in audit:
         assert r["share_ppm"] == r["n_docs"] * 1_000_000 // tot
         assert 0 < r["n_groups"] <= r["n_docs"]
+
+def test_docfreq_doc_overlap_tripwire_trips_on_replayed_docs(
+    spark, tmp_path
+):
+    """A doc re-sent under a NEW batch_id is the uncheckable-contract
+    violation: the KMV doc-id sketch (which covers the whole corpus at
+    test scale, k=1024 >> n) must trip with the offending ids, and the
+    store must stay on its pre-violation version."""
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+    )
+
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y"), (2, "a", "y z")])
+    incremental_docfreq_ingest(spark, root, b1, "b1")
+    n_versions = len(list_versions(root, DOCFREQ_STORE))
+    # doc 2 replayed inside an otherwise-new batch under a new batch_id
+    bad = _docs(spark, [(2, "a", "y z"), (3, "b", "w")])
+    with pytest.raises(ValueError, match="re-sends documents"):
+        incremental_docfreq_ingest(spark, root, bad, "b2")
+    assert len(list_versions(root, DOCFREQ_STORE)) == n_versions
+    # a genuinely disjoint batch still ingests cleanly afterwards
+    ok = _docs(spark, [(3, "b", "w")])
+    stats = incremental_docfreq_ingest(spark, root, ok, "b3").collect()[0]
+    assert (stats["n_docs"], stats["vocab_size"]) == (3, 4)
+
+
+def test_docfreq_sketch_rides_version_and_survives_redelivery(
+    spark, tmp_path, crash_before_snapshot
+):
+    """The sketch commits atomically with the counts: a crash after the
+    version commit + same-batch_id redelivery stays a ledgered no-op
+    (never accused as overlap — the ledger check runs first), and the
+    sketch rows are bounded and carry dfreq 0."""
+    from service_alerts_connector_spark.operators.novelty import (
+        _DF_SKETCH_PREFIX,
+        _DOC_SKETCH_K,
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    root = str(tmp_path)
+    b1 = _docs(spark, [(1, "a", "x y"), (2, "a", "y z")])
+    incremental_docfreq_ingest(spark, root, b1, "b1")
+
+    crash_before_snapshot()
+    b2 = _docs(spark, [(3, "b", "y w")])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_docfreq_ingest(spark, root, b2, "b2")
+    # redelivery under the SAME batch_id: ledgered no-op, not an
+    # overlap accusation (all of b2's docs are in the committed sketch)
+    stats = incremental_docfreq_ingest(spark, root, b2, "b2").collect()[0]
+    assert (stats["n_docs"], stats["vocab_size"]) == (3, 4)
+
+    store = read_dataset(
+        spark, root, DOCFREQ_STORE,
+        version=list_versions(root, DOCFREQ_STORE)[-1],
+    )
+    sketch = store.where(
+        F.col("tok").startswith(_DF_SKETCH_PREFIX)
+    ).collect()
+    assert len(sketch) == 3  # one digest per distinct ingested doc id
+    assert len(sketch) <= _DOC_SKETCH_K
+    assert all(r["dfreq"] == 0 for r in sketch)
