@@ -65,6 +65,43 @@ def main() -> None:
     print("rare-token-heaviest docs (noise candidates):")
     doc_rarity_scores(gated, top_n=3).show()
 
+    # 1c. the incremental form of the same signal — the collect-more
+    #     decision as a pipeline would actually run it: ingest arriving
+    #     batches into the persistent first-occurrence store and read
+    #     the saturation curve OFF THE STORE.  A flattening novelty_ppm
+    #     says new data from this feed is mostly repeats — stop paying
+    #     for it; a high tail says keep collecting.
+    import shutil
+    import tempfile
+
+    from service_alerts_connector_spark.operators.novelty import (
+        NOVELTY_STORE,
+        incremental_novelty_ingest,
+        novelty_curve,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    store_root = tempfile.mkdtemp(prefix="novelty_example_")
+    try:
+        for i in range(3):
+            batch = gated.where(F.pmod("doc_id", F.lit(3)) == i)
+            stats = incremental_novelty_ingest(
+                spark, store_root, batch, f"batch-{i}", k=3
+            ).collect()[0]
+            print(
+                f"ingest batch-{i}: {stats['n_shingles']} shingles, "
+                f"{stats['n_novel']} novel "
+                f"({stats['novelty_ppm'] / 10_000:.1f}%)"
+            )
+        print("saturation curve (from the store alone):")
+        novelty_curve(
+            read_dataset(spark, store_root, NOVELTY_STORE)
+        ).show()
+    finally:
+        shutil.rmtree(store_root, ignore_errors=True)
+
     # 2. substring-span screen: drop docs that are mostly duplicated
     #    spans of earlier docs (>50% of tokens inside repeated 8-token
     #    shingles) — catches boilerplate-heavy and partially-copied docs
