@@ -291,9 +291,17 @@ def incremental_novelty_ingest(
     Cost honesty: the anti-join PROBE is O(batch), but each version
     commit rewrites prev ∪ novel — O(store) write I/O per ingest, the
     same full-snapshot discipline as the sibling band/shingle/semdedup
-    stores (what buys the one-``_SUCCESS`` crash story).  At
-    lakehouse scale the documented swap is ``sources/lakehouse.py``'s
-    Delta MERGE (true file-level appends + a transaction log).
+    stores (what buys the one-``_SUCCESS`` crash story).  Measured
+    (``tools/measure_store_growth.py``; SCALE.md "Saturation-store
+    growth curve"): per-ingest cost stays flat across a 20× store
+    growth to 544 k rows at sf0.1 — the rewrite term only bites when
+    store bytes / write throughput rivals the ~2 s fixed cost, i.e.
+    GB-scale stores, where the documented swap is
+    ``sources/lakehouse.py``'s Delta MERGE (true file-level appends +
+    a transaction log).  Version history is retention-bounded
+    (``write_dataset(prune=5)``).  Sequential-ingest loops in ONE
+    session must gc-settle periodically or pay localCheckpoint
+    block-cleanup debt (5–12× tail spikes; see the SCALE.md row).
 
     The returned frame is forced (eager localCheckpoint) before the new
     version commits, so callers holding it across later ingests never
