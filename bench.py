@@ -421,6 +421,72 @@ def main() -> None:
             for name, secs in timings.items()
             if name in prev and prev[name] > 0 and secs > 2 * prev[name]
         }
+    # Consumer-facing trust verdict (round-13 lesson: ~5 median>cold
+    # inversions is this host's noise floor for the MEDIAN statistic —
+    # `contended_sample` fires there while three cross-validated runs
+    # reproduce the best-warm total to 0.03%, so the flag alone misleads
+    # a consumer).  The verdict the repo actually wants consumers to use
+    # is computed here so it lives in the artifact, not in SCALE.md
+    # prose: cross-run BEST-WARM reproducibility (supply a same-HEAD
+    # full-run artifact via $SPARK_GRAFT_BENCH_CROSSCHECK; best-warm is
+    # a minimum statistic, immune to the median's inversion noise) plus
+    # an empty anchor-regression list ⇒ trusted: true.  Without a
+    # crosscheck run, trusted stays null — unknown, not false.
+    crosscheck_path = os.environ.get("SPARK_GRAFT_BENCH_CROSSCHECK")
+    trusted = None
+    trust_basis = (
+        "no crosscheck run supplied — set $SPARK_GRAFT_BENCH_CROSSCHECK "
+        "to a same-HEAD full-run artifact to earn a trusted verdict"
+    )
+    if crosscheck_path and os.path.exists(crosscheck_path):
+        cc: dict[str, float] = {}
+        try:
+            with open(crosscheck_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    if rec.get("sf") != (
+                        float(sf) if sf.replace(".", "").isdigit() else sf
+                    ):
+                        continue
+                    q = rec.get("queries") or {}
+                    if rec.get("query_stats") or len(q) > len(cc):
+                        cc = q
+        except (OSError, ValueError):
+            cc = {}
+        shared = sorted(set(timings) & set(cc))
+        if set(timings) != set(cc) or not shared:
+            trusted = False
+            trust_basis = (
+                f"crosscheck query set mismatch ({len(cc)} vs "
+                f"{len(timings)} queries) — crosscheck must be a "
+                "same-HEAD FULL run"
+            )
+        else:
+            cc_total = sum(cc[q] for q in shared)
+            my_total = sum(timings[q] for q in shared)
+            delta = (
+                abs(my_total - cc_total) / cc_total if cc_total else 1.0
+            )
+            divergent = sorted(
+                q
+                for q in shared
+                if min(timings[q], cc[q]) > 0
+                and max(timings[q], cc[q]) > 2 * min(timings[q], cc[q])
+            )
+            trusted = (
+                delta <= 0.01
+                and not divergent
+                and not anchor_regressions
+            )
+            trust_basis = (
+                f"cross-run best-warm total delta {delta * 100:.2f}% "
+                f"({my_total:.2f}s vs {cc_total:.2f}s over {len(shared)} "
+                f"queries, threshold 1%); per-query >2x divergences: "
+                f"{divergent or 'none'}; anchor_regressions: "
+                f"{sorted(anchor_regressions) or 'none'}"
+            )
     # ONE pollution verdict, carried identically by both emitted records
     # (the round-12 anchor held `polluted: []` beside `polluted_count: 2`
     # — self-contradicting): `polluted` is always the full inversion list,
@@ -430,6 +496,11 @@ def main() -> None:
         "contended_sample": len(polluted) > 2,
         "anchor": os.path.basename(anchor_path) if anchor_path else None,
         "anchor_regressions": anchor_regressions,
+        "trusted": trusted,
+        "trust_basis": trust_basis,
+        "crosscheck": (
+            os.path.basename(crosscheck_path) if crosscheck_path else None
+        ),
     }
     payload = {
         # distinct metric name: exactly one record per run carries the
