@@ -289,6 +289,49 @@ def _tier_of(name: str) -> str:
     return "analytics"
 
 
+def trust_verdict(
+    timings: dict[str, float],
+    crosscheck: dict[str, float] | None,
+    anchor_regressions: dict[str, list[float]],
+) -> tuple[bool | None, str]:
+    """The consumer-facing trust verdict, pure so tests can pin it:
+    (trusted, basis).  trusted is True iff a same-HEAD full crosscheck
+    run reproduces the best-warm total within 1% with no per-query >2x
+    divergence AND the anchor pre-flight found no regressions; False
+    when the crosscheck contradicts; None (unknown) with no crosscheck.
+    """
+    if crosscheck is None:
+        return None, (
+            "no crosscheck run supplied — set $SPARK_GRAFT_BENCH_CROSSCHECK "
+            "to a same-HEAD full-run artifact to earn a trusted verdict"
+        )
+    shared = sorted(set(timings) & set(crosscheck))
+    if set(timings) != set(crosscheck) or not shared:
+        return False, (
+            f"crosscheck query set mismatch ({len(crosscheck)} vs "
+            f"{len(timings)} queries) — crosscheck must be a "
+            "same-HEAD FULL run"
+        )
+    cc_total = sum(crosscheck[q] for q in shared)
+    my_total = sum(timings[q] for q in shared)
+    delta = abs(my_total - cc_total) / cc_total if cc_total else 1.0
+    divergent = sorted(
+        q
+        for q in shared
+        if min(timings[q], crosscheck[q]) > 0
+        and max(timings[q], crosscheck[q])
+        > 2 * min(timings[q], crosscheck[q])
+    )
+    trusted = delta <= 0.01 and not divergent and not anchor_regressions
+    return trusted, (
+        f"cross-run best-warm total delta {delta * 100:.2f}% "
+        f"({my_total:.2f}s vs {cc_total:.2f}s over {len(shared)} "
+        f"queries, threshold 1%); per-query >2x divergences: "
+        f"{divergent or 'none'}; anchor_regressions: "
+        f"{sorted(anchor_regressions) or 'none'}"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -433,13 +476,9 @@ def main() -> None:
     # an empty anchor-regression list ⇒ trusted: true.  Without a
     # crosscheck run, trusted stays null — unknown, not false.
     crosscheck_path = os.environ.get("SPARK_GRAFT_BENCH_CROSSCHECK")
-    trusted = None
-    trust_basis = (
-        "no crosscheck run supplied — set $SPARK_GRAFT_BENCH_CROSSCHECK "
-        "to a same-HEAD full-run artifact to earn a trusted verdict"
-    )
+    cc = None
     if crosscheck_path and os.path.exists(crosscheck_path):
-        cc: dict[str, float] = {}
+        cc = {}
         try:
             with open(crosscheck_path) as f:
                 for line in f:
@@ -455,38 +494,7 @@ def main() -> None:
                         cc = q
         except (OSError, ValueError):
             cc = {}
-        shared = sorted(set(timings) & set(cc))
-        if set(timings) != set(cc) or not shared:
-            trusted = False
-            trust_basis = (
-                f"crosscheck query set mismatch ({len(cc)} vs "
-                f"{len(timings)} queries) — crosscheck must be a "
-                "same-HEAD FULL run"
-            )
-        else:
-            cc_total = sum(cc[q] for q in shared)
-            my_total = sum(timings[q] for q in shared)
-            delta = (
-                abs(my_total - cc_total) / cc_total if cc_total else 1.0
-            )
-            divergent = sorted(
-                q
-                for q in shared
-                if min(timings[q], cc[q]) > 0
-                and max(timings[q], cc[q]) > 2 * min(timings[q], cc[q])
-            )
-            trusted = (
-                delta <= 0.01
-                and not divergent
-                and not anchor_regressions
-            )
-            trust_basis = (
-                f"cross-run best-warm total delta {delta * 100:.2f}% "
-                f"({my_total:.2f}s vs {cc_total:.2f}s over {len(shared)} "
-                f"queries, threshold 1%); per-query >2x divergences: "
-                f"{divergent or 'none'}; anchor_regressions: "
-                f"{sorted(anchor_regressions) or 'none'}"
-            )
+    trusted, trust_basis = trust_verdict(timings, cc, anchor_regressions)
     # ONE pollution verdict, carried identically by both emitted records
     # (the round-12 anchor held `polluted: []` beside `polluted_count: 2`
     # — self-contradicting): `polluted` is always the full inversion list,
