@@ -152,6 +152,15 @@ def incremental_column_stats_ingest(
     ``stats_from_cells`` of that.  Store reads pin to the latest
     committed version; the returned stats read the newly written one
     (snapshot-write-last discipline).
+
+    Contract limit: batches must partition the fact rows — a row
+    re-sent under a NEW batch_id double-counts, and unlike the docfreq
+    store (``operators/novelty.py``, whose rows carry a unique doc_id
+    and therefore get a KMV doc-overlap tripwire) these batches have
+    no universal row key, so the overlap is undetectable in principle:
+    two batches may legitimately contain identical-valued rows.  Given
+    a keyed fact, callers wanting the tripwire should ingest through a
+    key-bearing wrapper and probe the novelty-store pattern.
     """
     from service_alerts_connector_spark.sources.parquet_io import (
         list_versions,
