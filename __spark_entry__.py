@@ -89,7 +89,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # local oracle regardless of position.
 #
 # SAMPLE-CADENCE POLICY (keep this invariant every round): the lead tuple
-# below must contain, in order, (a) queries whose code changed this round,
+# below must contain, in order, (a) queries whose code changed this round
+# — derive mechanically with `python tools/changed_oracles.py
+# <prev-round-end-rev>` (rendered-oracle byte diff; catches shared-CTE
+# refactors the file diff hides) PLUS the module diff for
+# Spark-side-only changes,
 # then (b) oracled queries that have never appeared in any
 # CORRECTNESS_r*.json (none remain as of round 10 — the books closed),
 # then (c) STEADY-STATE: oldest-certificate-first re-certification — rank
