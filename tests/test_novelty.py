@@ -764,3 +764,42 @@ def test_docfreq_sketch_rides_version_and_survives_redelivery(
     assert len(sketch) == 3  # one digest per distinct ingested doc id
     assert len(sketch) <= _DOC_SKETCH_K
     assert all(r["dfreq"] == 0 for r in sketch)
+
+def test_streaming_docfreq_loop_surfaces_overlap_tripwire(spark, tmp_path):
+    """A doc replayed under a NEW stream batch must fail the streaming
+    ingest loop LOUDLY (the foreachBatch step re-raises through the
+    query), and the store must stay on its pre-violation version —
+    silent absorption would be the exact double-count the tripwire
+    exists to stop."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+    )
+    from service_alerts_connector_spark.streaming.stats_stream import (
+        run_docfreq_ingest,
+    )
+
+    batches = [
+        [(1, "s", "x y"), (2, "s", "y z")],
+        [(2, "s", "y z"), (3, "s", "w")],  # doc 2 replayed
+    ]
+    staged = _stage_docs(tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(staged))
+    )
+    with pytest.raises(
+        (StreamingQueryException, Py4JJavaError)
+    ) as excinfo:
+        run_docfreq_ingest(
+            spark,
+            stream,
+            state_root=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    assert "re-sends documents" in str(excinfo.value)
+    versions = list_versions(str(tmp_path / "state"), DOCFREQ_STORE)
+    assert len(versions) == 1  # only batch 0 committed
