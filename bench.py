@@ -315,12 +315,18 @@ def trust_verdict(
     cc_total = sum(crosscheck[q] for q in shared)
     my_total = sum(timings[q] for q in shared)
     delta = abs(my_total - cc_total) / cc_total if cc_total else 1.0
+    # a zero on exactly one side IS divergent (0.0-vs-slow must fail
+    # the per-query gate, not slip past a min>0 guard and merely
+    # dampen the total delta); a both-zero pair agrees trivially
     divergent = sorted(
         q
         for q in shared
-        if min(timings[q], crosscheck[q]) > 0
-        and max(timings[q], crosscheck[q])
-        > 2 * min(timings[q], crosscheck[q])
+        if max(timings[q], crosscheck[q]) > 0
+        and (
+            min(timings[q], crosscheck[q]) == 0
+            or max(timings[q], crosscheck[q])
+            > 2 * min(timings[q], crosscheck[q])
+        )
     )
     trusted = delta <= 0.01 and not divergent and not anchor_regressions
     return trusted, (
@@ -506,8 +512,12 @@ def main() -> None:
         "anchor_regressions": anchor_regressions,
         "trusted": trusted,
         "trust_basis": trust_basis,
+        # basename only when the file existed AND parsed — a missing/
+        # unreadable crosscheck must not leave a `crosscheck: <name>`
+        # beside a "no crosscheck run supplied" basis (self-
+        # contradicting artifact, the r12 polluted/polluted_count class)
         "crosscheck": (
-            os.path.basename(crosscheck_path) if crosscheck_path else None
+            os.path.basename(crosscheck_path) if cc is not None else None
         ),
     }
     payload = {

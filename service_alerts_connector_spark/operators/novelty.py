@@ -444,6 +444,14 @@ def incremental_docfreq_ingest(
     write, same ``_SUCCESS``), so a crash before commit never leaves a
     sketch that accuses the legitimate retry.
 
+    Upgrade caveat: a store created BEFORE the sketch existed holds no
+    sketch rows, and doc ids are not recoverable from the counts, so
+    backfill is impossible — the sketch only ever covers batches
+    ingested after the upgrade.  Replays of the pre-upgrade corpus are
+    permanently undetectable; the 1−e^(−bk/N) detection claim applies
+    to post-upgrade ingests only.  Rebuilding the store from the raw
+    corpus is the only way to regain full coverage.
+
     Returns the refreshed 1-row (n_docs, vocab_size) stats frame,
     forced before commit.
     """
@@ -458,16 +466,18 @@ def incremental_docfreq_ingest(
         [(_DF_LEDGER_PREFIX + batch_id, 0)], "tok string, dfreq long"
     )
     versions = list_versions(root, DOCFREQ_STORE)
-    # two consumers (overlap probe + sketch union): pin ONE evaluation
-    # of the batch's distinct-digest shuffle
-    batch_dg = _batch_doc_digests(batch).localCheckpoint(eager=True)
     if versions:
         prev = read_dataset(spark, root, DOCFREQ_STORE, version=versions[-1])
         # ledger FIRST: a redelivered committed batch is a no-op, and
         # its docs are all in the sketch — probing it for overlap would
-        # accuse every legitimate at-least-once redelivery
+        # accuse every legitimate at-least-once redelivery.  The batch
+        # digest frame is built only PAST this short-circuit so a
+        # committed redelivery never pays the distinct-digest shuffle
+        # (it feeds sketch_rows → merged, which is checkpointed once
+        # before the write — no extra pin needed).
         if batch_id in ingested_docfreq_batches(prev):
             return docfreq_store_stats(prev).localCheckpoint(eager=True)
+        batch_dg = _batch_doc_digests(batch)
         prev_sketch = prev.where(
             F.col("tok").startswith(_DF_SKETCH_PREFIX)
         ).select(
@@ -506,7 +516,7 @@ def incremental_docfreq_ingest(
         sketch_src = prev_sketch.unionByName(batch_dg)
     else:
         merged_counts = batch_cells.unionByName(ledger_row)
-        sketch_src = batch_dg
+        sketch_src = _batch_doc_digests(batch)
     # bottom-k of old sketch ∪ batch digests = bottom-k of the full
     # ingested union (KMV merge law); TakeOrderedAndProject, no global
     # sort

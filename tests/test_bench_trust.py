@@ -59,6 +59,23 @@ def test_anchor_regression_vetoes_trust():
     assert "anchor_regressions: ['a']" in basis
 
 
+def test_zero_on_one_side_is_divergent_not_skipped():
+    # a 0.0-vs-slow pair must fail the per-query gate (r14 advice: the
+    # min>0 guard made it invisible, only dampening the total delta)
+    t = {"a": 1.0, "b": 0.0}
+    cc = {"a": 1.0, "b": 0.5}
+    trusted, basis = BENCH.trust_verdict(t, cc, {})
+    assert trusted is False
+    assert "'b'" in basis
+
+
+def test_both_zero_pair_agrees_trivially():
+    t = {"a": 1.0, "b": 0.0}
+    cc = {"a": 1.001, "b": 0.0}
+    trusted, _ = BENCH.trust_verdict(t, cc, {})
+    assert trusted is True
+
+
 def test_query_set_mismatch_is_false():
     trusted, basis = BENCH.trust_verdict(
         {"a": 1.0, "b": 2.0}, {"a": 1.0}, {}
