@@ -303,11 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each query.  Most
-    EXTRA_QUERIES (stubbed enrichment / planar-geometry ops) intentionally
-    have no oracle — the driver records the weaker rows-only check — but
-    the multimodal decode/resize pair is oracled via its closed-form pixel
-    recipe."""
+    """DuckDB-runnable ANSI SQL equivalent for each query.  A few
+    EXTRA_QUERIES (trained-kmeans ANN, planar overlay geometry,
+    encoded-byte sha256 features) intentionally have no oracle — the
+    driver records the weaker rows-only check — but the multimodal
+    decode/resize family is oracled via closed-form pixel recipes and,
+    since r15, the X-tier enrichment stubs via their md5-of-prompt
+    algebra."""
     return {
         **CORE_ORACLES,
         **TEXT_ORACLES,

@@ -1,10 +1,12 @@
 """Catalog entries for enrichment/multimodal/planar-geometry operators.
 
-Most run in the driver harness as rows-only checks (no ``oracle_sql``
-entry): enrichment stages with injectable stub clients (X1/X3) and
-pure-Python spatial overlay — semantics outside ANSI SQL (stateful
-external calls, planar geometry).  All are deterministic via stub clients
-and synthesized inputs, so row counts and schemas are stable run-to-run.
+The enrichment stages run with injectable deterministic stub clients
+(X1/X2/X3); since r15 their md5-of-prompt transforms are fully oracled
+in DuckDB (``SQL_X1/X2/X3_*``).  The remaining rows-only entries (no
+``oracle_sql``) are genuinely non-SQL-expressible: trained k-means ANN
+variants, pure-Python planar overlay geometry, and encoded-byte sha256
+features — all deterministic, so row counts and schemas are stable
+run-to-run under the driver's weaker check.
 
 The multimodal decode/resize queries ARE oracled (``EXTRA_ORACLES``): the
 BMP pixels are synthesized from a closed-form integer recipe
@@ -545,6 +547,100 @@ ORDER BY s.media_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Enrichment-stub oracles (r15): the stub clients are pure md5-of-prompt
+# string transforms (enrichment/llm.py StubLLMClient, geocode.py
+# StubGeocoder), so with draft_posts' admission cap made deterministic
+# (explicit largest-Id top-k, the reference's positional-recency tail()
+# semantics) all three X-tier catalog queries are ANSI-SQL-expressible.
+# ---------------------------------------------------------------------------
+
+# X1: tweet_text = 'Service alert update ' || md5(prompt)[:12] || ...,
+# prompt = 'Draft a post for: ' || description[:200]; cap = 10 largest Ids
+# of the <40 slice; stub drafts are ~56 chars, far under MAX_POST_LENGTH,
+# so the shorten path never fires and llm_error is NULL.
+SQL_X1_STUB_DRAFTS = """
+SELECT Id, tweet_text, llm_error FROM (
+  SELECT doc_id AS Id,
+         'Service alert update '
+           || substr(md5('Draft a post for: '
+                         || substr(coalesce(text, ''), 1, 200)), 1, 12)
+           || ': crews are attending.' AS tweet_text,
+         CAST(NULL AS VARCHAR) AS llm_error
+  FROM documents WHERE doc_id < 40
+  ORDER BY doc_id DESC LIMIT 10
+) ORDER BY Id
+"""
+
+# X2: the locations stub returns [["Street "||h[:6], "Suburb "||h[6:12]]]
+# (h = md5 of the prompt), which the JSON-shape repair keeps verbatim —
+# so n_suggestions is always 2 and the flattened join is pure md5 algebra.
+SQL_X2_STUB_LOCATIONS = """
+SELECT doc_id AS Id,
+       2 AS n_suggestions,
+       'Street ' || substr(h, 1, 6) || '|Suburb ' || substr(h, 7, 6)
+         AS joined
+FROM (
+  SELECT doc_id,
+         md5('Extract locations from: '
+             || substr(coalesce(text, ''), 1, 150)) AS h
+  FROM documents WHERE doc_id < 25
+)
+ORDER BY Id
+"""
+
+# X3: StubGeocoder derives a bbox from the 128-bit md5 integer of the
+# lowercased query.  DuckDB's md5_number* reverse byte order vs Python's
+# int(hexdigest, 16), so the mods are computed by a hex-digit fold
+# ((acc*16 + d) mod m over the 32 hex chars — intermediates < 16m).
+# h mod 17 == 0 → 'not found'; else x = 18.3 + (h%1000)/2000.0,
+# y = -34.3 + ((h//1000)%1000)/2500.0 with (h//1000)%1000 = (h%1e6)//1000,
+# and the WKT renders each coordinate via printf('%.6f') with trailing
+# zeros stripped — byte-identical to geo/wkt.py _fmt (round-then-format
+# equals direct correct rounding; no 6-dp binary ties in this range).
+SQL_X3_STUB_GEOCODE = r"""
+WITH q AS (
+  SELECT doc_id AS Id, 'location ' || CAST(doc_id AS VARCHAR) AS loc
+  FROM documents WHERE doc_id < 30
+),
+m AS (
+  SELECT Id,
+         list_reduce(dg, (a, x) -> (a*16 + x) % 17) AS h17,
+         list_reduce(dg, (a, x) -> (a*16 + x) % 1000000) AS hm6
+  FROM (
+    SELECT Id,
+           list_transform(string_split(md5(lower(loc)), ''),
+             c -> CASE WHEN c BETWEEN '0' AND '9'
+                       THEN ascii(c) - 48 ELSE ascii(c) - 87 END) AS dg
+    FROM q
+  )
+),
+f AS (
+  SELECT Id, h17,
+         regexp_replace(printf('%.6f', x), '\.?0+$', '') AS fx,
+         regexp_replace(printf('%.6f', y), '\.?0+$', '') AS fy,
+         regexp_replace(printf('%.6f', x + 0.01), '\.?0+$', '') AS fx2,
+         regexp_replace(printf('%.6f', y + 0.01), '\.?0+$', '') AS fy2
+  FROM (
+    SELECT Id, h17,
+           18.3 + (hm6 % 1000) / 2000.0 AS x,
+           -34.3 + (hm6 // 1000) / 2500.0 AS y
+    FROM m
+  )
+)
+SELECT Id,
+       CASE WHEN h17 = 0 THEN NULL ELSE
+         'POLYGON ((' || fx || ' ' || fy || ', ' || fx2 || ' ' || fy
+           || ', ' || fx2 || ' ' || fy2 || ', ' || fx || ' ' || fy2
+           || ', ' || fx || ' ' || fy || '))'
+       END AS geocoded_wkt,
+       CASE WHEN h17 = 0 THEN 'not found' ELSE CAST(NULL AS VARCHAR) END
+         AS geocode_error
+FROM f
+ORDER BY Id
+"""
+
+
 EXTRA_QUERIES = {
     "x1_stub_drafts": q_x1_stub_drafts,
     "x2_stub_locations": q_x2_stub_locations,
@@ -562,9 +658,14 @@ EXTRA_QUERIES = {
     "ann_pq": q_ann_pq,
 }
 
-# The decode/resize pair is oracled (closed-form pixel recipe); the rest of
-# EXTRA_QUERIES stay rows-only by design.
+# The decode/resize family is oracled (closed-form pixel recipes), and
+# since r15 so are the X-tier enrichment stubs (md5-of-prompt algebra —
+# see the SQL_X* comments).  The remaining EXTRA_QUERIES stay rows-only
+# by design (trained k-means / planar geometry / encoded-byte digests).
 EXTRA_ORACLES = {
+    "x1_stub_drafts": SQL_X1_STUB_DRAFTS,
+    "x2_stub_locations": SQL_X2_STUB_LOCATIONS,
+    "x3_stub_geocode": SQL_X3_STUB_GEOCODE,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_decode_png": SQL_MULTIMODAL_DECODE_PNG,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,

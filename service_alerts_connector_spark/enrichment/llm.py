@@ -29,6 +29,7 @@ from typing import Callable, Iterator, Protocol
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from service_alerts_connector_spark.constants import (
     DRAFT_LIMIT,
@@ -221,7 +222,16 @@ def draft_posts(
     """
     if shorten_builder is None:
         shorten_builder = shorten_prompt_builder(max_post_length)
-    work = df.limit(limit).coalesce(max_partitions)
+    # Deterministic admission cap: the reference drafts for the most
+    # RECENT alerts (positional tail of its frame); a bare limit()
+    # admits an arbitrary partition-race subset, so make the recency
+    # explicit — largest Id wins, planning TakeOrderedAndProject
+    # (per-partition partial top-k, no global sort).
+    work = (
+        df.orderBy(F.col(ID_COL).desc())
+        .limit(limit)
+        .coalesce(max_partitions)
+    )
     cols = work.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
