@@ -220,50 +220,49 @@ _DRIVER_SAMPLED = frozenset(
         # keys land here)
         "skew_salting_decision", "ngram_novelty", "doc_rarity_score",
         "stratified_kfold", "group_kfold",
+        # round 14 (the certified keys of the retired _R14_LEAD not
+        # already above: CORRECTNESS_r14.json 50/50 green — the (a)
+        # shingle-hoist re-certifications and the (c) r8/r9 cohorts
+        # were already listed, so only the one new key lands here)
+        "group_kfold_balance",
     )
 )
 
-# Round-14 lead: per the cadence policy above.  Category (a) — "changed
-# this round", derived NOT from the module diff alone but from a
-# rendered-oracle byte-diff against the r13-end tree (load both trees'
-# oracle_sql() and compare strings — stronger than eyeballing the git
-# diff): the shingle-SQL hoist into catalog_corpus re-rendered the
-# shared _SQL_SHINGLES/_SQL_MINHASH_BANDS CTE, so every query composed
-# over it re-leads (12 names) even though the expression is
-# semantically identical; all 12 re-verified green in the local sf0.01
-# differential before commit.  catalog_novelty's byte-identical moved
-# constants (ngram_novelty, doc_rarity_score, stratified_kfold render
-# unchanged) do NOT re-lead — they hold fresh r13 certificates.
-# (b) never-certified: group_kfold_balance (new this round).
+# Round-15 lead: per the cadence policy above.  Category (a) — "changed
+# this round", derived from `python tools/changed_oracles.py d5d4558`
+# (rendered-oracle byte diff) plus the module diff: four ADDED oracles
+# (the three X-tier enrichment stubs graduating from rows-only to hash
+# certificates after draft_posts' admission cap was made deterministic,
+# plus the new store-fed rarity query); no existing oracle rendered
+# differently, and the novelty.py edit touched only
+# incremental_docfreq_ingest, which no previously-certified query
+# executes.  (b) never-certified: rarity_from_store (also in (a)).
 # (c) steady-state staleness rotation per `python tools/cert_ages.py`:
-# the four round-8 stragglers displaced last round, then the round-9
-# cohort oldest-first (alphabetical within equal age) fills the
-# remaining 33 slots; the 11 round-9 names that didn't fit
-# (quality_deciles … winsorized_mean_value) lead round 15.
-_R14_LEAD = (
-    # (a) rendered oracle changed this round (shingle-SQL hoist)
-    "containment_pairs", "contamination", "dedup_clusters",
-    "dedup_jaccard", "dedup_lsh_recall", "dedup_minhash_lsh",
-    "dedup_near_keep", "group_kfold", "leakage_safe_split",
-    "ngram_decontamination", "text_fingerprint", "text_ngram_repetition",
-    # (b) never certified (new this round)
-    "group_kfold_balance",
-    # (c) stalest certificates: round 8 (the 4 displaced last round)
-    "rolling_window_agg", "scd2_history", "sessionize",
-    "window_rank_suite",
-    # (c) stalest certificates: round 9 (33 of the 45 not already
-    # absorbed by (a))
-    "ancestor_path_sum", "assign_seq_ids", "attribution_join",
-    "auc_exact", "bm25_rank", "bpe_merge_step",
-    "cheapest_supplier_per_part", "clamped_running_balance",
-    "cohens_kappa", "cohort_retention", "correlated_column_stats",
-    "cusum_changepoint", "decontaminate_strip", "dedup_prefix_filter",
-    "dedup_substring_spans", "dedup_substring_strip", "delta_join_ivm",
-    "doc_chunking", "equi_depth_histogram", "event_throttle",
-    "event_value_quantiles", "funnel_conversion", "hash_split",
-    "inverted_index", "json_typed_extract", "ks_statistic",
-    "linear_trend", "multimodal_decode", "multimodal_resize",
-    "pack_bins", "passage_dedup", "pmi_top_pairs", "q9_profit_rollup",
+# the 11 round-9 stragglers that didn't fit last round, then the
+# round-10 cohort oldest-first (tool order, minus the x-stubs already
+# in (a)) fills the remaining 35 slots; the 9 round-10 names that
+# didn't fit (skew_salted_agg … zorder_key) head the round-16 fill.
+_R15_LEAD = (
+    # (a)+(b) new/changed oracles this round
+    "rarity_from_store", "x1_stub_drafts", "x2_stub_locations",
+    "x3_stub_geocode",
+    # (c) stalest certificates: round 9 (the 11 displaced last round)
+    "quality_deciles", "scd2_temporal_join", "seasonal_dow_profile",
+    "source_mixing", "source_quota", "stratified_sample",
+    "text_bpe_tokens", "tfidf_top_terms", "vocab_coverage",
+    "weighted_median_price", "winsorized_mean_value",
+    # (c) stalest certificates: round 10 (first 35 of the cohort)
+    "a1_collect_list", "a2_all_window_anchor", "a3_lastwins_dedup",
+    "a5_guards", "ann_ivf", "ann_pq", "config_fanout_1k",
+    "config_join_fanout", "dq_rule_screen", "f12_fuzzy_join",
+    "f15_json_extract", "f16_templates", "f17_array_ops", "f1_zeropad",
+    "f4_date_arith", "f6_time_repair", "f8_location_coalesce",
+    "f9_checksum", "feed_current_urgent", "gap_fill_locf",
+    "hhi_concentration", "j1_lookup_join", "j2_incremental_anti",
+    "j8_cdc_diff", "join_size_estimate", "length_outlier_filter",
+    "multimodal_features", "p10_topk", "p1_projection",
+    "p4_time_window", "p6_predicate_engine", "pricing_summary",
+    "range_partition_plan", "rank_movers", "skew_report",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):
@@ -271,7 +270,7 @@ _R14_LEAD = (
 # positionally equal to the first 50 keys queries() returns — a typo'd
 # or duplicated lead entry fails the gate instead of silently shrinking
 # the driver-sampled window.
-DRIVER_LEAD = _R14_LEAD
+DRIVER_LEAD = _R15_LEAD
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -292,7 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **STATS_QUERIES,
         **NOVELTY_QUERIES,
     }
-    lead = {k: merged[k] for k in _R14_LEAD if k in merged}
+    lead = {k: merged[k] for k in _R15_LEAD if k in merged}
     fresh = {
         k: v
         for k, v in merged.items()

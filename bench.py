@@ -261,6 +261,8 @@ HEADLINE = [
     "group_kfold",
     # round-14 additions
     "group_kfold_balance",
+    # round-15 additions
+    "rarity_from_store",
 ]
 
 _missing = [q for q in HEADLINE if q not in CORE_QUERIES]

@@ -109,6 +109,80 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# Store-fed rarity scoring (the O(batch) path a 100 TB pipeline runs)
+# ---------------------------------------------------------------------------
+def q_rarity_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score a held-out document slice against a PERSISTED docfreq
+    store — `operators/novelty.py rarity_scores_from_store`, the
+    O(batch) scoring pass: only the scored docs tokenize; the corpus
+    contributes nothing but the ≤vocabulary-sized idf frame read from
+    the store.  The store is built here from a fixed 2-batch corpus
+    partition (doc_id mod 3 ∈ {0, 1}) through the real ingest path
+    (atomic version writes, ledger, KMV sketch), then the third slice
+    (doc_id mod 3 = 2) is scored against the pinned latest version.
+    The DuckDB oracle recomputes the same integer micro-idf directly
+    from the batch union — certifying that scoring through the store
+    equals scoring against the corpus it summarizes."""
+    import tempfile
+
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+        rarity_scores_from_store,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        list_versions,
+        read_dataset,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="rarity_store_")
+    incremental_docfreq_ingest(
+        spark, root, docs.where(F.col("doc_id") % 3 == 0), "b0"
+    )
+    incremental_docfreq_ingest(
+        spark, root, docs.where(F.col("doc_id") % 3 == 1), "b1"
+    )
+    store = read_dataset(
+        spark, root, DOCFREQ_STORE,
+        version=list_versions(root, DOCFREQ_STORE)[-1],
+    )
+    return rarity_scores_from_store(
+        store, docs.where(F.col("doc_id") % 3 == 2)
+    ).orderBy("doc_id")
+
+
+SQL_RARITY_FROM_STORE = f"""
+WITH corpus AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 3 < 2
+), occ AS (
+  SELECT doc_id, unnest(toks) AS tok FROM corpus
+), dfq AS (
+  SELECT tok, count(DISTINCT doc_id) AS dfreq FROM occ GROUP BY tok
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents WHERE doc_id % 3 < 2
+), socc AS (
+  SELECT doc_id, unnest(toks) AS tok
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 3 = 2)
+), pairs AS (
+  SELECT doc_id, tok, count(*) AS n FROM socc GROUP BY doc_id, tok
+), sc AS (
+  SELECT p.doc_id,
+         sum(p.n) AS n_tokens,
+         sum(p.n * coalesce((nd.n_docs * 1000000) // d.dfreq,
+                            nd.n_docs * 1000000)) AS s
+  FROM pairs p LEFT JOIN dfq d USING (tok) CROSS JOIN nd
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s // n_tokens AS BIGINT) AS rarity_micro
+FROM sc
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stratified k-fold assignment (cross-validation folds, leak-free)
 # ---------------------------------------------------------------------------
 def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,12 +238,14 @@ ORDER BY label, fold
 NOVELTY_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "doc_rarity_score": q_doc_rarity_score,
+    "rarity_from_store": q_rarity_from_store,
     "stratified_kfold": q_stratified_kfold,
 }
 
 NOVELTY_ORACLES = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "doc_rarity_score": SQL_DOC_RARITY,
+    "rarity_from_store": SQL_RARITY_FROM_STORE,
     "stratified_kfold": SQL_STRATIFIED_KFOLD,
 }
 

@@ -48,8 +48,9 @@ PICK = ["fixer_chain", "pricing_summary", "j1_lookup_join", "j2_incremental_anti
         "q11_important_stock", "q16_supplier_counts",
         "q20_potential_promotion", "join_order_plan_stored",
         "skew_salting_decision", "ngram_novelty", "doc_rarity_score",
-        "group_kfold_balance"]
+        "group_kfold_balance", "rarity_from_store"]
 NOTES = {
+    "rarity_from_store": "the O(batch) scoring pass a 100 TB pipeline runs: the scored slice tokenizes and reduces to unique (doc, token) pairs; the idf side is a <=vocabulary-sized store scan (version-pinned parquet) joined in, 1-row n_docs anchor through the harmless 1xN BNLJ - the corpus behind the store never rescans",
     "group_kfold_balance": "aggregates the cluster-atomic fold assignment: LSH band mining + CC feed one fold-keyed hash agg (5 groups), doc total is a broadcast 1-row aggregate through the harmless 1x5 BNLJ cross - no unpartitioned window anywhere",
     "ngram_novelty": "ONE shingle-keyed aggregation folds first-owner (min_by) and presence set (collect_set, bounded by #sources); explode of the tiny set + one source-keyed agg - the corpus is shuffled once on the shingle, never joined back",
     "doc_rarity_score": "occurrences reduce ONCE to unique (doc, token) pairs with repeat counts; the doc-freq count is a plain count over the pairs and the idf join probes the SAME reduced frame weighted by the count (2.4x over re-shuffling raw occurrences on a 20x-duplicated corpus); TakeOrderedAndProject top-50, 1-row corpus count through the harmless 1xN BNLJ",
