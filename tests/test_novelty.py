@@ -803,3 +803,74 @@ def test_streaming_docfreq_loop_surfaces_overlap_tripwire(spark, tmp_path):
     assert "re-sends documents" in str(excinfo.value)
     versions = list_versions(str(tmp_path / "state"), DOCFREQ_STORE)
     assert len(versions) == 1  # only batch 0 committed
+
+
+def test_docfreq_tripwire_zero_false_positives_on_clean_ingests(
+    spark, tmp_path
+):
+    """Zero-FP property (seeded): across 20+ clean DISJOINT ingests of
+    varying batch sizes, the KMV doc-id tripwire never accuses — a
+    repeated md5 digest IS a repeated id, so unique ids can never trip
+    (the docstring's zero-false-positive claim, pinned mechanically)."""
+    import random
+
+    from service_alerts_connector_spark.operators.novelty import (
+        incremental_docfreq_ingest,
+    )
+
+    rng = random.Random(20250816)
+    root = str(tmp_path)
+    next_id, total = 0, 0
+    for i in range(20):
+        size = rng.randint(1, 64)
+        rows = [
+            (next_id + j, "s", f"tok{(next_id + j) % 7} common")
+            for j in range(size)
+        ]
+        next_id += size
+        total += size
+        stats = incremental_docfreq_ingest(
+            spark, root, _docs(spark, rows), f"clean-{i}"
+        ).collect()[0]
+        assert stats["n_docs"] == total  # never raised, counts additive
+
+
+def test_docfreq_tripwire_detection_floor_full_batch_replay(
+    spark, tmp_path
+):
+    """Detection-floor property: with the sketch at k=1024 and N ≈ 2.1k
+    ingested docs (the 1−e^(−bk/N) regime the docstring claims, N ≤
+    100k), a fully replayed batch of b = 64 docs under a NEW batch_id
+    must trip — P(miss) = Π(1 − k/N) ≈ e^(−64·0.49) here, and the
+    fixed seeded ids make the outcome deterministic: at least one of
+    the 64 digests lands in the bottom-k, the ingest raises, and the
+    store stays on its pre-violation version."""
+    from service_alerts_connector_spark.operators.novelty import (
+        _DOC_SKETCH_K,
+        DOCFREQ_STORE,
+        incremental_docfreq_ingest,
+    )
+
+    assert _DOC_SKETCH_K == 1024  # the regime the docstring claims
+    root = str(tmp_path)
+    n_per, ids = 700, 0
+    for i in range(3):  # N = 2100 > k: the sketch is genuinely partial
+        rows = [
+            (ids + j, "s", f"tok{(ids + j) % 11} base") for j in range(n_per)
+        ]
+        ids += n_per
+        incremental_docfreq_ingest(
+            spark, root, _docs(spark, rows), f"base-{i}"
+        )
+    n_versions = len(list_versions(root, DOCFREQ_STORE))
+
+    import random
+
+    rng = random.Random(7)
+    replay_ids = rng.sample(range(n_per), 64)  # 64 docs from batch 0
+    replay = _docs(
+        spark, [(i, "s", f"tok{i % 11} base") for i in replay_ids]
+    )
+    with pytest.raises(ValueError, match="re-sends documents"):
+        incremental_docfreq_ingest(spark, root, replay, "replayed")
+    assert len(list_versions(root, DOCFREQ_STORE)) == n_versions
