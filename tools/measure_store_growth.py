@@ -18,7 +18,12 @@ Usage: python tools/measure_store_growth.py [n_slices]
 Prints one JSON line per ingest:
   {"i": k, "novelty_s": .., "novelty_store_rows": ..,
    "docfreq_s": .., "docfreq_store_rows": ..}
-and a final summary line.  Results go into SCALE.md ("Saturation-store
+and a final summary line, which is ALSO persisted to STORE_GROWTH.json
+at the repo root (env STORE_GROWTH_ARTIFACT overrides) — the committed
+drift-gate artifact: tools/round_check.py flags any recorded regime
+whose tail-mean exceeds head-mean x2, so a store regression (e.g. an
+accidental unpinned read re-scanning all versions) is caught
+mechanically instead of by re-reading SCALE.md ("Saturation-store
 growth curve").
 """
 
@@ -117,30 +122,42 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
     tail = rows[-5:]
     head = rows[1:6]  # skip the warmup sample
-    print(
-        json.dumps(
-            {
-                "summary": {
-                    "sf_dir": sf_dir,
-                    "n_slices": n_slices,
-                    "novelty_s_head_mean": round(
-                        sum(r["novelty_s"] for r in head) / len(head), 2
-                    ),
-                    "novelty_s_tail_mean": round(
-                        sum(r["novelty_s"] for r in tail) / len(tail), 2
-                    ),
-                    "novelty_rows_final": rows[-1]["novelty_store_rows"],
-                    "docfreq_s_head_mean": round(
-                        sum(r["docfreq_s"] for r in head) / len(head), 2
-                    ),
-                    "docfreq_s_tail_mean": round(
-                        sum(r["docfreq_s"] for r in tail) / len(tail), 2
-                    ),
-                    "docfreq_rows_final": rows[-1]["docfreq_store_rows"],
-                }
-            }
+    summary = {
+        "sf_dir": sf_dir,
+        "n_slices": n_slices,
+        "novelty_s_head_mean": round(
+            sum(r["novelty_s"] for r in head) / len(head), 2
+        ),
+        "novelty_s_tail_mean": round(
+            sum(r["novelty_s"] for r in tail) / len(tail), 2
+        ),
+        "novelty_rows_final": rows[-1]["novelty_store_rows"],
+        "docfreq_s_head_mean": round(
+            sum(r["docfreq_s"] for r in head) / len(head), 2
+        ),
+        "docfreq_s_tail_mean": round(
+            sum(r["docfreq_s"] for r in tail) / len(tail), 2
+        ),
+        "docfreq_rows_final": rows[-1]["docfreq_store_rows"],
+    }
+    # the drift verdicts live IN the artifact (self-describing, the
+    # bench.py trusted-field lesson): flat == tail-mean <= head-mean x2
+    for regime in ("novelty", "docfreq"):
+        summary[f"{regime}_flat"] = (
+            summary[f"{regime}_s_tail_mean"]
+            <= 2 * summary[f"{regime}_s_head_mean"]
         )
+    line = json.dumps({"summary": summary})
+    print(line)
+    artifact = os.environ.get(
+        "STORE_GROWTH_ARTIFACT",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "STORE_GROWTH.json",
+        ),
     )
+    with open(artifact, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

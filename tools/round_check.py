@@ -11,6 +11,9 @@ Checks (all cheap — no Spark session):
   5. bench.py HEADLINE ⊆ queries() (a renamed query would crash bench).
   6. Every never-certified query (tools/cert_ages.py age 0) appears in
      the lead — new queries must be driver-sampled their first round.
+  7. STORE_GROWTH.json (if present) carries flat per-ingest curves
+     (tail-mean <= head-mean x2 per regime) — the saturation-store
+     drift gate fed by tools/measure_store_growth.py.
 
 Usage: python tools/round_check.py
 """
@@ -107,6 +110,42 @@ def main() -> int:
             f"never-certified queries outside the 50-query lead: {not_led}"
         )
 
+    # 7. saturation-store growth drift: the committed STORE_GROWTH.json
+    # artifact must carry flat per-ingest curves (tail-mean <= head-mean
+    # x2 per regime) — a violated flag means a store regression (e.g. an
+    # unpinned read re-scanning all versions) landed since the last
+    # re-measurement (`python tools/measure_store_growth.py`).
+    growth_path = os.path.join(ROOT, "STORE_GROWTH.json")
+    growth_note = "no STORE_GROWTH.json"
+    if os.path.exists(growth_path):
+        import json
+
+        try:
+            summary = json.loads(open(growth_path).read())["summary"]
+        except (ValueError, KeyError) as exc:
+            errs.append(f"STORE_GROWTH.json unreadable: {exc}")
+            summary = {}
+        regressed = sorted(
+            k[: -len("_flat")]
+            for k, v in summary.items()
+            if k.endswith("_flat") and v is not True
+        )
+        if regressed:
+            errs.append(
+                f"store growth curve regressed (tail-mean > head-mean x2) "
+                f"for: {regressed} — investigate before re-recording"
+            )
+        elif summary:
+            growth_note = (
+                "growth flat: "
+                + ", ".join(
+                    f"{r} {summary[r + '_s_head_mean']}->"
+                    f"{summary[r + '_s_tail_mean']}s"
+                    for r in ("novelty", "docfreq")
+                    if r + "_s_head_mean" in summary
+                )
+            )
+
     if errs:
         for e in errs:
             print("LOCKSTEP VIOLATION:", e)
@@ -114,7 +153,7 @@ def main() -> int:
     print(
         f"lockstep OK: {len(q)} queries / {len(o)} oracles; lead 50 valid; "
         f"{len(pick)} PLANS sections; {len(HEADLINE)} bench queries; "
-        f"{len(never)} never-certified all in lead"
+        f"{len(never)} never-certified all in lead; {growth_note}"
     )
     return 0
 
