@@ -6,14 +6,14 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
+# The x-stubs graduated to full md5-algebra oracles in r15; what
+# remains is genuinely non-SQL-expressible (encoded-byte sha256,
+# planar geometry, iterative codebook/centroid training).
 EXPECTED_ROWS_ONLY = {
-    "x1_stub_drafts",
-    "x2_stub_locations",
-    "x3_stub_geocode",
     "multimodal_features",
     "geo_overlay",
     "ann_ivf",
-    "ann_pq",  # iterative codebook training — not SQL-expressible
+    "ann_pq",
 }
 
 
