@@ -472,6 +472,48 @@ def main() -> None:
             for name, secs in timings.items()
             if name in prev and prev[name] > 0 and secs > 2 * prev[name]
         }
+    # Salvage re-pass (r15, mechanizing the r14 bm25_rank A/B protocol):
+    # host contention arrives in waves that inflate a CONTIGUOUS block of
+    # the headline order (five r15 daytime recordings: disjoint >2x sets,
+    # each a consecutive slice — the bad-sample signature, never a plan
+    # change).  Re-measure ONLY the flagged queries minutes later in the
+    # same session: best-warm is a MINIMUM statistic, so folding in
+    # n_runs more warm samples can only sharpen it toward the true floor
+    # — it cannot manufacture a fast value a quiet host wouldn't
+    # reproduce, and the crosscheck pair still enforces cross-run
+    # reproducibility on the FINAL numbers.  The artifact records which
+    # queries were salvaged (before/after) and keeps the main pass's
+    # pollution verdict, so a consumer sees that a wave hit the run.
+    # Skipped when the flagged set is large (>24: a storm that big needs
+    # a fresh window, not patching) or SPARK_GRAFT_BENCH_SALVAGE=0.
+    salvage_repass: dict[str, list[float]] = {}
+    if (
+        anchor_regressions
+        and len(anchor_regressions) <= 24
+        and os.environ.get("SPARK_GRAFT_BENCH_SALVAGE", "1") != "0"
+    ):
+        for name in sorted(anchor_regressions):
+            fn = CORE_QUERIES[name]
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            rebest = timings[name]
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rebest = min(rebest, time.perf_counter() - t0)
+            if round(rebest, 3) < timings[name]:
+                salvage_repass[name] = [timings[name], round(rebest, 3)]
+                timings[name] = round(rebest, 3)
+        anchor_regressions = {
+            name: [prev[name], secs]
+            for name, secs in timings.items()
+            if name in prev and prev[name] > 0 and secs > 2 * prev[name]
+        }
     # Consumer-facing trust verdict (round-13 lesson: ~5 median>cold
     # inversions is this host's noise floor for the MEDIAN statistic —
     # `contended_sample` fires there while three cross-validated runs
@@ -512,6 +554,7 @@ def main() -> None:
         "contended_sample": len(polluted) > 2,
         "anchor": os.path.basename(anchor_path) if anchor_path else None,
         "anchor_regressions": anchor_regressions,
+        "salvage_repass": salvage_repass,
         "trusted": trusted,
         "trust_basis": trust_basis,
         # basename only when the file existed AND parsed — a missing/
