@@ -243,15 +243,22 @@ _DRIVER_SAMPLED = frozenset(
 # in (a)) fills the remaining 35 slots; the 9 round-10 names that
 # didn't fit (skew_salted_agg … zorder_key) head the round-16 fill.
 _R15_LEAD = (
-    # (a)+(b) new/changed oracles this round
+    # (a)+(b) new/changed oracles this round.  The five dedup/split
+    # queries changed PLAN, not oracle (exact-collapse-before-fuzzy via
+    # operators/textdedup.collapsed_assignment; rendered SQL byte-equal,
+    # so tools/changed_oracles.py alone would miss them — the module
+    # diff over operators/ is what forces them in, per the round-11
+    # similarity.py lesson).
     "rarity_from_store", "x1_stub_drafts", "x2_stub_locations",
-    "x3_stub_geocode",
+    "x3_stub_geocode", "dedup_clusters", "dedup_near_keep",
+    "leakage_safe_split", "group_kfold", "group_kfold_balance",
     # (c) stalest certificates: round 9 (the 11 displaced last round)
     "quality_deciles", "scd2_temporal_join", "seasonal_dow_profile",
     "source_mixing", "source_quota", "stratified_sample",
     "text_bpe_tokens", "tfidf_top_terms", "vocab_coverage",
     "weighted_median_price", "winsorized_mean_value",
-    # (c) stalest certificates: round 10 (first 35 of the cohort)
+    # (c) stalest certificates: round 10 (first 30 of the cohort; the
+    # tail five displaced by the category-(a) plan-change entries)
     "a1_collect_list", "a2_all_window_anchor", "a3_lastwins_dedup",
     "a5_guards", "ann_ivf", "ann_pq", "config_fanout_1k",
     "config_join_fanout", "dq_rule_screen", "f12_fuzzy_join",
@@ -261,8 +268,7 @@ _R15_LEAD = (
     "hhi_concentration", "j1_lookup_join", "j2_incremental_anti",
     "j8_cdc_diff", "join_size_estimate", "length_outlier_filter",
     "multimodal_features", "p10_topk", "p1_projection",
-    "p4_time_window", "p6_predicate_engine", "pricing_summary",
-    "range_partition_plan", "rank_movers", "skew_report",
+    "p4_time_window",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):

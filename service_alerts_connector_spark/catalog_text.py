@@ -236,21 +236,31 @@ SQL_MINHASH_LSH = _SQL_MINHASH_BANDS + _SQL_PAIR_SELECT
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution: MinHash-LSH pairs → connected
-    components (id, component=min reachable id) — the keep-one-per-cluster
-    step after pair mining.  Iterative min-label propagation in Spark; the
-    oracle computes the same closure with a recursive CTE."""
+    """Duplicate-cluster resolution: exact-collapse then MinHash-LSH pairs →
+    connected components (id, component=min reachable id) — the
+    keep-one-per-cluster step after pair mining.  Since r15 the fuzzy tier
+    runs on one representative per distinct content
+    (``collapsed_assignment``; provably the same components — identical
+    text ⇒ identical signature ⇒ the rep graph is the quotient graph), so
+    a duplication-heavy corpus never pays clique-mass pair explosion.  A
+    doc is CLUSTERED iff its exact class has ≥2 members (the class itself
+    is a clique) or its representative mined a fuzzy pair.  The oracle
+    computes the same closure with a recursive CTE over the uncollapsed
+    graph."""
     from service_alerts_connector_spark.operators.textdedup import (
-        connected_components,
+        collapsed_assignment,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
-    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
-    comp = connected_components(pairs)
-    return comp.select(
-        F.col("id").alias("doc_id"), "component"
-    ).orderBy("doc_id")
+    asg = collapsed_assignment(docs, num_hashes=8, shingle_k=3, bands=4)
+    return (
+        asg.where((F.col("n_class") >= 2) | F.col("component").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("rep")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 SQL_DEDUP_CLUSTERS = (
@@ -275,16 +285,22 @@ FROM reach GROUP BY id ORDER BY doc_id
 
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized near-dedup decision: corpus minus non-representative
-    cluster members (min-id representative kept, unclustered rows kept)."""
+    cluster members (min-id representative kept, unclustered rows kept).
+    Via ``collapsed_assignment`` the decision reduces to one predicate:
+    keep a doc iff it IS the smallest id of its exact+fuzzy duplicate
+    group (``doc_id == coalesce(component, rep)``) — non-rep exact copies
+    fail ``rep``, clustered reps that aren't the cluster min fail
+    ``component``, and every unclustered singleton passes trivially."""
     from service_alerts_connector_spark.operators.textdedup import (
-        near_dedup_keep,
+        collapsed_assignment,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
-    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    asg = collapsed_assignment(docs, num_hashes=8, shingle_k=3, bands=4)
     return (
-        near_dedup_keep(docs, pairs)
+        asg.where(
+            F.col("doc_id") == F.coalesce("component", F.col("rep"))
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -320,24 +336,19 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates can never straddle train and held-out — the split-level
     counterpart of the dedup tier (plain per-doc hashing leaks every
     near-dup pair across the boundary).  Composition of
-    ``connected_components`` + ``hash_split``; the only work beyond
-    ``dedup_clusters`` is one left join and a pure-row md5."""
+    ``collapsed_assignment`` (exact-collapse then fuzzy clustering on one
+    rep per distinct content — provably the same group keys) +
+    ``hash_split``; the only work beyond ``dedup_clusters`` is a pure-row
+    md5."""
     from service_alerts_connector_spark.operators.sketches import hash_split
     from service_alerts_connector_spark.operators.textdedup import (
-        connected_components,
+        collapsed_assignment,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
-    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
-    comp = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
-    keyed = (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
-    )
+    keyed = collapsed_assignment(
+        docs, num_hashes=8, shingle_k=3, bands=4
+    ).withColumn("group_key", F.coalesce("component", F.col("rep")))
     # no orderBy: the correctness gate hashes the value MULTISET
     # (order-insensitive), and a corpus-wide global sort would be the only
     # super-linear cost in this plan at 100 TB

@@ -1204,3 +1204,124 @@ def test_lsh_recall_monotone_in_bands(spark):
         assert got[a]["recall_ppm"] <= got[b]["recall_ppm"], (a, b)
     # the curve actually moves on this corpus (not a vacuous pass)
     assert got[8]["n_candidates"] > got[1]["n_candidates"]
+
+
+# ---------------------------------------------------------------------------
+# Exact-collapse-before-fuzzy equivalence (r15): collapsed_assignment must
+# reproduce the uncollapsed sigs→pairs→CC pipeline EXACTLY — identical text
+# ⇒ identical signature ⇒ the rep graph is the quotient graph, so group
+# keys, cluster rows, and the near-keep set are all provably unchanged.
+# The certified DuckDB oracles for dedup_clusters / dedup_near_keep /
+# leakage_safe_split / group_kfold still render the UNCOLLAPSED SQL, so
+# these pins are what licenses the faster plan under the same oracles.
+# ---------------------------------------------------------------------------
+def _dup_heavy_corpus(spark):
+    import random
+
+    rng = random.Random(0x5EED15)
+    rows, did = [], 0
+    for fam in range(10):
+        base = [f"t{fam}_{i}" for i in range(25)]
+        # a few near-dup VARIANTS per family, each exactly-copied 1-6x —
+        # exercises exact classes, fuzzy edges between classes, singleton
+        # classes, and fully-unique docs at once
+        for variant in range(rng.randrange(1, 4)):
+            toks = list(base)
+            # variant 0 is the exact base (copied 2-6x); every later
+            # variant mutates 1-3 tokens and variant 1 gets exactly ONE
+            # copy — guaranteeing a singleton exact class whose only
+            # cluster membership is a fuzzy edge
+            if variant > 0:
+                for _ in range(rng.randrange(1, 4)):
+                    toks[rng.randrange(len(toks))] = (
+                        f"v{variant}m{rng.randrange(99)}"
+                    )
+            text = " ".join(toks)
+            n_copies = (
+                rng.randrange(2, 7) if variant == 0
+                else 1 if variant == 1
+                else rng.randrange(1, 7)
+            )
+            for _copy in range(n_copies):
+                did += 1
+                rows.append((did, text))
+    for u in range(8):  # unique riff-raff
+        did += 1
+        rows.append((did, f"unique doc {u} " + " ".join(f"u{u}_{i}" for i in range(10))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _uncollapsed_group_keys(docs):
+    from service_alerts_connector_spark.operators.textdedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keyed = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_key", F.coalesce("component", F.col("doc_id")))
+    )
+    return keyed, comp
+
+
+def test_collapsed_assignment_matches_uncollapsed_pipeline(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        collapsed_assignment,
+    )
+
+    docs = _dup_heavy_corpus(spark)
+    keyed, comp = _uncollapsed_group_keys(docs)
+    want_keys = {
+        r["doc_id"]: r["group_key"] for r in keyed.collect()
+    }
+    asg = collapsed_assignment(docs, num_hashes=8, shingle_k=3, bands=4)
+    got = asg.withColumn(
+        "group_key", F.coalesce("component", F.col("rep"))
+    ).collect()
+    assert {r["doc_id"]: r["group_key"] for r in got} == want_keys
+    # the corpus actually exercises the interesting regimes
+    assert any(r["n_class"] >= 2 for r in got)  # real exact classes
+    assert any(
+        r["n_class"] == 1 and r["component"] is not None for r in got
+    )  # fuzzy-only membership
+    assert any(
+        r["n_class"] == 1 and r["component"] is None for r in got
+    )  # true singletons
+
+    # dedup_clusters semantics: rows for clustered docs only
+    want_rows = {(r["doc_id"], r["component"]) for r in comp.collect()}
+    got_rows = {
+        (r["doc_id"], r["group_key"])
+        for r in got
+        if r["n_class"] >= 2 or r["component"] is not None
+    }
+    assert got_rows == want_rows
+
+    # near-keep semantics: keep iff doc is the min of its exact+fuzzy group
+    dropped_want = {r["doc_id"] for r in comp.collect() if r["doc_id"] != r["component"]}
+    kept_want = {r["doc_id"] for r in docs.collect()} - dropped_want
+    kept_got = {r["doc_id"] for r in got if r["doc_id"] == r["group_key"]}
+    assert kept_got == kept_want
+
+
+def test_collapsed_assignment_empty_and_all_unique(spark):
+    from service_alerts_connector_spark.operators.textdedup import (
+        collapsed_assignment,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert collapsed_assignment(empty).count() == 0
+    uniq = spark.createDataFrame(
+        [(i, " ".join(f"q{i}_{j}" for j in range(12))) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    rows = collapsed_assignment(uniq).collect()
+    assert all(r["n_class"] == 1 and r["rep"] == r["doc_id"] for r in rows)
+    assert all(r["component"] is None for r in rows)
