@@ -141,13 +141,17 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_stats_csv(stats: DataFrame) -> DataFrame:
+    # No final orderBy: the output is row-per-media (corpus-sized at scale),
+    # the correctness gate canonicalizes order-insensitively, and the sort
+    # was this plan's only Exchange (guide §2.4: an orderBy used only to
+    # make output deterministic is a removable shuffle).
     return stats.select(
         "media_id",
         "width",
         "height",
         "gray_sum",
         F.array_join("hist", ",").alias("hist_csv"),
-    ).orderBy("media_id")
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +472,9 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), F.col("n_chars").alias("seed")),
         seed_col="seed",
     )
-    return video_frame_stats(media, every_n=2).orderBy("media_id", "frame_idx")
+    # row-per-frame output: no presentation sort (order-insensitive gate;
+    # the orderBy was the plan's only Exchange — guide §2.4)
+    return video_frame_stats(media, every_n=2)
 
 
 SQL_MULTIMODAL_VIDEO = """
@@ -511,7 +517,8 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), F.col("n_chars").alias("seed")),
         seed_col="seed",
     )
-    return audio_decode_stats(media).orderBy("media_id")
+    # row-per-media output: no presentation sort (order-insensitive gate)
+    return audio_decode_stats(media)
 
 
 SQL_MULTIMODAL_AUDIO = """

@@ -147,9 +147,11 @@ def q_rarity_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, DOCFREQ_STORE,
         version=list_versions(root, DOCFREQ_STORE)[-1],
     )
+    # no final orderBy: row-per-scored-doc output (batch-sized at scale),
+    # order-insensitive gate — the sort was a rangepartitioning Exchange
     return rarity_scores_from_store(
         store, docs.where(F.col("doc_id") % 3 == 2)
-    ).orderBy("doc_id")
+    )
 
 
 SQL_RARITY_FROM_STORE = f"""

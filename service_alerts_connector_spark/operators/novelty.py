@@ -531,8 +531,19 @@ def incremental_docfreq_ingest(
     )
     merged = merged_counts.unionByName(sketch_rows)
     merged = merged.localCheckpoint(eager=True)
-    write_dataset(merged, root, DOCFREQ_STORE)
-    return docfreq_store_stats(merged).localCheckpoint(eager=True)
+    # Bounded store (vocabulary + ≤1024 sketch + ledger rows): write ONE
+    # file per version instead of a shuffle-partition-count spray of
+    # KB-sized shards (guide §6 small-files — listing, open overhead and
+    # the current-copy tree all scale with file count; at GB-scale store
+    # bytes the documented Delta MERGE swap is the path anyway).
+    write_dataset(merged.coalesce(1), root, DOCFREQ_STORE)
+    # The returned stats frame needs no eager checkpoint of its own: its
+    # lineage is pinned to `merged`'s already-materialized checkpoint
+    # blocks, not to any version directory, so retention pruning cannot
+    # invalidate it (the redelivery branch above DOES force, because there
+    # the lineage reads a pinned version dir).  Saves one driver-blocking
+    # job per ingest.
+    return docfreq_store_stats(merged)
 
 
 def docfreq_store_stats(store: DataFrame) -> DataFrame:

@@ -696,7 +696,14 @@ def semantic_dedup(
     Returns one row per input vector: (id, cell, d2_milli, kept) —
     the audit frame a curation pipeline filters on ``kept``.
     """
-    dim = _infer_dim(df, vec_col)
+    # dim from the pinned centroids, not a head(1) probe: assignment is
+    # only well-defined when vectors and centroids share a dimension, so
+    # len(centroids[0]) IS the corpus dim — this removes a whole driver
+    # job (the bounded head(1) Spark action) from every invocation
+    # (guide §5: keep driver-side actions out of the query path).
+    if not centroids_milli or not centroids_milli[0]:
+        raise ValueError("centroids_milli must be non-empty")
+    dim = len(centroids_milli[0])
     planes = seeded_hyperplanes(n_planes, dim, seed)
     # localCheckpoint pins ONE evaluation of the scan+quantize+assign
     # subtree: it feeds four downstream branches (band cells, both verify
@@ -777,7 +784,10 @@ def semantic_dedup(
             "d2_milli",
             F.col("_dropped").isNull().alias("kept"),
         )
-        .orderBy(id_col)
+        # no final orderBy: output is row-per-vector (corpus-sized), the
+        # correctness gate canonicalizes order-insensitively, and the sort
+        # was a whole rangepartitioning Exchange + global Sort of the
+        # corpus (guide §2.4) — the catalog's own no-corpus-sort rule.
     )
 
 
@@ -1051,7 +1061,8 @@ def incremental_semantic_dedup(
             "d2_milli",
             F.col("_dropped").isNull().alias("kept"),
         )
-        .orderBy(id_col)
+        # (no orderBy: batch-sized but still a needless rangepartitioning
+        # exchange before the eager checkpoint; verdict consumers key by id)
         # eager: sever the plan's read of the pinned previous version
         # BEFORE committing the new one — retention prunes old version
         # dirs after enough further ingests, and a still-lazy verdicts

@@ -330,12 +330,19 @@ def connected_components(
     executor loss matters.  GraphFrames' connectedComponents is the
     documented library alternative.
     """
+    # No .distinct() on the edge list: every producer in this engine emits
+    # DISTINCT (id_a < id_b) pairs (lsh_candidate_pairs ends in distinct),
+    # and the two direction halves cannot overlap under the strict <, so
+    # the union is duplicate-free by construction — the distinct was a full
+    # extra Exchange per CC execution (guide §2.4: a distinct on data that
+    # is already unique).  Min-label propagation is idempotent to duplicate
+    # edges anyway, so a caller passing a non-deduped pair list changes
+    # cost, never the result.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     # Initialization fuses the FIRST propagation round: label = min(self,

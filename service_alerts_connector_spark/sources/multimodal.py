@@ -51,6 +51,25 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _spread_codec_input(df: DataFrame, key_col: str = "media_id") -> DataFrame:
+    """Hash-spread narrow (id, seed) rows across the session's cores before
+    a Python codec stage.
+
+    The synth generators are typically fed by a scan of a small dimension
+    slice — one parquet split — so without this every row's encode work
+    lands on ONE task and the whole codec tier runs serially on a single
+    core (optimization-guide §2.5: input parallelism; measured sf0.1:
+    multimodal_video_frames 1.87 → 0.66 s best-warm).  The exchange moves
+    only (id, seed) rows — trivial bytes at any scale.  The partition
+    count must be EXPLICIT: AQE's size-based coalescing sees a few KB and
+    would merge the exchange back to one task, which is exactly the
+    serialization being removed.  Hash partitioning on the id is
+    deterministic under task retry (no round-robin/rand key, SPARK-38388).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(key_col))
+
+
 def _decode_image(content: bytes) -> list[float]:
     """Decode + feature-extract one image.
 
@@ -131,6 +150,7 @@ def synth_bmp_media(
     seed_col: str = "seed",
     width: int = 16,
     height: int = 16,
+    spread: bool = False,
 ) -> DataFrame:
     """Synthesize a REAL 16×16 grayscale BMP per row: pixel p's luma is
     ``(seed*31 + p*7) % 256`` with r=g=b — a closed-form recipe a SQL
@@ -166,9 +186,13 @@ def synth_bmp_media(
                  "content": blobs, "meta": metas}
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(seed_col).cast("long").alias(seed_col),
+    )
+    if spread:
+        sel = _spread_codec_input(sel, "media_id")
+    return sel.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def synth_png_media(
@@ -177,6 +201,7 @@ def synth_png_media(
     seed_col: str = "seed",
     width: int = 16,
     height: int = 16,
+    spread: bool = False,
 ) -> DataFrame:
     """PNG twin of ``synth_bmp_media``: same closed-form pixel recipe
     (luma = (seed*31 + p*7) % 256, r=g=b) serialized as a REAL 8-bit RGB
@@ -217,9 +242,13 @@ def synth_png_media(
                  "content": blobs, "meta": metas}
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(seed_col).cast("long").alias(seed_col),
+    )
+    if spread:
+        sel = _spread_codec_input(sel, "media_id")
+    return sel.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def media_decode_stats(
@@ -412,6 +441,7 @@ def synth_wav_media(
     seed_col: str = "seed",
     sample_rate: int = 8000,
     n_samples: int = 2048,
+    spread: bool = False,
 ) -> DataFrame:
     """Audio twin of ``synth_bmp_media``: sample i of a REAL mono PCM16 WAV
     is ``((seed*37 + i*11) % 4096) - 2048`` — a closed-form integer recipe
@@ -446,9 +476,13 @@ def synth_wav_media(
                  "content": blobs, "meta": metas}
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(seed_col).cast("long").alias(seed_col),
+    )
+    if spread:
+        sel = _spread_codec_input(sel, "media_id")
+    return sel.mapInPandas(run, MEDIA_SCHEMA)
 
 
 AUDIO_FRAME = 256  # samples per energy frame
@@ -519,6 +553,7 @@ def synth_gif_media(
     seed_col: str = "seed",
     width: int = 16,
     height: int = 16,
+    spread: bool = False,
 ) -> DataFrame:
     """GIF twin of ``synth_bmp_media``/``synth_png_media``: the same
     closed-form pixel recipe (luma = (seed*31 + p*7) % 256) serialized as
@@ -551,9 +586,13 @@ def synth_gif_media(
                  "content": blobs, "meta": metas}
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(seed_col).cast("long").alias(seed_col),
+    )
+    if spread:
+        sel = _spread_codec_input(sel, "media_id")
+    return sel.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def synth_jpeg_media(
@@ -561,6 +600,7 @@ def synth_jpeg_media(
     id_col: str = "media_id",
     seed_col: str = "seed",
     blocks: int = 2,
+    spread: bool = True,
 ) -> DataFrame:
     """JPEG twin of the other synths, adapted to a LOSSY codec: each 8×8
     block is CONSTANT (value = (seed*31 + block*7) % 256), which makes
@@ -600,9 +640,13 @@ def synth_jpeg_media(
                  "content": blobs, "meta": metas}
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(seed_col).cast("long").alias(seed_col),
+    )
+    if spread:
+        sel = _spread_codec_input(sel, "media_id")
+    return sel.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def synth_avi_media(
@@ -612,6 +656,7 @@ def synth_avi_media(
     n_frames: int = 6,
     blocks: int = 2,
     fps: int = 5,
+    spread: bool = True,
 ) -> DataFrame:
     """Video twin of the other synths: a REAL MJPEG AVI per row — RIFF
     container wrapping genuine baseline JPEGs — where frame f's block b is
@@ -653,9 +698,13 @@ def synth_avi_media(
                  "content": blobs, "meta": metas}
             )
 
-    return df.select(
-        F.col(id_col).alias("media_id"), F.col(seed_col).cast("long").alias(seed_col)
-    ).mapInPandas(run, MEDIA_SCHEMA)
+    sel = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(seed_col).cast("long").alias(seed_col),
+    )
+    if spread:
+        sel = _spread_codec_input(sel, "media_id")
+    return sel.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def video_frame_stats(
