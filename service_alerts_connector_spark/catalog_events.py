@@ -899,14 +899,16 @@ def q_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds provably converge — a deeper driver testdata generation
     # (CLAUDE.md: the generator is not stable round-over-round) can never
     # outgrow a hard-coded 8 and silently fail the oracle's
-    # `TRUE AS converged` column.  One tiny agg job; the operator already
-    # runs eager checkpoints at construction (documented contract).
+    # `TRUE AS converged` column.  One tiny agg job; the operator
+    # truncates lineage with lazy localCheckpoints at construction
+    # (documented contract).
     max_node = edges.agg(F.max("node")).collect()[0][0] or 0
     depth = max(1, max_node // 8)
     iters = max(1, math.ceil(math.log2(depth)) + 1)
-    return pointer_jump_roots(
-        edges, "node", "parent", iterations=iters
-    ).orderBy("node")
+    # no final orderBy: node-sized output, the correctness gate
+    # canonicalizes order-insensitively, and the sort was a whole
+    # rangepartitioning Exchange + global Sort (guide §2.4)
+    return pointer_jump_roots(edges, "node", "parent", iterations=iters)
 
 
 SQL_HIERARCHY_ROOTS = """

@@ -53,9 +53,9 @@ def q_geo_overlay_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rect_wkt(fx0, fy0, 10).alias("WKT"),
     )
     out = overlay_inference(alerts, layer, "zones", use_sedona=False)
-    return out.select(
-        "Id", F.array_join("zones", ",").alias("zones")
-    ).orderBy("Id")
+    # no final orderBy: row-per-alert output, order-insensitive gate
+    # (guide §2.4 — the sort was a rangepartitioning Exchange + Sort)
+    return out.select("Id", F.array_join("zones", ",").alias("zones"))
 
 
 SQL_GEO_OVERLAY_RECT = """

@@ -790,9 +790,11 @@ def q_ancestor_path_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_node = edges.agg(F.max("node")).collect()[0][0] or 0
     depth = max(1, max_node // 8)
     iters = max(1, math.ceil(math.log2(depth)) + 1)
+    # no final orderBy: node-sized output, order-insensitive gate
+    # (guide §2.4 — the sort was a rangepartitioning Exchange + Sort)
     return pointer_jump_path_sum(
         edges, "node", "parent", "value", iterations=iters
-    ).orderBy("node")
+    )
 
 
 SQL_ANCESTOR_PATH_SUM = """

@@ -52,6 +52,18 @@ def pagerank_integer(
 
     Output: ``node``, ``rank_micro`` (bigint).
     """
+    # Pin ONE evaluation of the caller's edge-build subtree (lazy
+    # localCheckpoint): the unrolled recurrence references ``edges``
+    # in every iteration plus ``nodes`` (twice) and ``out_w``, so an
+    # unpinned frame duplicates the upstream scan/window/aggregate
+    # ~10× per 3 iterations (measured: 28 parquet scans + 28 Windows
+    # in event_pagerank's physical plan — plans/r15/
+    # event_pagerank_before.txt).  eager=False materializes inside the
+    # first consuming job — no separate driver-forced job, which is why
+    # this is cheaper than the per-iteration eager checkpoint the
+    # ``checkpoint`` flag controls (that one pays off only on
+    # corpus-sized graphs; see caller notes).
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -232,7 +244,13 @@ def pointer_jump_roots(
             .cast("long")
             .alias("dist"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: lineage is truncated at construction either way (the
+        # round plans stay flat); eager=True additionally forced one
+        # materialization job PER checkpoint before any consumer ran —
+        # with each round's broadcast build already materializing the
+        # blocks as a side effect, the eager jobs were pure overhead
+        # (~2 driver jobs/round → 1; guide §1.2 job-count reduction).
+        .localCheckpoint(eager=False)
     )
     roots = ptr.where(F.col("ptr") == F.col("node")).select(
         F.col("node").alias("_root")
@@ -257,7 +275,8 @@ def pointer_jump_roots(
                     "dist"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy for the same reason as the init checkpoint above
+            .localCheckpoint(eager=False)
         )
     return (
         ptr.join(roots, ptr["ptr"] == roots["_root"], "left")
@@ -314,7 +333,11 @@ def pointer_jump_path_sum(
             F.min("_rawptr").alias("ptr0"),
             F.min("_rawval").cast("long").alias("val"),
         )
-        .localCheckpoint(eager=True)
+        # lazy checkpoints throughout (init + loop): see
+        # pointer_jump_roots — truncation happens at construction, and
+        # the first consuming job materializes the blocks, so the eager
+        # per-checkpoint jobs were pure driver-job overhead.
+        .localCheckpoint(eager=False)
     )
     is_root = F.col("ptr0") == F.col("node")
     ptr = base.select(
@@ -326,7 +349,7 @@ def pointer_jump_path_sum(
         F.when(is_root, F.lit(0).cast("long")).otherwise(F.col("val")).alias(
             "acc"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     roots = ptr.where(F.col("ptr") == F.col("node")).select(
         F.col("node").alias("_root")
     )
@@ -352,7 +375,7 @@ def pointer_jump_path_sum(
                     "acc"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     root_vals = base.select(
         F.col("node").alias("_rv_node"), F.col("val").alias("_rv_val")

@@ -351,6 +351,13 @@ def overlay_inference(
         # alert WKT once per candidate feature — parse each distinct string
         # once per task instead of once per pair
         memo: dict[str, list | None] = {}
+        # pair-level intersection memo: footprints repeat (template
+        # geometries, gridded fixtures, re-submitted alerts), and the
+        # Sutherland–Hodgman clip is the expensive per-pair Python step —
+        # cache the intersection area per distinct (alert-WKT, feature-WKT)
+        # string pair for the task lifetime (guide §4.5 heavyweight-work-
+        # once; pure dict overhead when every geometry is unique)
+        pair_memo: dict[tuple[str, str], float] = {}
 
         def polys_of(wkt_str):
             hit = memo.get(wkt_str, False)
@@ -369,14 +376,25 @@ def overlay_inference(
                 pdf["_aarea"].tolist(), pdf["_fname"].tolist(),
                 pdf["_fwkt"].tolist(), pdf["_farea"].tolist(),
             ):
-                fp = polys_of(awkt)
-                fpolys = polys_of(fwkt)
-                if fp is None or fpolys is None:
+                pkey = (awkt, fwkt)
+                inter = pair_memo.get(pkey)
+                if inter is None:
+                    fp = polys_of(awkt)
+                    fpolys = polys_of(fwkt)
+                    if fp is None or fpolys is None:
+                        # parse failure: record as NaN so the pair is
+                        # skipped without re-parsing (NaN fails every
+                        # threshold comparison below, like the old
+                        # `continue`)
+                        pair_memo[pkey] = inter = float("nan")
+                    else:
+                        inter = 0.0
+                        for a in fp:
+                            for b in fpolys:
+                                inter += G.intersection_area(a, b)
+                        pair_memo[pkey] = inter
+                if inter != inter:  # NaN → unparseable pair
                     continue
-                inter = 0.0
-                for a in fp:
-                    for b in fpolys:
-                        inter += G.intersection_area(a, b)
                 if inter <= 0:
                     continue
                 if (farea > 0 and inter / farea > min_overlap) or (

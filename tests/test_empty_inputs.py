@@ -237,11 +237,14 @@ def test_round9_operators_on_empty_input(spark):
     docs = _empty_docs(spark)
     assert duplicate_substring_spans(docs, k=3).count() == 0
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    # dim inference needs one row; empty corpus is a defined error upstream
+    # r15: dim comes from the pinned centroids (no head(1) driver probe),
+    # so an empty corpus is now a defined empty result — and empty
+    # centroids are the defined error instead.
+    assert semantic_dedup(emb, [[1000, 0]], threshold=0.9).count() == 0
     import pytest
 
-    with pytest.raises(ValueError, match="cannot infer dim"):
-        semantic_dedup(emb, [[1000, 0]], threshold=0.9)
+    with pytest.raises(ValueError, match="centroids_milli"):
+        semantic_dedup(emb, [], threshold=0.9)
     one = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
