@@ -455,6 +455,13 @@ def collapsed_assignment(
             F.count(F.lit(1)).alias("n_class"),
             F.first(text_col).alias(text_col),
         )
+        # Pin ONE evaluation: this digest groupBy (a corpus-wide text
+        # shuffle) feeds BOTH the minhash/CC tier (forced by CC's eager
+        # edge checkpoint at construction) and the rep_map side of the
+        # final map-back join — unpinned, the whole pass re-ran when the
+        # returned frame executed.  eager=False: the CC construction job
+        # is the first consumer, so no extra driver job is added.
+        .localCheckpoint(eager=False)
     )
     sigs = minhash_signatures(
         rep_docs.select(id_col, text_col), text_col, id_col,
