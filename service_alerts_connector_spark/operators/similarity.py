@@ -65,6 +65,28 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _dlit(x: float) -> str:
+    """A double literal for SQL text: repr() is the shortest round-trip
+    decimal and Spark's parser reads the D-suffixed form back to the
+    identical IEEE double."""
+    return f"{float(x)!r}D"
+
+
+def _array_dsql(vec: "Sequence[float]") -> str:
+    return "array(" + ",".join(_dlit(x) for x in vec) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """``_dot`` as SQL text — the same zip_with/aggregate left fold, so
+    the float op sequence (and hence every rounded cosine) is identical;
+    one parsed string instead of ~60 py4j Column calls (the literal
+    query array alone was 64 round trips)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x)"
+    )
+
+
 def with_cosine(
     df: DataFrame,
     query_vec: list[float],
@@ -72,10 +94,14 @@ def with_cosine(
     out_col: str = "cos",
 ) -> DataFrame:
     """Attach round(cosine(vec, query), 6)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    v = F.col(vec_col).cast("array<double>")
+    q = _array_dsql(query_vec)
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
     return df.withColumn(
-        out_col, F.round(_dot(v, q) / (_norm(v) * _norm(q)), 6)
+        out_col,
+        F.expr(
+            f"round({_dot_sql(v, q)} /"
+            f" (SQRT({_dot_sql(v, v)}) * SQRT({_dot_sql(q, q)})), 6)"
+        ),
     )
 
 
@@ -147,6 +173,39 @@ def projection_expr(vec_col: Column, plane: SparsePlane) -> Column:
     return e
 
 
+def projection_sql(vec_sql: str, plane: SparsePlane) -> str:
+    """``projection_expr`` as a SQL fragment: the explicitly parenthesized
+    left-associated ± chain parses to the identical expression tree, but
+    the whole string costs ONE py4j round trip instead of ~4 per term —
+    Column-object construction of the 32-plane banding measured 2.0 s of
+    pure driver/py4j time per query build (guide §4: the Python boundary
+    is also the *driver's* expression-construction boundary)."""
+    e = ""
+    for d, s in plane:
+        term = f"element_at({vec_sql}, {d + 1})"
+        if not e:
+            e = term if s > 0 else f"(- {term})"
+        else:
+            e = f"({e} + {term})" if s > 0 else f"({e} - {term})"
+    assert e
+    return e
+
+
+def _band_bucket_sql(vec_sql: str, planes, b: int, r: int) -> str:
+    """One band's packed sign-bucket as a SQL fragment (bit i ← plane
+    b*r+i), mirroring the Column construction in ``banded_bucket_cols``:
+    left-associated sum of CASE terms."""
+    total = ""
+    for i in range(r):
+        bit = (
+            f"CASE WHEN ({projection_sql(vec_sql, planes[b * r + i])}) > 0"
+            f" THEN {2 ** i} ELSE 0 END"
+        )
+        total = bit if not total else f"({total} + {bit})"
+    assert total
+    return total
+
+
 def hyperplane_bucket(vec_col: Column, planes: Sequence[SparsePlane]) -> Column:
     """Sign-LSH bucket id: bit j (weight 2**j) is set iff <vec, plane_j> > 0."""
     total: Column | None = None
@@ -204,7 +263,18 @@ def bucketed_cosine_topk(
     probes = [qb] if hamming == 0 else [qb] + [qb ^ (1 << j) for j in range(n_planes)]
     casted = df.withColumn("_vd", F.col(vec_col).cast("array<double>"))
     bucketed = (
-        casted.withColumn("bucket", hyperplane_bucket(F.col("_vd"), planes))
+        # one-expr SQL build (see projection_sql): 32 planes as a single
+        # parsed string instead of ~1000 py4j Column ops
+        casted.withColumn(
+            "bucket",
+            F.expr(
+                " + ".join(
+                    f"(CASE WHEN ({projection_sql('_vd', p)}) > 0"
+                    f" THEN {2 ** j} ELSE 0 END)"
+                    for j, p in enumerate(planes)
+                )
+            ),
+        )
         .where(F.col("bucket").isin(probes))
         .drop("_vd")
     )
@@ -490,13 +560,22 @@ def pq_adc_topk(
 
 
 def banded_bucket_cols(
-    vec_col: Column,
+    vec_col: Column | str,
     planes: Sequence[Sequence[float]],
     n_bands: int,
 ) -> list[Column]:
     """One sign-LSH bucket id per band: band b packs the signs of planes
     [b*r, (b+1)*r) into an int (bit i of the band ← plane b*r+i)."""
     r = len(planes) // n_bands
+    if isinstance(vec_col, str):
+        # SQL fast path (one F.expr round trip per band instead of ~130
+        # Column-op round trips): parses to the identical tree — the
+        # parenthesization mirrors the Column chain's associativity, and
+        # `bit > 0` / CASE literals analyze to the same promoted types.
+        return [
+            F.expr(_band_bucket_sql(vec_col, planes, b, r))
+            for b in range(n_bands)
+        ]
     out = []
     for b in range(n_bands):
         total: Column | None = None
@@ -547,7 +626,7 @@ def embedding_near_dup_pairs(
     # copies), the generated method blows past janino's size limit, and the
     # whole bucket stage silently falls back to interpreted evaluation.
     casted = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd"))
-    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    bands = banded_bucket_cols("_vd", planes, n_bands)
     cells = casted.select(
         F.col(id_col),
         F.explode(
@@ -623,7 +702,7 @@ def bucket_overflow_stats(
     planes = seeded_hyperplanes(n_planes, dim, seed)
     # same materialize-the-cast-once discipline as embedding_near_dup_pairs
     casted = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd"))
-    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    bands = banded_bucket_cols("_vd", planes, n_bands)
     cells = casted.select(
         F.col(id_col),
         F.explode(
@@ -714,7 +793,7 @@ def semantic_dedup(
     # set a real pipeline persists anyway.
     assigned = _assign_cells(df, centroids_milli, vec_col, id_col)\
         .localCheckpoint(eager=False)
-    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    bands = banded_bucket_cols("_vd", planes, n_bands)
     cells = assigned.select(
         "_id",
         "cell",
@@ -791,6 +870,19 @@ def semantic_dedup(
     )
 
 
+def _dist_sql(xm_sql: str, c: "Sequence[int]") -> str:
+    """Exact-integer squared L2 to one milli-quantized centroid as SQL
+    text — the same zip_with/aggregate bigint fold the Column version
+    built, at ONE py4j round trip instead of ~130 (64 literal+cast calls
+    per centroid array dominated query-build time: measured 0.89 s of the
+    semdedup build in the 4-centroid listcomp alone)."""
+    carr = "array(" + ",".join(f"{int(x)}L" for x in c) + ")"
+    return (
+        f"aggregate(zip_with({xm_sql}, {carr}, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def _assign_cells(
     df: DataFrame,
     centroids_milli: list[list[int]],
@@ -815,15 +907,10 @@ def _assign_cells(
         F.col(vec_col).cast("array<double>").alias("_vd"),
         xm.alias("_xm"),
     )
-    dist_cols = []
-    for ci, c in enumerate(centroids_milli):
-        carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        diff = F.zip_with(F.col("_xm"), carr, lambda x, y: (x - y) * (x - y))
-        dist_cols.append(
-            F.aggregate(
-                diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x
-            ).alias(f"_d{ci}")
-        )
+    dist_cols = [
+        F.expr(_dist_sql("_xm", c)).alias(f"_d{ci}")
+        for ci, c in enumerate(centroids_milli)
+    ]
     staged = base.select("_id", "_vd", *dist_cols)
     m = F.array_min(
         F.array(
@@ -985,7 +1072,7 @@ def incremental_semantic_dedup(
 
     assigned = _assign_cells(new_vecs, centroids_milli, vec_col, id_col)\
         .localCheckpoint(eager=False)
-    bands = banded_bucket_cols(F.col("_vd"), planes, n_bands)
+    bands = banded_bucket_cols("_vd", planes, n_bands)
     batch = assigned.select(
         "_id", "_vd", "cell", "d2_milli", "_n",
         F.array(*[bands[b] for b in range(n_bands)]).alias("_bkts"),
@@ -1274,7 +1361,7 @@ def project_embeddings(
     planes = seeded_hyperplanes(out_dim, dim, seed)
     casted = df.withColumn("_vd", F.col(vec_col).cast("array<double>"))
     comps = [
-        projection_expr(F.col("_vd"), planes[j]).alias(f"_p{j}")
+        F.expr(projection_sql("_vd", planes[j])).alias(f"_p{j}")
         for j in range(out_dim)
     ]
     return (
@@ -1316,21 +1403,32 @@ def kmeans_update_stats(
     # the cast under every fold (codegen method-limit trap — see
     # bucketed_cosine_topk)
     base = df.select(F.col(id_col).alias("_id"), xm.alias("_xm"))
-    best_cell = None
-    best_dist = None
-    for ci, c in enumerate(centroids_milli):
-        carr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        diff = F.zip_with(
-            F.col("_xm"), carr, lambda x, y: (x - y) * (x - y)
+    # Distances staged as k columns + array_min over (d2, cell) structs —
+    # same first-wins tie rule as the old nested-when chain (strict <,
+    # equal d2 → smallest cell index), but the chain embedded each fold
+    # up to 2^(k-1) times (cond + both branches) and its Python
+    # construction paid ~130 py4j calls per centroid (_dist_sql note);
+    # this is the argmin shape _assign_cells already uses.
+    staged = base.select(
+        "_id",
+        "_xm",
+        *[
+            F.expr(_dist_sql("_xm", c)).alias(f"_d{ci}")
+            for ci, c in enumerate(centroids_milli)
+        ],
+    )
+    m = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_d{ci}").alias("d2"),
+                    F.lit(ci).cast("int").alias("cell"),
+                )
+                for ci in range(len(centroids_milli))
+            ]
         )
-        d = F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-        if best_cell is None:
-            best_cell, best_dist = F.lit(ci), d
-        else:
-            cond = d < best_dist
-            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-            best_dist = F.when(cond, d).otherwise(best_dist)
-    assigned = base.select("_id", "_xm", best_cell.alias("cell"))
+    )
+    assigned = staged.select("_id", "_xm", m["cell"].alias("cell"))
     return (
         assigned.select("cell", F.posexplode("_xm").alias("d", "x"))
         .groupBy("cell", "d")
