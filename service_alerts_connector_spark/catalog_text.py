@@ -26,12 +26,21 @@ from service_alerts_connector_spark.operators.textdedup import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle tz parity
+    from service_alerts_connector_spark.catalog import _READER_CACHE
     from service_alerts_connector_spark.shipping import (
         ensure_package_on_executors,
     )
 
     ensure_package_on_executors(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # shared reader-plan cache (see catalog._READER_CACHE): metadata reuse
+    # only — executions always compute from the parquet on disk
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _READER_CACHE.get(key)
+    if df is None:
+        _READER_CACHE[key] = df = spark.read.parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+    return df
 
 
 # Shared DuckDB CTE: tokenization + 3-word shingles, mirroring
