@@ -318,8 +318,8 @@ def connected_components(
     (eager) to truncate lineage — without it the plan doubles per round.
     Convergence detection is piggybacked on the label aggregation itself:
     the groupBy carries the previous label alongside the new min, so each
-    round is ONE substantive pass (the eager checkpoint) — the probe is a
-    limit-1 ``isEmpty`` over the just-materialized blocks, not a second
+    round is ONE substantive pass — the limit-1 ``isEmpty`` probe
+    materializes the round's checkpoint blocks itself, not a second
     join+count recompute (asserted by
     tests/test_textdedup.py::test_connected_components_one_pass_per_round).
     Bounded by ``max_iterations``; raises if not converged rather than
@@ -343,7 +343,10 @@ def connected_components(
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        # lazy: materialized inside the first consuming job (round 1's
+        # convergence probe) — eager forced a separate driver job per
+        # checkpoint before any consumer ran (2 jobs/round -> 1)
+        .localCheckpoint(eager=False)
     )
     # Initialization fuses the FIRST propagation round: label = min(self,
     # neighbors) straight from one groupBy over the edge list — identical to
@@ -353,7 +356,7 @@ def connected_components(
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         msgs = (
@@ -379,7 +382,10 @@ def connected_components(
                 F.min("component").alias("component"),
                 (F.min("component") < F.min("_old")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the isEmpty probe below is the materializing job; a
+            # converged round scans everything (empty result), so the
+            # final labels are always fully pinned before return
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.select("id", "component")
         if new_labels.where(F.col("_changed")).isEmpty():
@@ -908,23 +914,22 @@ def simhash32(
     ).withColumn("h", token_hash32(F.col("tok")))
     # one aggregation with 32 balance columns instead of exploding each token
     # ×32 bit-rows: 32× fewer rows through the shuffle, same math
+    # SQL-text construction (one parsed string per column instead of ~8
+    # py4j Column calls each): identical integer math, and the 64 built
+    # expressions were 0.7 s of pure driver time per query build
     balances = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END)"
         ).alias(f"_b{i}")
         for i in range(32)
     ]
     votes = tok.groupBy(id_col).agg(*balances)
-    sig = None
-    for i in range(32):
-        term = F.when(
-            F.col(f"_b{i}") > 0, F.lit(2**i).cast("bigint")
-        ).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN {2 ** i}L ELSE 0L END)"
+        for i in range(32)
+    )
+    return votes.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_pairs(
