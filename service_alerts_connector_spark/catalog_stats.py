@@ -239,25 +239,20 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
     )
     bound_cols = [
-        F.min(
-            F.when(
-                F.col("cum")
-                >= F.greatest(
-                    F.lit(1).cast("long"), F.expr(f"({q} * n) div {_EDH_K}")
-                ),
-                F.col("cents"),
-            )
+        F.expr(
+            f"min(CASE WHEN cum >= greatest(CAST(1 AS BIGINT),"
+            f" ({q} * n) div {_EDH_K}) THEN cents END)"
         ).alias(f"b{q}")
         for q in range(1, _EDH_K)
     ] + [F.max("cents").alias(f"b{_EDH_K}")]
     bounds_row = ranked.agg(*bound_cols).select(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(q).alias("q"), F.col(f"b{q}").alias("ub")
-                )
+        F.expr(
+            "array("
+            + ",".join(
+                f"struct({q} AS q, b{q} AS ub)"
                 for q in range(1, _EDH_K + 1)
-            ]
+            )
+            + ")"
         ).alias("bnds")
     )
     assigned = cells.crossJoin(F.broadcast(bounds_row)).select(
@@ -1049,14 +1044,13 @@ def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
     bounds = compute_equi_depth_bounds(li, "cents", k=_RPP_K)
-    bnds = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("q"),
-                F.lit(int(b)).cast("long").alias("ub"),
-            )
+    bnds = F.expr(
+        "array("
+        + ",".join(
+            f"struct({i + 1} AS q, CAST({int(b)} AS BIGINT) AS ub)"
             for i, b in enumerate(bounds)
-        ]
+        )
+        + ")"
     )
     assigned = li.withColumn("_bnds", bnds).select(
         "cents",

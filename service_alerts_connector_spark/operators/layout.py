@@ -145,16 +145,13 @@ def compute_equi_depth_bounds(
         .select("v", (F.col("boff") + F.sum("cnt").over(w_inb)).alias("cum"))
         .crossJoin(F.broadcast(totals))
     )
+    # one parsed string per bound instead of ~10 py4j Column calls each
+    # (identical expression; see similarity.projection_sql rationale)
     row = ranked.agg(
         *[
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= F.greatest(
-                        F.lit(1).cast("long"), F.expr(f"({q} * n) div {k}")
-                    ),
-                    F.col("v"),
-                )
+            F.expr(
+                f"min(CASE WHEN cum >= greatest(CAST(1 AS BIGINT),"
+                f" ({q} * n) div {k}) THEN v END)"
             ).alias(f"b{q}")
             for q in range(1, k)
         ],
