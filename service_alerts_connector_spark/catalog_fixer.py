@@ -84,7 +84,16 @@ def _dirty_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fixer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    silver = clean_alerts(_dirty_bronze(spark, sf_dir))
+    # _spread before the cleaning chain: the one-row-group orders file
+    # scans as a single task, serializing the regex/make_timestamp-heavy
+    # projection on one of 32 cores (guide §2.5 stragglers; same move as
+    # the media codec inputs).  The narrow exchange costs ~20 ms; the
+    # chain's wall time drops 1.68 -> 1.24 s best (same-session A/B,
+    # results proven identical by exceptAll both ways).  clean_alerts
+    # itself stays single-projection (plan-shape test).
+    from service_alerts_connector_spark.operators.textdedup import _spread
+
+    silver = clean_alerts(_spread(_dirty_bronze(spark, sf_dir)))
     return silver.select(
         F.col("Id").alias("id"),
         F.col("service_area"),
