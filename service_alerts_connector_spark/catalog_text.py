@@ -130,25 +130,42 @@ FROM s
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline a training-data run actually executes:
     language gate (confident-English) → quality-score floor → token-length
-    band → exact dedup (min-id representative).  One declarative plan —
-    Catalyst fuses the three scalar gates into the scan's filter and the
-    dedup is the only shuffle."""
+    band → exact dedup (min-id representative).  Catalyst fuses the three
+    scalar gates into the scan's filter and the dedup is the only shuffle.
+
+    The gated frame feeds BOTH the dedup build (md5 groupBy) and the
+    semi-join probe — unpinned, the regex-heavy gate pass (lang guess +
+    quality score + token count over every text) ran twice, plus a third
+    token_count in the final projection.  One narrow projection
+    (doc_id, _h, n_tokens) pinned with a lazy localCheckpoint runs the
+    gate pass once and keeps full texts out of every downstream exchange
+    (guide §1.2 reuse / §2.3 project-before-exchange; same pattern as the
+    rep_docs pin in textdedup.collapsed_assignment).  No final orderBy:
+    row-per-doc output, the correctness gate canonicalizes
+    order-insensitively (guide §2.4 — the sort was a rangepartitioning
+    Exchange + Sort over the whole survivor set)."""
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    gated = docs.where(
-        (TX.lang_guess(t) == "en")
-        & (F.round(TX.quality_score(t), 6) > 0.3)
-        & (TX.token_count(t).between(5, 5000))
+    gated = (
+        docs.where(
+            (TX.lang_guess(t) == "en")
+            & (F.round(TX.quality_score(t), 6) > 0.3)
+            & (TX.token_count(t).between(5, 5000))
+        )
+        .select(
+            F.col("doc_id"),
+            F.md5(t).alias("_h"),
+            TX.token_count(t).alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
     )
     keep = (
-        gated.select(F.col("doc_id"), F.md5(t).alias("_h"))
-        .groupBy("_h")
+        gated.groupBy("_h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    out = gated.join(keep, "doc_id", "left_semi")
-    return out.select("doc_id", TX.token_count(t).alias("n_tokens")).orderBy(
-        "doc_id"
+    return gated.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens"
     )
 
 

@@ -1347,19 +1347,27 @@ def exact_ngram_overlap(
         )
 
     corpus_sh = _sh(corpus, [F.col(id_col)])
-    bench_sh = _sh(benchmark, []).distinct()
-    totals = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    matched = (
-        corpus_sh.join(bench_sh, "shingle", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
+    # ONE corpus pass: the old shape ran the tokenize+shingle+explode
+    # twice (a totals groupBy keyed on the doc id, a semi-join keyed on
+    # the shingle — different first exchanges, so ReuseExchange cannot
+    # share the map-side work) and then joined the two aggregates.  A
+    # left join against the distinct benchmark set tags each occurrence
+    # instead (exactly one output row per corpus shingle — the bench side
+    # is distinct), so one doc-keyed aggregation yields both counts
+    # (guide §1.2: remove a full pass, §2.4: one exchange class fewer).
+    bench_sh = _sh(benchmark, []).distinct().withColumn("_m", F.lit(1))
     return (
-        matched.join(totals, id_col, "inner")
+        corpus_sh.join(bench_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_m").cast("long").alias("n_matched"),
+        )
+        .where(F.col("n_matched") > 0)
         .select(
             id_col,
-            F.col("n_matched").cast("long").alias("n_matched"),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_matched",
+            "n_shingles",
             F.floor(1000 * F.col("n_matched") / F.col("n_shingles"))
             .cast("long")
             .alias("overlap_pm"),
