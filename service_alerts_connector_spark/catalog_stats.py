@@ -1035,15 +1035,20 @@ def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     perfectly equi-depth).  This is the audit a 100 TB nightly re-layout
     runs before committing a sort order — skewed ppm means the stats are
     stale.  The bounds collect is a k-row stat frame; the assignment is
-    one broadcast literal array, no join."""
+    one broadcast literal array, no join — and it runs on the PINNED
+    histogram cells the bounds pass already reduced the scan to (every
+    reported aggregate is value-determined: n_rows = Σcnt, lo/hi = per-
+    range min/max of the value itself), so the fact table is scanned
+    ONCE per plan instead of twice (r15, guide §1.2; the DuckDB oracle
+    has always assigned on its cells CTE — same quotient structure)."""
     from service_alerts_connector_spark.operators.layout import (
-        compute_equi_depth_bounds,
+        equi_depth_bounds_with_cells,
     )
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
-    bounds = compute_equi_depth_bounds(li, "cents", k=_RPP_K)
+    bounds, cells = equi_depth_bounds_with_cells(li, "cents", k=_RPP_K)
     bnds = F.expr(
         "array("
         + ",".join(
@@ -1052,15 +1057,20 @@ def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")"
     )
-    assigned = li.withColumn("_bnds", bnds).select(
-        "cents",
-        F.coalesce(
-            F.expr("array_min(filter(_bnds, x -> cents <= x.ub)).q"),
-            F.lit(_RPP_K),
-        ).alias("range_id"),
+    assigned = (
+        cells.select(F.col("v").alias("cents"), "cnt")
+        .withColumn("_bnds", bnds)
+        .select(
+            "cents",
+            "cnt",
+            F.coalesce(
+                F.expr("array_min(filter(_bnds, x -> cents <= x.ub)).q"),
+                F.lit(_RPP_K),
+            ).alias("range_id"),
+        )
     )
     per = assigned.groupBy("range_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cnt").cast("long").alias("n_rows"),
         F.min("cents").cast("long").alias("lo_c"),
         F.max("cents").cast("long").alias("hi_c"),
     )

@@ -104,16 +104,17 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def compute_equi_depth_bounds(
+def equi_depth_bounds_with_cells(
     df: DataFrame, col: str, k: int = 8, bucket_width: int = 1 << 20
-) -> list[int]:
-    """Exact k-quantile upper bounds of an integer column — the split
-    points a range layout / global sort needs, via the catalog-certified
-    two-phase prefix (``equi_depth_histogram``'s shape: histogram cells,
-    domain-bucket offsets from a bounded self-join, bucket-partitioned
-    running rank; NEVER an unpartitioned window).  Returns k ascending
-    bounds; the k-th is the column max.  The ≤k-row collect is a stat
-    frame, not data (same budget as the other driver-side bound joins)."""
+) -> tuple[list[int], DataFrame]:
+    """``compute_equi_depth_bounds`` plus the pinned histogram CELLS frame
+    (columns ``v``, ``cnt``, ``bucket``) it reduced the input to.  The
+    bounds collect has already materialized the cells' localCheckpoint, so
+    a caller that must ASSIGN rows to the computed ranges and only needs
+    per-value aggregates (counts, spans — anything value-determined) can
+    run on the pinned cells instead of re-scanning the fact table: one
+    corpus scan + histogram shuffle for the whole plan instead of two
+    (guide §1.2; the oracle SQL has always assigned on cells)."""
     cells = (
         df.select(F.col(col).alias("v"))
         .groupBy("v")
@@ -157,7 +158,20 @@ def compute_equi_depth_bounds(
         ],
         F.max("v").alias(f"b{k}"),
     ).collect()[0]
-    return [int(row[f"b{q}"]) for q in range(1, k + 1)]
+    return [int(row[f"b{q}"]) for q in range(1, k + 1)], cells
+
+
+def compute_equi_depth_bounds(
+    df: DataFrame, col: str, k: int = 8, bucket_width: int = 1 << 20
+) -> list[int]:
+    """Exact k-quantile upper bounds of an integer column — the split
+    points a range layout / global sort needs, via the catalog-certified
+    two-phase prefix (``equi_depth_histogram``'s shape: histogram cells,
+    domain-bucket offsets from a bounded self-join, bucket-partitioned
+    running rank; NEVER an unpartitioned window).  Returns k ascending
+    bounds; the k-th is the column max.  The ≤k-row collect is a stat
+    frame, not data (same budget as the other driver-side bound joins)."""
+    return equi_depth_bounds_with_cells(df, col, k, bucket_width)[0]
 
 
 def write_range_partitioned(
