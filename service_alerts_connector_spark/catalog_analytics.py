@@ -3057,8 +3057,15 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    cells = rev.groupBy("nation", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # the histogram cells feed BOTH the quartile pipeline and the outlier
+    # count (which is value-determined: rows beyond the whisker = Σ cnt
+    # over qualifying cells) — pin one evaluation so the fact scan + dim
+    # join + histogram shuffle run once, not once per branch (r15, guide
+    # §1.2; same cells-reuse as range_partition_plan)
+    cells = (
+        rev.groupBy("nation", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     w_nation = Window.partitionBy("nation")
     w_cum = w_nation.orderBy("cents").rowsBetween(
@@ -3076,21 +3083,28 @@ def q_boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = lambda k: F.min(
         F.when(F.col("cum") >= rank_of(k), F.col("cents"))
     )
-    stats = ranked.groupBy("nation").agg(
-        F.max("ntot").cast("long").alias("n"),
-        F.min("cents").cast("long").alias("lo"),
-        pick(1).cast("long").alias("q1"),
-        pick(2).cast("long").alias("med"),
-        pick(3).cast("long").alias("q3"),
-        F.max("cents").cast("long").alias("hi"),
+    # pin the 25-row stats frame too: it is both the broadcast side of the
+    # outlier join AND the left side of the final join — unpinned, the
+    # whole window pipeline ran twice
+    stats = (
+        ranked.groupBy("nation")
+        .agg(
+            F.max("ntot").cast("long").alias("n"),
+            F.min("cents").cast("long").alias("lo"),
+            pick(1).cast("long").alias("q1"),
+            pick(2).cast("long").alias("med"),
+            pick(3).cast("long").alias("q3"),
+            F.max("cents").cast("long").alias("hi"),
+        )
+        .localCheckpoint(eager=False)
     )
     outliers = (
-        rev.join(F.broadcast(stats.select("nation", "q1", "q3")), "nation")
+        cells.join(F.broadcast(stats.select("nation", "q1", "q3")), "nation")
         .where(
             F.col("cents") * 4 > F.col("q3") * 4 + (F.col("q3") - F.col("q1")) * 6
         )
         .groupBy("nation")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_high_outliers"))
+        .agg(F.sum("cnt").cast("long").alias("n_high_outliers"))
     )
     return (
         stats.join(outliers, "nation", "left")
