@@ -435,6 +435,11 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.floor(F.col("l_quantity")).cast("long").alias("qty"),
     )
+    # cells feeds four branches but every one re-converges on the SAME
+    # (flag, cents) shuffle, which AQE's runtime exchange reuse computes
+    # once — a localCheckpoint pin A/B'd exactly 0 here (2.43/2.41/2.44 s
+    # interleaved, r15), unlike boxplot/winsorized whose second branch
+    # re-ran the SCAN below a different exchange.  Keep it unpinned.
     cells = li.groupBy("l_returnflag", "cents").agg(
         F.sum("qty").alias("w")
     ).withColumn("bucket", F.expr("cents div 1048576"))
@@ -858,7 +863,16 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
-    cells = rev.groupBy("nation", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # the histogram cells feed BOTH the bound pipeline and the clamp-mean
+    # (value-determined: Σ wcents over rows = Σ cnt·clamp(cents) over
+    # cells) — pin one evaluation so the fact scan + dim join + histogram
+    # shuffle run once (r15, guide §1.2; same cells-reuse as
+    # boxplot_stats / range_partition_plan)
+    cells = (
+        rev.groupBy("nation", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     w_nation = Window.partitionBy("nation")
     w_cum = w_nation.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -884,12 +898,13 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(95).alias("p95_c"),
     )
     return (
-        rev.join(F.broadcast(bounds), "nation")
+        cells.join(F.broadcast(bounds), "nation")
         .select(
             "nation",
             "n",
             "p5_c",
             "p95_c",
+            "cnt",
             F.greatest(
                 F.col("p5_c"), F.least(F.col("p95_c"), F.col("cents"))
             ).alias("wcents"),
@@ -899,7 +914,9 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("n"),
             F.max("p5_c").cast("long").alias("p5_c"),
             F.max("p95_c").cast("long").alias("p95_c"),
-            F.expr("(sum(wcents) * 1000000) div max(n)")
+            # Σ over rows of clamp(cents) ≡ Σ over cells of cnt·clamp —
+            # exact integer identity, same 2^63 headroom as the row sum
+            F.expr("(sum(wcents * cnt) * 1000000) div max(n)")
             .cast("long")
             .alias("wmean_micro"),
         )
