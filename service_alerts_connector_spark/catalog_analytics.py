@@ -2813,6 +2813,10 @@ def q_contribution_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # rev is a ~|nation|-row aggregate whose SUBTREE (fact scan + two dim
+    # joins + groupBy) fed three consumers (region totals, grand total,
+    # final join) — pin one evaluation (r15, guide §1.2)
+    rev = rev.localCheckpoint(eager=False)
     region_tot = rev.groupBy("region").agg(
         F.sum("cents").alias("region_cents")
     )

@@ -560,9 +560,14 @@ def q_length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from service_alerts_connector_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
+    # sized (a regex-heavy token-count pass over every text) feeds BOTH
+    # the per-source percentile bounds and the band-filter probe —
+    # different first exchanges, so the pass ran twice unpinned; the
+    # pinned frame is 3 narrow columns (r15, guide §1.2; same class as
+    # the corpus_curation gate pin)
     sized = docs.select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     bounds = sized.groupBy("source").agg(
         F.round(F.expr("percentile(n_tokens, 0.05)"), 4).alias("p05"),
         F.round(F.expr("percentile(n_tokens, 0.95)"), 4).alias("p95"),
