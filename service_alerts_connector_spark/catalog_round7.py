@@ -165,6 +165,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days") * F.col("prefix") - F.col("t_idx") * F.col("total")
         ),
     )
+    # no pin on cusum: both consumers (peak aggregate, join-back filter)
+    # re-converge on daily's (event_type, day) exchange, which AQE
+    # runtime exchange reuse computes once — a localCheckpoint A/B'd
+    # neutral-to-worse (0.74 s unpinned vs 0.77/1.05 pinned, r15); the
+    # recomputed window above the reused exchange is ≤366×|types| rows
     peaks = cusum.groupBy("event_type").agg(
         F.max("abs_stat").alias("peak_abs_stat"),
         F.max("total").alias("total_events"),

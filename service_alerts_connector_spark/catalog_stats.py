@@ -628,13 +628,21 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ac").cast("long").alias("n_a"),
         F.sum("bc").cast("long").alias("n_b"),
     )
-    scored = cum.crossJoin(F.broadcast(totals)).select(
-        "score",
-        "n_a",
-        "n_b",
-        F.abs(
-            F.col("cum_ac") * F.col("n_b") - F.col("cum_bc") * F.col("n_a")
-        ).alias("d"),
+    # scored feeds BOTH the d_max aggregate and the max join-back —
+    # unpinned, the bucketed-cum window pipeline over the (pinned) cells
+    # ran twice; the frame is one narrow row per score cell (r15, §1.2)
+    scored = (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "score",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_ac") * F.col("n_b")
+                - F.col("cum_bc") * F.col("n_a")
+            ).alias("d"),
+        )
+        .localCheckpoint(eager=False)
     )
     dmax = scored.agg(F.max("d").alias("d_max"))
     return (
