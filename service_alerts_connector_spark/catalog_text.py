@@ -417,15 +417,22 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination screen: every 10th doc is the held-out
-    split; flag train docs sharing an LSH band bucket with any of them."""
+    split; flag train docs sharing an LSH band bucket with any of them.
+
+    Single-pass since r15: the split is a partition of ONE corpus, so
+    `split_contamination` bands every doc once and splits the banded
+    frame — identical flags to the two-pass
+    `cross_corpus_contamination(train, test)` form (operator docstring
+    has the proof; equivalence test pins it), one tokenize/shingle pass
+    instead of two."""
     from service_alerts_connector_spark.operators.textdedup import (
-        cross_corpus_contamination,
+        split_contamination,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    train = docs.where(F.col("doc_id") % 10 != 0)
-    test = docs.where(F.col("doc_id") % 10 == 0)
-    return cross_corpus_contamination(train, test).orderBy("doc_id")
+    return split_contamination(
+        docs, F.col("doc_id") % 10 == 0
+    ).orderBy("doc_id")
 
 
 SQL_CONTAMINATION = (

@@ -822,6 +822,52 @@ def cross_corpus_contamination(
     )
 
 
+def split_contamination(
+    docs: DataFrame,
+    is_test: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``cross_corpus_contamination`` for the common case where train and
+    test are a PARTITION of one corpus (``is_test`` a row predicate, e.g. a
+    holdout rule on the id): band every doc ONCE, then split the banded
+    frame.  Minhash/banding is per-doc (the shingle aggregation groups on
+    ``id_col``), so filtering before or after banding yields identical
+    buckets — the flagged set is exactly
+    ``cross_corpus_contamination(docs.where(~is_test), docs.where(is_test))``
+    (pinned by tests/test_textdedup.py::test_split_contamination_matches_two_pass).
+
+    Why not just call the two-pass form: Catalyst pushes each side's filter
+    below the signature aggregation, so the tokenize+shingle+minhash pass
+    runs twice (once per split) over two scans with no exchange reuse
+    (different pushed filters → different exchanges).  The lazy
+    ``localCheckpoint`` pins one full-corpus banding evaluation — without it
+    the semi-join's broadcast build side would re-run the whole pipeline
+    (broadcast subtrees are not runtime-reused against non-broadcast twins).
+    """
+    banded = (
+        _banded_minhash(
+            minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k),
+            id_col, num_hashes, bands,
+        )
+        .withColumn("_t", is_test)
+        .localCheckpoint(eager=False)
+    )
+    return (
+        banded.where(~F.col("_t"))
+        .join(
+            banded.where(F.col("_t")).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
 def near_dedup_keep(
     df: DataFrame,
     pairs: DataFrame,

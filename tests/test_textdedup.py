@@ -443,6 +443,38 @@ def test_cross_corpus_contamination(spark):
     assert 2 not in flagged   # unrelated doc must not
 
 
+def test_split_contamination_matches_two_pass(spark):
+    """The single-pass split variant (band once, filter the banded frame)
+    must flag EXACTLY the ids the two-pass cross-corpus form does —
+    minhash/banding is per-doc, so filtering before or after banding is
+    equivalent (the r15 optimization's correctness contract)."""
+    from service_alerts_connector_spark.operators.textdedup import (
+        cross_corpus_contamination,
+        split_contamination,
+    )
+
+    rows = [
+        (i, f"shared boilerplate prefix sentence for group {i % 4} "
+            f"plus unique tail {i}")
+        for i in range(1, 31)
+    ] + [(40, "the quick brown fox jumps over the lazy dog"),
+         (41, "an entirely distinct document with no overlap at all")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    is_test = F.col("doc_id") % 10 == 0
+
+    single = sorted(
+        r["doc_id"] for r in split_contamination(docs, is_test).collect()
+    )
+    two_pass = sorted(
+        r["doc_id"]
+        for r in cross_corpus_contamination(
+            docs.where(~is_test), docs.where(is_test)
+        ).collect()
+    )
+    assert single == two_pass
+    assert all(i % 10 != 0 for i in single)  # only train ids flagged
+
+
 def test_sq8_reconstruction_bound(spark):
     """Dequantized vectors must sit within scale/254 of the original per
     component, and cosine to the original must stay near 1."""
