@@ -243,32 +243,50 @@ _DRIVER_SAMPLED = frozenset(
 # in (a)) fills the remaining 35 slots; the 9 round-10 names that
 # didn't fit (skew_salted_agg … zorder_key) head the round-16 fill.
 _R15_LEAD = (
-    # (a)+(b) new/changed oracles this round.  The five dedup/split
-    # queries changed PLAN, not oracle (exact-collapse-before-fuzzy via
-    # operators/textdedup.collapsed_assignment; rendered SQL byte-equal,
-    # so tools/changed_oracles.py alone would miss them — the module
-    # diff over operators/ is what forces them in, per the round-11
-    # similarity.py lesson).
+    # Round 15 is the first OPTIMIZATION round and category (a) — queries
+    # whose code path changed since the r14 end (module diff over catalog
+    # AND operators/functions per the round-11 similarity.py lesson) —
+    # SATURATES the 50-slot window: the optimization sessions restructured
+    # plans across the text/dedup, histogram-stats, embedding/ANN, graph,
+    # geo, multimodal and fixer tiers (plus a reader-plan cache in
+    # catalog.py touching every query).  The lead is therefore ALL (a)+(b)
+    # — every query with a STRUCTURAL code-path change this round, each
+    # already re-oracled locally at sf0.01 after its change — and the (c)
+    # stale-certificate rotation pauses for one round (resume with
+    # tools/cert_ages.py next round: the r9/r10 cohorts are next).
+    # (b) new this round (rarity_from_store never driver-certified) +
+    # new X-stub oracles:
     "rarity_from_store", "x1_stub_drafts", "x2_stub_locations",
-    "x3_stub_geocode", "dedup_clusters", "dedup_near_keep",
-    "leakage_safe_split", "group_kfold", "group_kfold_balance",
-    # (c) stalest certificates: round 9 (the 11 displaced last round)
-    "quality_deciles", "scd2_temporal_join", "seasonal_dow_profile",
-    "source_mixing", "source_quota", "stratified_sample",
-    "text_bpe_tokens", "tfidf_top_terms", "vocab_coverage",
-    "weighted_median_price", "winsorized_mean_value",
-    # (c) stalest certificates: round 10 (first 30 of the cohort; the
-    # tail five displaced by the category-(a) plan-change entries)
-    "a1_collect_list", "a2_all_window_anchor", "a3_lastwins_dedup",
-    "a5_guards", "ann_ivf", "ann_pq", "config_fanout_1k",
-    "config_join_fanout", "dq_rule_screen", "f12_fuzzy_join",
-    "f15_json_extract", "f16_templates", "f17_array_ops", "f1_zeropad",
-    "f4_date_arith", "f6_time_repair", "f8_location_coalesce",
-    "f9_checksum", "feed_current_urgent", "gap_fill_locf",
-    "hhi_concentration", "j1_lookup_join", "j2_incremental_anti",
-    "j8_cdc_diff", "join_size_estimate", "length_outlier_filter",
-    "multimodal_features", "p10_topk", "p1_projection",
-    "p4_time_window",
+    "x3_stub_geocode",
+    # (a) exact-collapse-before-fuzzy (collapsed_assignment) consumers —
+    # rendered SQL byte-equal, plan changed:
+    "dedup_clusters", "dedup_near_keep", "leakage_safe_split",
+    "group_kfold", "group_kfold_balance",
+    # (a) text/dedup restructures (single-pass gates, one-pass overlap,
+    # split_contamination, SQL-text simhash, lazy CC rounds):
+    "contamination", "corpus_curation", "ngram_decontamination",
+    "dedup_simhash", "dedup_lsh_recall", "dedup_minhash_lsh",
+    "length_outlier_filter",
+    # (a) histogram-cell pins / pinned-cells aggregation:
+    "boxplot_stats", "winsorized_mean_value", "ks_statistic",
+    "contribution_share", "range_partition_plan", "equi_depth_histogram",
+    # (a) fixer/graph (bronze-scan spread; pagerank edge pin; lazy
+    # pointer-jump checkpoints):
+    "fixer_chain", "event_pagerank", "ancestor_path_sum",
+    "hierarchy_roots",
+    # (a) geo overlay (pair-level clip memo, dropped final sorts):
+    "geo_overlay_rect", "geo_zone_rollup", "geo_overlay",
+    # (a) embedding/ANN family (SQL-text expression construction,
+    # staged argmin):
+    "dedup_embedding_cosine", "semdedup_fixed",
+    "incremental_semdedup_fixed", "kmeans_update", "embedding_project",
+    "embedding_center_stats", "embedding_sq8", "ann_cosine_topk",
+    "ann_sq8", "ann_batch", "ann_pq_fixed", "ann_rerank",
+    "ann_recall_eval", "ann_ivf", "ann_pq",
+    # (a) multimodal codec stages (hash-spread before mapInPandas):
+    "multimodal_decode", "multimodal_resize", "multimodal_decode_png",
+    "multimodal_decode_gif", "multimodal_decode_jpeg",
+    "multimodal_video_frames",
 )
 
 # Canonical export the lockstep gate validates (tools/round_check.py):
