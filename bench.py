@@ -406,6 +406,12 @@ def main() -> None:
         best = min(warm)
         timings[name] = round(best, 3)
         stats[name] = {
+            # best_warm duplicated from `queries` so the FULL artifact is
+            # self-contained per query: the driver's PERF diff reads the
+            # compact record (worst-5 only), which left cross-round
+            # per-query comparisons with n_common=1 in r15 — query_stats
+            # now carries everything needed to diff all entries
+            "best_warm": round(best, 3),
             "cold": round(runs[0], 3),
             "median_warm": round(sorted(warm)[len(warm) // 2], 3),
             "spread": round((max(warm) - best) / best, 3) if best else 0.0,
@@ -547,6 +553,7 @@ def main() -> None:
             if round(rebest, 3) < timings[name]:
                 salvage_repass[name] = [timings[name], round(rebest, 3)]
                 timings[name] = round(rebest, 3)
+                stats[name]["best_warm"] = round(rebest, 3)
         if anchor_regressions:
             anchor_regressions = {
                 name: [prev[name], secs]

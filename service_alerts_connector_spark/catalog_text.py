@@ -139,8 +139,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_count in the final projection.  One narrow projection
     (doc_id, _h, n_tokens) pinned with a lazy localCheckpoint runs the
     gate pass once and keeps full texts out of every downstream exchange
-    (guide §1.2 reuse / §2.3 project-before-exchange; same pattern as the
-    rep_docs pin in textdedup.collapsed_assignment).  No final orderBy:
+    (guide §1.2 reuse / §2.3 project-before-exchange — and unlike a
+    text-carrying pin, safe at corpus scale).  No final orderBy:
     row-per-doc output, the correctness gate canonicalizes
     order-insensitively (guide §2.4 — the sort was a rangepartitioning
     Exchange + Sort over the whole survivor set)."""
@@ -279,13 +279,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     asg = collapsed_assignment(docs, num_hashes=8, shingle_k=3, bands=4)
-    return (
-        asg.where((F.col("n_class") >= 2) | F.col("component").isNotNull())
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("rep")).alias("component"),
-        )
-        .orderBy("doc_id")
+    # no final orderBy (r16): row-per-clustered-doc output, the
+    # correctness gate canonicalizes order-insensitively — the sort was a
+    # rangepartitioning Exchange + sampling job over the whole cluster set
+    # (guide §2.4; same class as the r15 presentation-sort drops)
+    return asg.where(
+        (F.col("n_class") >= 2) | F.col("component").isNotNull()
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("rep")).alias("component"),
     )
 
 
@@ -323,13 +325,11 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     asg = collapsed_assignment(docs, num_hashes=8, shingle_k=3, bands=4)
-    return (
-        asg.where(
-            F.col("doc_id") == F.coalesce("component", F.col("rep"))
-        )
-        .select("doc_id")
-        .orderBy("doc_id")
-    )
+    # no final orderBy (r16): row-per-surviving-doc output, gate is
+    # order-insensitive (see q_dedup_clusters)
+    return asg.where(
+        F.col("doc_id") == F.coalesce("component", F.col("rep"))
+    ).select("doc_id")
 
 
 SQL_DEDUP_NEAR_KEEP = (

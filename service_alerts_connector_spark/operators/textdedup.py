@@ -31,11 +31,19 @@ from service_alerts_connector_spark.functions.text import (
 )
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Repartition a small-file scan up to the cluster's parallelism before a
     CPU-bound expansion (shingling/hashing).  A 100 TB corpus arrives in
     thousands of partitions already; a single-file test corpus arrives in one
-    — without this, every md5 below runs on one core."""
+    — without this, every md5 below runs on one core.
+
+    ``key_col`` (r16): when the downstream aggregation groups on a unique
+    per-row key, spread by HASH of that key instead of round-robin — the
+    explode/projection between preserves the partitioning, so the
+    aggregation's own Exchange is satisfied by the spread and disappears
+    from the plan (guide §2.4 "two operations keyed the same way share one
+    exchange"); a unique key hash-distributes as evenly as round-robin and
+    skips round-robin's sort-before-repartition."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         # metadata-only probe: a scan backed by fewer files than cores can't
@@ -45,6 +53,8 @@ def _spread(df: DataFrame) -> DataFrame:
     except Exception:
         n_files = target
     if n_files < target:
+        if key_col is not None:
+            return df.repartition(target, F.col(key_col))
         return df.repartition(target)
     return df
 
@@ -105,9 +115,12 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, mh0..mh{k-1}) — one explode + one groupBy over distinct shingles."""
+    """(id, mh0..mh{k-1}) — one explode + one groupBy over distinct
+    shingles.  The spread hashes on ``id_col`` so the signature groupBy
+    reuses the spread's partitioning (zero additional Exchange — see
+    ``_spread``)."""
     exploded = (
-        _spread(df)
+        _spread(df, id_col)
         .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(
             F.col(id_col),
@@ -313,17 +326,33 @@ def connected_components(
 
     Min-label propagation as iterative DataFrame joins: each round every
     vertex adopts the smallest component label among itself and its
-    neighbours; converges in O(cluster diameter) rounds (duplicate clusters
-    are near-cliques, so typically 2-4).  Each round localCheckpoints
-    (eager) to truncate lineage — without it the plan doubles per round.
-    Convergence detection is piggybacked on the label aggregation itself:
-    the groupBy carries the previous label alongside the new min, so each
-    round is ONE substantive pass — the limit-1 ``isEmpty`` probe
-    materializes the round's checkpoint blocks itself, not a second
-    join+count recompute (asserted by
+    neighbours; converges in O(cluster diameter) propagations (duplicate
+    clusters are near-cliques, so typically 2-4).  Since r16 each
+    driver-blocking round runs TWO propagations in one plan (the
+    intermediate label frame is referenced only by subtrees that
+    re-converge on its own aggregation exchange, so AQE runtime exchange
+    reuse computes it once) — the dominant local cost of the loop is not
+    the shuffles but the per-round driver round trip itself: a lazy
+    ``localCheckpoint`` under AQE compiles the plan AND materializes every
+    upstream query stage serially at construction (``toRdd`` →
+    ``getFinalPhysicalPlan``), so halving the round count halves the
+    blocking driver work (guide §1.2/§2.6; measured ~0.5-0.9 s per round
+    at sf0.1 against ~0.3 s of actual execution).  Convergence detection
+    stays piggybacked on the label aggregation: the groupBy carries the
+    previous label alongside the new min, and the limit-1 ``isEmpty``
+    probe over the round's checkpoint answers "did the LAST propagation
+    change anything" — if the second propagation of a round was a no-op
+    its input was already the fixpoint (asserted by
     tests/test_textdedup.py::test_connected_components_one_pass_per_round).
-    Bounded by ``max_iterations``; raises if not converged rather than
-    returning a partial clustering.
+    Bounded by ``max_iterations`` double-rounds; raises if not converged
+    rather than returning a partial clustering.
+
+    Correctness of the unroll: labels after round k are exactly the labels
+    after 2k single propagations of the r15 loop (same min-propagation
+    operator applied twice), and the fixpoint test is unchanged — a round
+    whose second propagation changed nothing returns that propagation's
+    output, which equals its input.  The final labels are the per-component
+    minima either way, so every consumer's results are byte-identical.
 
     At 100 TB: rounds are shuffle-on-id joins (AQE handles skewed hub
     vertices); swap ``localCheckpoint`` for a reliable checkpoint dir when
@@ -338,11 +367,24 @@ def connected_components(
     # is already unique).  Min-label propagation is idempotent to duplicate
     # edges anyway, so a caller passing a non-deduped pair list changes
     # cost, never the result.
+    # Symmetrize with ONE reference to the pair pipeline (r16): the union
+    # form embedded the (expensive) pair-mining subtree in both children,
+    # betting on exchange reuse to dedup them; the explode form makes the
+    # plan a linear chain by construction — same rows, one pair scan.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         # lazy: materialized inside the first consuming job (round 1's
         # convergence probe) — eager forced a separate driver job per
         # checkpoint before any consumer ran (2 jobs/round -> 1)
@@ -351,43 +393,71 @@ def connected_components(
     # Initialization fuses the FIRST propagation round: label = min(self,
     # neighbors) straight from one groupBy over the edge list — identical to
     # starting from identity labels and running one message round, but with
-    # no join/union/checkpoint.  Near-clique duplicate clusters then often
-    # converge in a single loop iteration.
-    labels = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
-        .localCheckpoint(eager=False)
+    # no join/union/checkpoint.  NO checkpoint on the init frame (r16):
+    # `_propagate` references its input exactly once, so the init subtree
+    # appears once in round 1's plan and a pin would only buy a compile+
+    # materialize driver round trip it doesn't need.
+    labels = edges.groupBy(F.col("src").alias("id")).agg(
+        F.least(F.first("src"), F.min("dst")).alias("component")
     )
-    for _ in range(max_iterations):
-        msgs = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .select(
-                F.col("dst").alias("id"),
-                F.col("component"),
-                # null of the component's own type (ids may be string/long)
-                F.when(F.lit(False), F.col("component")).alias("_old"),
+
+    def _propagate(lab: DataFrame) -> DataFrame:
+        """One min-label propagation referencing ``lab`` exactly ONCE.
+
+        The naive form unions self-rows with join-derived messages, which
+        embeds ``lab`` twice in the plan — and the two references prune to
+        DIFFERENT projections, so AQE exchange reuse cannot share them and
+        the label aggregation recomputes per reference (measured: no
+        ReusedExchange nodes, 12 HashAggregates in one double-prop round).
+        Instead, both row kinds fall out of the single edges⋈lab join:
+        every directed edge (src, dst) yields the message (dst, L(src),
+        _old=null) AND the self-row (src, L(src), _old=L(src)) — every
+        vertex has ≥1 outgoing edge after symmetrization, so the self-rows
+        (duplicated per out-degree, collapsed map-side) cover every id.
+        min(component) and min(_old) per id are unchanged, so labels and
+        the _changed flag are byte-identical to the union form."""
+        j = edges.join(lab, edges["src"] == lab["id"])
+        return (
+            j.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("dst").alias("id"),
+                            F.col("component"),
+                            # null of the component's own type (ids may be
+                            # string/long)
+                            F.when(F.lit(False), F.col("component")).alias(
+                                "_old"
+                            ),
+                        ),
+                        F.struct(
+                            F.col("src").alias("id"),
+                            F.col("component"),
+                            F.col("component").alias("_old"),
+                        ),
+                    )
+                ).alias("m")
             )
-        )
-        # Carry the previous label through the same aggregation that
-        # computes the new one (min ignores the nulls on message rows), so
-        # "did anything change" is answered from the aggregate's own output
-        # instead of a separate join+count pass over both label sets.
-        new_labels = (
-            labels.select(
-                "id", "component", F.col("component").alias("_old")
-            )
-            .unionByName(msgs)
+            .select("m.id", "m.component", "m._old")
             .groupBy("id")
             .agg(
                 F.min("component").alias("component"),
                 (F.min("component") < F.min("_old")).alias("_changed"),
             )
-            # lazy: the isEmpty probe below is the materializing job; a
-            # converged round scans everything (empty result), so the
-            # final labels are always fully pinned before return
-            .localCheckpoint(eager=False)
         )
+
+    for _ in range(max_iterations):
+        # two propagations per driver round: the plan is one LINEAR chain
+        # (each frame referenced once), so the unroll adds pipelined
+        # shuffle stages to the SAME job instead of a second blocking
+        # compile+probe driver round trip (guide §1.2/§2.6)
+        mid = _propagate(labels).select("id", "component")
+        new_labels = _propagate(mid).localCheckpoint(eager=False)
         labels = new_labels.select("id", "component")
+        # probe the SECOND propagation's change flag: a no-op second pass
+        # means its input was already the fixpoint, so `labels` (== mid)
+        # is final; the probe is also the job that materializes the
+        # round's checkpoint blocks (lazy checkpoint, guide §1.2)
         if new_labels.where(F.col("_changed")).isEmpty():
             return labels
     raise RuntimeError(
@@ -453,6 +523,17 @@ def collapsed_assignment(
     # class size, and the (identical-within-group) text — partial aggs
     # dedup duplicate texts map-side, so the exchange carries one text per
     # (partition, digest), not per doc.
+    # NO localCheckpoint on this frame (r16): the r15 pin materialized the
+    # full distinct-content corpus TEXT into executor-local checkpoint
+    # blocks — at 100 TB an unrecoverable single point of failure and a
+    # §5 memory competitor.  Unpinned, Catalyst column-prunes each
+    # consumer's instance separately: the minhash/CC tier evaluates
+    # (min(id), first(text)) once into CC's edge checkpoint, and the
+    # map-back join's rep_map instance drops first(text) entirely — its
+    # re-evaluation is a NARROW (id, digest) scan + count/min aggregate,
+    # cheaper than reading back a text-carrying checkpoint (A/B'd
+    # flat-to-better at sf0.1; plans/r16/dedup_clusters_after.txt shows
+    # the text-free rep_map aggregate).
     rep_docs = (
         df.select(F.col(id_col), dg, F.col(text_col))
         .groupBy("_dg")
@@ -461,13 +542,6 @@ def collapsed_assignment(
             F.count(F.lit(1)).alias("n_class"),
             F.first(text_col).alias(text_col),
         )
-        # Pin ONE evaluation: this digest groupBy (a corpus-wide text
-        # shuffle) feeds BOTH the minhash/CC tier (forced by CC's eager
-        # edge checkpoint at construction) and the rep_map side of the
-        # final map-back join — unpinned, the whole pass re-ran when the
-        # returned frame executed.  eager=False: the CC construction job
-        # is the first consumer, so no extra driver job is added.
-        .localCheckpoint(eager=False)
     )
     sigs = minhash_signatures(
         rep_docs.select(id_col, text_col), text_col, id_col,
@@ -847,6 +921,14 @@ def split_contamination(
     ``localCheckpoint`` pins one full-corpus banding evaluation — without it
     the semi-join's broadcast build side would re-run the whole pipeline
     (broadcast subtrees are not runtime-reused against non-broadcast twins).
+
+    CONSTRAINT: ``is_test`` is evaluated on the BANDED frame, whose only
+    surviving input column is ``id_col`` — the predicate may reference
+    ``id_col`` only (e.g. a modulus or hash holdout rule).  A predicate
+    touching ``text_col`` (or any other input column) fails at analysis
+    with an unresolved-column error; evaluate such a predicate into a
+    boolean column on ``docs`` first and pass THAT column's reference, or
+    fall back to ``cross_corpus_contamination`` with explicit splits.
     """
     banded = (
         _banded_minhash(
@@ -954,7 +1036,9 @@ def simhash32(
     """32-bit SimHash per document: majority vote per bit over the 32-bit
     hashes of distinct tokens.  Entirely expression-based: explode tokens ×
     bit positions, two aggregations."""
-    tok = _spread(df).select(
+    # spread hashes on id_col so the balance groupBy below reuses the
+    # spread's partitioning (zero additional Exchange — see _spread)
+    tok = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", token_hash32(F.col("tok")))

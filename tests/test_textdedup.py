@@ -362,11 +362,14 @@ def test_connected_components_matches_union_find(spark):
 
 
 def test_connected_components_one_pass_per_round(spark, monkeypatch):
-    """Each propagation round must cost ONE substantive action (the eager
-    localCheckpoint that materializes the new labels) plus a limit-1
-    isEmpty probe over those materialized blocks — never a second
-    join+count recompute (the convergence check is piggybacked on the
-    label aggregation itself)."""
+    """Each driver round must cost ONE substantive action (the lazy
+    localCheckpoint whose probe materializes the round's two fused
+    propagations) plus a limit-1 isEmpty probe over those materialized
+    blocks — never a second join+count recompute (the convergence check
+    is piggybacked on the label aggregation itself), and neither the edge
+    list's init nor the fused first-propagation labels may burn extra
+    checkpoint round trips (r16: init labels are UNpinned — AQE exchange
+    reuse shares their aggregation)."""
     from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
     from service_alerts_connector_spark.operators.textdedup import (
@@ -392,9 +395,14 @@ def test_connected_components_one_pass_per_round(spark, monkeypatch):
 
     rounds = calls["isEmpty"]
     assert rounds >= 1
-    # init checkpoints edges + fused-first-round labels; then one
-    # checkpoint per round and zero driver-side counts anywhere.
-    assert calls["localCheckpoint"] == rounds + 2
+    # the 4-chain needs 3 single propagations beyond the fused init
+    # (reach 2, reach 3, verify); at two propagations per driver round
+    # that is exactly 2 blocking rounds — a third round trip means the
+    # unroll regressed
+    assert rounds == 2
+    # init checkpoints ONLY the edge list; then one checkpoint per round
+    # and zero driver-side counts anywhere.
+    assert calls["localCheckpoint"] == rounds + 1
     assert calls["count"] == 0
 
 
