@@ -124,9 +124,11 @@ def q_rarity_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the batch union — certifying that scoring through the store
     equals scoring against the corpus it summarizes."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from service_alerts_connector_spark.operators.novelty import (
         DOCFREQ_STORE,
+        batch_docfreq_cells,
         incremental_docfreq_ingest,
         rarity_scores_from_store,
     )
@@ -137,12 +139,21 @@ def q_rarity_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="rarity_store_")
-    incremental_docfreq_ingest(
-        spark, root, docs.where(F.col("doc_id") % 3 == 0), "b0"
-    )
-    incremental_docfreq_ingest(
-        spark, root, docs.where(F.col("doc_id") % 3 == 1), "b1"
-    )
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    # Stage both batches' cell aggregations CONCURRENTLY (guide §2.6):
+    # the cell pass depends only on its batch, never on the store, so the
+    # two tokenize+distinct+count pipelines overlap in one Spark app
+    # instead of serializing inside the two (necessarily sequential,
+    # version-chained) commits below.  Same cells, same commits, same
+    # ledger/tripwire order — only the driver-blocking schedule changes.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        c0, c1 = pool.map(
+            lambda b: batch_docfreq_cells(b).localCheckpoint(eager=True),
+            [b0, b1],
+        )
+    incremental_docfreq_ingest(spark, root, b0, "b0", batch_cells=c0)
+    incremental_docfreq_ingest(spark, root, b1, "b1", batch_cells=c1)
     store = read_dataset(
         spark, root, DOCFREQ_STORE,
         version=list_versions(root, DOCFREQ_STORE)[-1],

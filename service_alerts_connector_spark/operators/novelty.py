@@ -411,7 +411,11 @@ def _batch_doc_digests(batch: DataFrame) -> DataFrame:
 
 
 def incremental_docfreq_ingest(
-    spark, root: str, batch: DataFrame, batch_id: str
+    spark,
+    root: str,
+    batch: DataFrame,
+    batch_id: str,
+    batch_cells: DataFrame | None = None,
 ) -> DataFrame:
     """O(batch) maintenance of the global document-frequency store —
     the statistic ``doc_rarity_scores`` needs, kept incrementally so a
@@ -452,6 +456,16 @@ def incremental_docfreq_ingest(
     to post-upgrade ingests only.  Rebuilding the store from the raw
     corpus is the only way to regain full coverage.
 
+    ``batch_cells`` (r16, optimization hook): a caller that ingests
+    SEVERAL batches back-to-back may pre-compute each batch's
+    ``batch_docfreq_cells`` frame concurrently (guide §2.6 overlapping
+    independent jobs — the cell aggregation depends only on the batch,
+    never on the store) and pass the pinned frame here; the ingest then
+    skips its own cell pass.  The caller owns the equivalence obligation
+    (the frame must be ``batch_docfreq_cells(batch)`` for THIS batch —
+    pytest-pinned by test_docfreq_ingest_staged_cells_equivalent); the
+    ledger short-circuit, tripwire probe and commit order are unchanged.
+
     Returns the refreshed 1-row (n_docs, vocab_size) stats frame,
     forced before commit.
     """
@@ -461,7 +475,8 @@ def incremental_docfreq_ingest(
         write_dataset,
     )
 
-    batch_cells = batch_docfreq_cells(batch)
+    if batch_cells is None:
+        batch_cells = batch_docfreq_cells(batch)
     ledger_row = spark.createDataFrame(
         [(_DF_LEDGER_PREFIX + batch_id, 0)], "tok string, dfreq long"
     )

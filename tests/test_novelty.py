@@ -272,6 +272,63 @@ def test_incremental_docfreq_sequential_equals_batch(spark, tmp_path):
     assert got == expected  # x:1 y:2 z:2 w:1 + n_docs:3
 
 
+def test_docfreq_ingest_staged_cells_equivalent(spark, tmp_path):
+    """The r16 staged-cells hook: passing a pre-pinned
+    batch_docfreq_cells frame must leave the committed store and the
+    returned stats byte-identical to the internal-cells path, and the
+    tripwire must still see the BATCH (not the cells) — a replayed doc
+    under a fresh batch_id still raises."""
+    import pytest
+
+    from service_alerts_connector_spark.operators.novelty import (
+        DOCFREQ_STORE,
+        batch_docfreq_cells,
+        incremental_docfreq_ingest,
+    )
+    from service_alerts_connector_spark.sources.parquet_io import (
+        read_dataset,
+    )
+
+    b1 = _docs(spark, [(1, "a", "x y x"), (2, "a", "y z")])
+    b2 = _docs(spark, [(3, "b", "z w")])
+
+    def run(root, staged):
+        kw1 = (
+            {"batch_cells": batch_docfreq_cells(b1).localCheckpoint(True)}
+            if staged
+            else {}
+        )
+        kw2 = (
+            {"batch_cells": batch_docfreq_cells(b2).localCheckpoint(True)}
+            if staged
+            else {}
+        )
+        incremental_docfreq_ingest(spark, root, b1, "b1", **kw1)
+        stats = incremental_docfreq_ingest(
+            spark, root, b2, "b2", **kw2
+        ).collect()[0]
+        store = sorted(
+            (r["tok"], r["dfreq"])
+            for r in read_dataset(spark, root, DOCFREQ_STORE).collect()
+        )
+        return (stats["n_docs"], stats["vocab_size"]), store
+
+    plain = run(str(tmp_path / "plain"), staged=False)
+    staged = run(str(tmp_path / "staged"), staged=True)
+    assert plain == staged
+
+    # tripwire still fires on a replayed doc even when cells are staged
+    replay = _docs(spark, [(1, "a", "x y x")])
+    with pytest.raises(ValueError, match="re-sends"):
+        incremental_docfreq_ingest(
+            spark,
+            str(tmp_path / "staged"),
+            replay,
+            "b3",
+            batch_cells=batch_docfreq_cells(replay).localCheckpoint(True),
+        )
+
+
 def test_incremental_docfreq_redelivery_noop(spark, tmp_path):
     from service_alerts_connector_spark.operators.novelty import (
         DOCFREQ_STORE,
