@@ -929,8 +929,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(_NDUP_SHIFT)).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(shifted)
+    # dim=64 pinned: the oracle's hyperplane literals (_NDUP_PLANES) are
+    # generated at dim 64, so the query is 64-dimensional by declaration —
+    # passing it skips the operator's head-row dim probe (a ~0.5 s
+    # blocking driver job per build)
     return embedding_near_dup_pairs(
-        corpus, threshold=0.9, n_planes=32, n_bands=_NDUP_BANDS, seed=7
+        corpus, threshold=0.9, n_planes=32, n_bands=_NDUP_BANDS, seed=7,
+        dim=64,
     )
 
 
@@ -1407,7 +1412,9 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    proj = project_embeddings(emb, out_dim=_PROJ_DIM, seed=7)
+    # dim=64 pinned by the oracle's plane literals (see _sql_embedding_
+    # project) — skips the operator's head-row dim probe job
+    proj = project_embeddings(emb, out_dim=_PROJ_DIM, seed=7, dim=64)
     return proj.select(
         "vec_id",
         *[F.element_at("projected", j + 1).alias(f"p{j}") for j in range(_PROJ_DIM)],

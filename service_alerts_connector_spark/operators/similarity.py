@@ -598,6 +598,7 @@ def embedding_near_dup_pairs(
     n_bands: int = 4,
     seed: int = 7,
     max_bucket: int = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: banded random-hyperplane
     sign-LSH candidates (pairs sharing ≥1 band bucket), verified by exact
@@ -618,14 +619,32 @@ def embedding_near_dup_pairs(
     overflow is surfaced in the companion audit ``bucket_overflow_stats``.
     Recall model in the module docstring; defaults (32 planes, 4 bands of
     8 bits) prune a random-pair space ~64× and recall ~0.75 at cosine 0.9,
-    1.0 for exact duplicates."""
-    dim = _infer_dim(df, vec_col)
+    1.0 for exact duplicates.
+
+    ``dim`` (r16): the embedding dimensionality when the caller knows it
+    (it is a property of the embedding model, and catalog callers already
+    pin it in their oracles' hyperplane literals) — skips the blocking
+    head-row probe job (~0.5 s of pure driver latency per build at sf0.1;
+    same move as the r15 semantic_dedup dim-from-centroids).  A wrong
+    ``dim`` changes the failure mode from an up-front probe mismatch to
+    out-of-range ``element_at`` in the band expressions, exactly as
+    documented for semantic_dedup."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     planes = seeded_hyperplanes(n_planes, dim, seed)
+    # CPU-bound banding over a few-file scan serializes on 1-2 tasks
+    # (measured 0.45 s of single-digit-task CPU at sf0.1): rebalance up to
+    # the cluster's parallelism first — a no-op on a many-file corpus
+    # (same conditional as textdedup._spread)
+    from service_alerts_connector_spark.operators.textdedup import _spread
+
     # Materialize the double-cast array ONCE before the band expressions:
     # inlining the cast repeats it under every element_at (n_planes × nnz
     # copies), the generated method blows past janino's size limit, and the
     # whole bucket stage silently falls back to interpreted evaluation.
-    casted = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd"))
+    casted = _spread(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vd")
+    )
     bands = banded_bucket_cols("_vd", planes, n_bands)
     cells = casted.select(
         F.col(id_col),
@@ -638,6 +657,16 @@ def embedding_near_dup_pairs(
             )
         ).alias("cell"),
     ).select(id_col, F.col("cell.band").alias("band"), F.col("cell.bucket").alias("bucket"))
+    # The pair-dedup exchange carries an EXPLICIT partition count (the
+    # same (id_a, id_b) hash partitioning `distinct` would plan, so no
+    # extra Exchange) because AQE's byte-targeted coalescing otherwise
+    # collapses the few-MB candidate list to ONE partition and serializes
+    # the verify stage's per-pair cosine folds behind it — measured 1.28 s
+    # of single-task CPU at sf0.1, the dominant cost of this operator.
+    # Byte-cheap rows here are CPU-expensive downstream, which AQE cannot
+    # see (guide §2.5: partition for the work, not the bytes); an explicit
+    # count is exempt from coalescing, and defaultParallelism is the
+    # cluster-sized knob, not a local constant.
     candidates = (
         cells.groupBy("band", "bucket")
         .agg(
@@ -648,6 +677,11 @@ def embedding_near_dup_pairs(
         .where(F.size("ids") > 1)
         .select(_pair_explode("ids"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("id_a"),
+            F.col("id_b"),
+        )
         .distinct()
     )
     # norms precomputed once per VECTOR, not per pair: the higher-order
@@ -1346,6 +1380,7 @@ def project_embeddings(
     id_col: str = "vec_id",
     seed: int = 7,
     out_col: str = "projected",
+    dim: int | None = None,
 ) -> DataFrame:
     """Sparse random projection to ``out_dim`` dims (Johnson–Lindenstrauss
     sketch with the Achlioptas ±1 planes of ``seeded_hyperplanes``):
@@ -1356,8 +1391,11 @@ def project_embeddings(
     downstream clustering / ANN when the full dimension is overkill.
 
     Same codegen discipline as the band expressions: the double-cast is
-    materialized once before the per-plane sums."""
-    dim = _infer_dim(df, vec_col)
+    materialized once before the per-plane sums.  ``dim``: see
+    ``embedding_near_dup_pairs`` — skips the head-row probe job when the
+    caller pins the model dimensionality."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
     planes = seeded_hyperplanes(out_dim, dim, seed)
     casted = df.withColumn("_vd", F.col(vec_col).cast("array<double>"))
     comps = [
