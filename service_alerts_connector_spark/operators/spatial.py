@@ -156,8 +156,15 @@ def _bbox_prep(
         memo: dict[str, tuple | None] = {}
         for pdf in batches:
             rows: list[tuple] = []
-            keys = list(zip(*(pdf[k].tolist() for k in key_cols)))
-            for key_tup, wkt_str in zip(keys, pdf[wkt_col].tolist()):
+            wkts = pdf[wkt_col].tolist()
+            # key_cols may be empty (r16 distinct-footprint collapse: the
+            # WKT string is its own key) — zip(*()) would yield nothing
+            keys = (
+                list(zip(*(pdf[k].tolist() for k in key_cols)))
+                if key_cols
+                else [()] * len(wkts)
+            )
+            for key_tup, wkt_str in zip(keys, wkts):
                 if wkt_str is None or (
                     isinstance(wkt_str, float) and pd.isna(wkt_str)
                 ):
@@ -206,22 +213,28 @@ def overlay_inference(
     Fallback execution (no Sedona) is a **grid-keyed equi-join** — the
     layer is a full DataFrame participant, never collected to the driver:
 
-    1. both sides get WKT-parsed bbox+area columns via ``mapInPandas``
+    1. the alert side collapses to DISTINCT footprint strings (r16:
+       zones are a pure function of the footprint, and real feeds repeat
+       template geometries — every Python stage below runs once per
+       distinct geometry, never per alert row);
+    2. both sides get WKT-parsed bbox+area columns via ``mapInPandas``
        (``_bbox_prep`` — narrow, no shuffle);
-    2. a uniform grid is sized from a one-row layer-extent aggregate
+    3. a uniform grid is sized from a one-row layer-extent aggregate
        (same ``sqrt(n)``-per-axis heuristic as ``geo.ops.GridIndex``,
        ≤256 cells/axis — the only driver-side value is 7 scalars);
-    3. each side explodes to its covered ``(cell_x, cell_y)`` keys
+    4. each side explodes to its covered ``(cell_x, cell_y)`` keys
        JVM-side (``sequence`` + ``explode`` over floor-clamped bbox
        cells) and the candidate join is a plain shuffle equi-join on the
        cell key — Spark distributes it like any other join, AQE handles
        hot cells;
-    4. a pair surviving the bbox-overlap filter is kept only in its
+    5. a pair surviving the bbox-overlap filter is kept only in its
        **canonical cell** (the cell of the overlap region's min corner),
        so multi-cell pairs dedup without a ``distinct`` shuffle;
-    5. the exact Sutherland–Hodgman intersection + 5% rule runs per
-       joined pair in one Arrow-batched kernel, and hits aggregate with
-       ``collect_set`` per alert Id.
+    6. the exact Sutherland–Hodgman intersection + 5% rule runs per
+       joined pair in one Arrow-batched kernel, hits aggregate with
+       ``collect_set`` per footprint, and a final footprint-keyed join
+       maps zones back onto every alert row (broadcast when the distinct
+       geometry vocabulary is small).
 
     This is the same candidate pruning the closure-broadcast version got
     from ``geo.ops.GridIndex`` (and the reference from geopandas' R-tree,
@@ -242,13 +255,26 @@ def overlay_inference(
             layer_name_col, layer_wkt_col, min_overlap,
         )
 
-    # CPU-bound Python stage: a small-file scan arrives in one partition
-    # and would run the whole overlay on one worker — rebalance up to the
-    # cluster's parallelism first (no-op on an already-partitioned corpus;
-    # same rationale as textdedup._spread)
-    from service_alerts_connector_spark.operators.textdedup import _spread
-
-    alerts = _spread(alerts)
+    # Distinct-footprint collapse (r16, the textdedup exact-collapse move
+    # applied to geometry): zones depend ONLY on the footprint string, and
+    # real alert feeds repeat template geometries (the catalog fixture has
+    # 1.6 k distinct boxes over 15 k alerts), so every Python stage below
+    # — WKT parse, cell explode, candidate join, clip kernel — runs once
+    # per DISTINCT footprint and the per-alert answer is a map-back join
+    # (AQE broadcasts the footprint→zones frame when small).  The explicit
+    # partition count on the distinct keeps the CPU-bound parse/clip
+    # stages parallel (AQE would coalesce the few-MB distinct output to
+    # ~1 task; byte-cheap rows, CPU-expensive downstream).  A corpus of
+    # all-unique footprints pays one narrow distinct exchange + a
+    # broadcast-ish join — the same accepted premium class as
+    # textdedup.collapsed_assignment.
+    par = alerts.sparkSession.sparkContext.defaultParallelism
+    distinct_fp = (
+        alerts.select(footprint_col)
+        .where(F.col(footprint_col).isNotNull())
+        .repartition(par, F.col(footprint_col))
+        .distinct()
+    )
 
     feats = _bbox_prep(
         layer,
@@ -303,15 +329,15 @@ def overlay_inference(
         )
 
     aprep = _bbox_prep(
-        alerts,
-        [ID_COL],
+        distinct_fp,
+        [],
         footprint_col,
-        f"{ID_COL} long, `{footprint_col}` string, "
+        f"`{footprint_col}` string, "
         "_minx double, _miny double, _maxx double, _maxy double, "
         "_area double",
     )
     a_cells = with_cells(aprep).select(
-        ID_COL, footprint_col, "_cx", "_cy",
+        footprint_col, "_cx", "_cy",
         F.col("_minx").alias("_aminx"), F.col("_miny").alias("_aminy"),
         F.col("_maxx").alias("_amaxx"), F.col("_maxy").alias("_amaxy"),
         F.col("_area").alias("_aarea"),
@@ -342,22 +368,19 @@ def overlay_inference(
             & (F.col("_cy")
                == cell(F.greatest("_aminy", "_fminy"), ext["miny"], sy))
         )
-        .select(ID_COL, footprint_col, "_aarea", "_fname", "_fwkt", "_farea")
+        .select(footprint_col, "_aarea", "_fname", "_fwkt", "_farea")
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # task-lifetime parse memo (same rationale as _bbox_prep): a pair
-        # stream repeats each feature WKT once per candidate alert and each
-        # alert WKT once per candidate feature — parse each distinct string
-        # once per task instead of once per pair
+        # stream repeats each feature WKT once per candidate footprint and
+        # each footprint WKT once per candidate feature — parse each
+        # distinct string once per task instead of once per pair.  No
+        # pair-level memo any more: the canonical-cell rule + the
+        # distinct-footprint collapse guarantee each (footprint, feature)
+        # pair reaches this kernel exactly once, so the r15 intersection
+        # memo could never hit and was pure dict overhead.
         memo: dict[str, list | None] = {}
-        # pair-level intersection memo: footprints repeat (template
-        # geometries, gridded fixtures, re-submitted alerts), and the
-        # Sutherland–Hodgman clip is the expensive per-pair Python step —
-        # cache the intersection area per distinct (alert-WKT, feature-WKT)
-        # string pair for the task lifetime (guide §4.5 heavyweight-work-
-        # once; pure dict overhead when every geometry is unique)
-        pair_memo: dict[tuple[str, str], float] = {}
 
         def polys_of(wkt_str):
             hit = memo.get(wkt_str, False)
@@ -370,50 +393,45 @@ def overlay_inference(
             return hit
 
         for pdf in batches:
-            ids, names = [], []
-            for alert_id, awkt, aarea, fname, fwkt, farea in zip(
-                pdf[ID_COL].tolist(), pdf[footprint_col].tolist(),
+            fps, names = [], []
+            for awkt, aarea, fname, fwkt, farea in zip(
+                pdf[footprint_col].tolist(),
                 pdf["_aarea"].tolist(), pdf["_fname"].tolist(),
                 pdf["_fwkt"].tolist(), pdf["_farea"].tolist(),
             ):
-                pkey = (awkt, fwkt)
-                inter = pair_memo.get(pkey)
-                if inter is None:
-                    fp = polys_of(awkt)
-                    fpolys = polys_of(fwkt)
-                    if fp is None or fpolys is None:
-                        # parse failure: record as NaN so the pair is
-                        # skipped without re-parsing (NaN fails every
-                        # threshold comparison below, like the old
-                        # `continue`)
-                        pair_memo[pkey] = inter = float("nan")
-                    else:
-                        inter = 0.0
-                        for a in fp:
-                            for b in fpolys:
-                                inter += G.intersection_area(a, b)
-                        pair_memo[pkey] = inter
-                if inter != inter:  # NaN → unparseable pair
+                fp = polys_of(awkt)
+                fpolys = polys_of(fwkt)
+                if fp is None or fpolys is None:
                     continue
+                inter = 0.0
+                for a in fp:
+                    for b in fpolys:
+                        inter += G.intersection_area(a, b)
                 if inter <= 0:
                     continue
                 if (farea > 0 and inter / farea > min_overlap) or (
                     aarea > 0 and inter / aarea > min_overlap
                 ):
-                    ids.append(alert_id)
+                    fps.append(awkt)
                     names.append(str(fname))
             yield pd.DataFrame(
                 {
-                    ID_COL: pd.Series(ids, dtype="int64"),
+                    footprint_col: pd.Series(fps, dtype="object"),
                     "_hit": pd.Series(names, dtype="object"),
                 }
             )
 
-    hits = pairs.mapInPandas(score, f"{ID_COL} long, _hit string")
-    inferred = hits.groupBy(ID_COL).agg(
+    hits = pairs.mapInPandas(
+        score, f"`{footprint_col}` string, _hit string"
+    )
+    inferred = hits.groupBy(footprint_col).agg(
         F.sort_array(F.collect_set("_hit")).alias(out_col)
     )
-    return alerts.join(inferred, ID_COL, "left")
+    # map-back: one equality join on the footprint string — the inferred
+    # frame is distinct-geometry-sized, so AQE broadcasts it when small;
+    # alerts with null/unparseable footprints never match and keep the
+    # null zones the row-level gate produced before
+    return alerts.join(inferred, footprint_col, "left")
 
 
 def exclude_area_types(
