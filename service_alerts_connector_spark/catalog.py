@@ -76,6 +76,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _col_max_upper_bound(spark, path: str, col: str):
+    """Upper bound on max(col) of one parquet file from FOOTER statistics
+    (guide §6 — the same min/max that power predicate pushdown), with a
+    Spark full-scan aggregate as the fallback when statistics are absent.
+
+    Only valid where an UPPER BOUND is as good as the exact max — e.g. the
+    pointer-jump round budgets, where an overestimate adds provably no-op
+    doubling rounds and an underestimate is impossible (parquet statistics
+    are bounds by spec).  Footer reads are O(row groups) driver work on one
+    file; a many-file lake directory should derive the bound from table
+    statistics instead, which is why this helper takes a single file path.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        vals = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("missing parquet statistics")
+            vals.append(st.max)
+        if vals:
+            return max(vals)
+    except Exception:
+        pass
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).agg(F.max(col)).collect()[0][0]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table and surface ``ts`` as a session-tz TimestampType
     regardless of how the generator wrote it.  The column's physical type has

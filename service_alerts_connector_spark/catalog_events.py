@@ -884,9 +884,8 @@ def q_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import math
 
-    nodes = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("node")
-    ).distinct()
+    ev = _t(spark, sf_dir, "events")
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
     edges = nodes.withColumn(
         "parent",
         F.when(F.col("node") >= 8, F.col("node") - 8).otherwise(
@@ -899,12 +898,22 @@ def q_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds provably converge — a deeper driver testdata generation
     # (CLAUDE.md: the generator is not stable round-over-round) can never
     # outgrow a hard-coded 8 and silently fail the oracle's
-    # `TRUE AS converged` column.  One tiny agg job; the operator
-    # truncates lineage with lazy localCheckpoints at construction
-    # (documented contract).
-    max_node = edges.agg(F.max("node")).collect()[0][0] or 0
+    # `TRUE AS converged` column.  r16: the budget only needs an UPPER
+    # bound on the depth, so it reads max(user_id)'s parquet FOOTER
+    # statistic (zero-job; a looser bound only adds provably no-op
+    # rounds, and parquet stats can never under-bound) instead of a full
+    # scan+distinct aggregate, and it is exactly ceil(log2(depth)): the
+    # loop's init covers distance 2^0 and round r doubles the span to
+    # min(2^r, node depth), so 2^iters ≥ depth suffices — the former +1
+    # round was a provably redundant no-op propagation.
+    from service_alerts_connector_spark.catalog import _col_max_upper_bound
+
+    max_node = (
+        _col_max_upper_bound(spark, f"{sf_dir}/events.parquet", "user_id")
+        or 0
+    )
     depth = max(1, max_node // 8)
-    iters = max(1, math.ceil(math.log2(depth)) + 1)
+    iters = max(1, math.ceil(math.log2(depth)))
     # no final orderBy: node-sized output, the correctness gate
     # canonicalizes order-insensitively, and the sort was a whole
     # rangepartitioning Exchange + global Sort (guide §2.4)

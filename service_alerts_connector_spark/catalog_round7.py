@@ -797,9 +797,17 @@ def q_ancestor_path_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("parent"),
         "value",
     )
-    max_node = edges.agg(F.max("node")).collect()[0][0] or 0
+    # r16: round budget from the parquet FOOTER max(user_id) statistic
+    # (zero-job upper bound — looser only adds provable no-op rounds) and
+    # without the former +1 slack round; proof at q_hierarchy_roots
+    from service_alerts_connector_spark.catalog import _col_max_upper_bound
+
+    max_node = (
+        _col_max_upper_bound(spark, f"{sf_dir}/events.parquet", "user_id")
+        or 0
+    )
     depth = max(1, max_node // 8)
-    iters = max(1, math.ceil(math.log2(depth)) + 1)
+    iters = max(1, math.ceil(math.log2(depth)))
     # no final orderBy: node-sized output, order-insensitive gate
     # (guide §2.4 — the sort was a rangepartitioning Exchange + Sort)
     return pointer_jump_path_sum(
