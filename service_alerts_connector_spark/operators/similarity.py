@@ -667,7 +667,7 @@ def embedding_near_dup_pairs(
     # see (guide §2.5: partition for the work, not the bytes); an explicit
     # count is exempt from coalescing, and defaultParallelism is the
     # cluster-sized knob, not a local constant.
-    candidates = (
+    buckets = (
         cells.groupBy("band", "bucket")
         .agg(
             F.slice(
@@ -675,8 +675,11 @@ def embedding_near_dup_pairs(
             ).alias("ids")
         )
         .where(F.size("ids") > 1)
-        .select(_pair_explode("ids"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+    # chunked two-level pair generation (hot capped buckets parallelize —
+    # see _slice_pair_explode), then the explicit-count dedup exchange
+    candidates = (
+        _chunked_pairs(buckets)
         .repartition(
             df.sparkSession.sparkContext.defaultParallelism,
             F.col("id_a"),
@@ -840,7 +843,13 @@ def semantic_dedup(
             )
         ).alias("c"),
     ).select("_id", "cell", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket"))
-    candidates = (
+    # chunked two-level pair generation (hot capped buckets parallelize —
+    # see _slice_pair_explode), then the explicit-count pair-dedup
+    # exchange (same partitioning `distinct` plans, coalescing-exempt):
+    # AQE's byte-targeted coalescing otherwise serializes the verify
+    # joins' per-pair cosine folds behind ~1 task — see
+    # embedding_near_dup_pairs (measured there; identical shape)
+    buckets = (
         cells.groupBy("cell", "band", "bucket")
         .agg(
             F.slice(F.array_sort(F.collect_set("_id")), 1, max_bucket).alias(
@@ -848,8 +857,14 @@ def semantic_dedup(
             )
         )
         .where(F.size("ids") > 1)
-        .select(_pair_explode("ids"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+    candidates = (
+        _chunked_pairs(buckets)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("id_a"),
+            F.col("id_b"),
+        )
         .distinct()
     )
     pair_cos = F.round(
@@ -1112,8 +1127,9 @@ def incremental_semantic_dedup(
         F.array(*[bands[b] for b in range(n_bands)]).alias("_bkts"),
     )
 
-    # within-batch candidates (same shape as batch-mode)
-    cand = (
+    # within-batch candidates (same shape as batch-mode, chunked pair
+    # generation — see _slice_pair_explode)
+    cand = _chunked_pairs(
         _explode_bands(batch)
         .groupBy("cell", "band", "bucket")
         .agg(
@@ -1121,8 +1137,6 @@ def incremental_semantic_dedup(
             .alias("ids")
         )
         .where(F.size("ids") > 1)
-        .select(_pair_explode("ids"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
     )
 
     versions = list_versions(root, SEMDEDUP_STORE)
@@ -1135,7 +1149,13 @@ def incremental_semantic_dedup(
         cand = cand.unionByName(
             _store_batch_candidates(prev, batch, max_bucket)
         )
-    cand = cand.distinct()
+    # explicit-count pair-dedup exchange before the verify joins — the
+    # AQE-coalescing rationale at semantic_dedup's candidates
+    cand = cand.repartition(
+        new_vecs.sparkSession.sparkContext.defaultParallelism,
+        F.col("id_a"),
+        F.col("id_b"),
+    ).distinct()
 
     side_a = (
         prev.select(
@@ -1223,6 +1243,74 @@ def _pair_explode(ids_col: str):
             f"y -> struct(x AS id_a, y AS id_b))))"
         )
     ).alias("p")
+
+
+_PAIR_CHUNK = 256
+
+
+def _slice_pair_explode(ids_col: str):
+    """Level 1 of chunked pair generation: explode a sorted id array into
+    (slice_a, slice_b, same) struct rows over ``_PAIR_CHUNK``-sized slices
+    (a ≤ b by slice index).
+
+    Why two levels (r16, measured on the 20× scale-up): a ``max_bucket``-
+    capped hot bucket is ONE row whose single-level ``_pair_explode``
+    yields C(10 000, 2) ≈ 5·10⁷ pairs serially inside one task — the
+    verify tier's dominant straggler (8-vs-32-core ratio ≈ 1 on
+    dedup_embedding_cosine at 20×; guide §2.5: a single enormous key must
+    be SPLIT, AQE cannot).  Level 1 emits ≤ (n/chunk)² slice-pair rows
+    (≤ 1 600 for a capped bucket — and exactly one row, the whole-array
+    pair, for buckets under the chunk size); an explicit hash
+    redistribution between the levels spreads them, and
+    ``_pairs_of_slice_pair`` expands each row's ≤ chunk² pairs in
+    parallel.  The pair SET is unchanged: slices partition the array, so
+    {(a, b): a < b} = within-slice pairs ∪ cross pairs of slice_i × slice_j
+    for i < j."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform("
+            f"  sequence(0, (size({ids_col}) - 1) div {_PAIR_CHUNK}),"
+            f"  i -> transform("
+            f"    sequence(i, (size({ids_col}) - 1) div {_PAIR_CHUNK}),"
+            f"    j -> struct("
+            f"      slice({ids_col}, i * {_PAIR_CHUNK} + 1, {_PAIR_CHUNK})"
+            f"        AS sa,"
+            f"      slice({ids_col}, j * {_PAIR_CHUNK} + 1, {_PAIR_CHUNK})"
+            f"        AS sb,"
+            f"      i = j AS same))))"
+        )
+    ).alias("sp")
+
+
+def _pairs_of_slice_pair():
+    """Level 2: expand one (sa, sb, same) slice-pair row into its pairs —
+    within-slice (a < b by position, slices are sorted) when ``same``,
+    full cross product otherwise."""
+    return F.explode(
+        F.expr(
+            "CASE WHEN sp.same THEN "
+            "flatten(transform(sp.sa, (x, i) -> "
+            "transform(slice(sp.sa, i + 2, size(sp.sa) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b)))) "
+            "ELSE flatten(transform(sp.sa, x -> "
+            "transform(sp.sb, y -> struct(x AS id_a, y AS id_b)))) END"
+        )
+    ).alias("p")
+
+
+def _chunked_pairs(bucket_frame: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(id_a, id_b) candidate pairs from a bucket frame holding sorted,
+    capped id arrays — two-level explode with a hash redistribution of the
+    slice-pair rows between the levels so hot buckets parallelize (see
+    ``_slice_pair_explode``).  Ends BEFORE dedup: callers chain their own
+    explicit-count repartition + distinct."""
+    par = bucket_frame.sparkSession.sparkContext.defaultParallelism
+    return (
+        bucket_frame.select(_slice_pair_explode(ids_col))
+        .repartition(par, F.col("sp"))
+        .select(_pairs_of_slice_pair())
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
 
 
 def cosine_topk_mapinpandas(

@@ -190,6 +190,36 @@ def _planted_corpus(spark, n=100, dim=64, sigma=0.045, seed=123):
     return df, cos
 
 
+def test_chunked_pairs_equal_single_level_explode(spark):
+    """The r16 two-level (slice-pair) candidate generation must emit
+    exactly the same (a < b) pair SET as the single-level explode, across
+    the boundary regimes: below the chunk, exactly the chunk, and a
+    multi-chunk hot bucket (the case the split exists for)."""
+    from service_alerts_connector_spark.operators.similarity import (
+        _PAIR_CHUNK,
+        _chunked_pairs,
+        _pair_explode,
+    )
+
+    rows = [
+        (1, list(range(10))),
+        (2, list(range(100, 700))),  # > 2 chunks
+        (3, list(range(1000, 1000 + _PAIR_CHUNK))),  # exactly one chunk
+    ]
+    b = spark.createDataFrame(rows, "bucket int, ids array<bigint>")
+    got = set(map(tuple, _chunked_pairs(b).distinct().collect()))
+    want = set(
+        map(
+            tuple,
+            b.select(_pair_explode("ids"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 200_000
+
+
 def test_embedding_near_dup_recall_vs_bruteforce(spark):
     """Banded sparse sign-LSH recall at cosine ~0.91-0.96 against the
     brute-force truth — pins the documented recall approximation (theory
